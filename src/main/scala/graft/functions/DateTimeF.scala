@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Date/time scalar surface (SURVEY.md §2.8 F1, F2, F8, F9).
+  *
+  * All of these stay inside whole-stage codegen (built-in expressions only —
+  * no UDFs), so they cost nothing extra at 100 TB.
+  */
+object DateTimeF {
+
+  /** F1 — `EXTRACT(TIME FROM ts)` (ref `enrichment_query.py:10`).
+    * Spark (pre-4.1 surface) has no TIME type; an "HH:mm:ss" string compares
+    * lexicographically identically to TIME ordering, which is all the
+    * reference does with it (range predicates in the daypart CASE).
+    */
+  def timeOfDay(ts: Column): Column = date_format(ts, "HH:mm:ss")
+
+  /** F2 — daypart bucketing CASE (ref `enrichment_query.py:4-7`).
+    * Faithful to the reference's no-ELSE CASE: a sub-second pickup in
+    * (23:59:59, 24:00) falls through every branch → NULL daypart.
+    */
+  def daypart(ts: Column): Column = {
+    val t = timeOfDay(ts)
+    when(t >= "06:00:00" && t < "12:00:00", "Morning")
+      .when(t >= "12:00:00" && t < "18:00:00", "Noon")
+      .when(t >= "18:00:00" && t <= "23:59:59", "Evening")
+      .when(t < "06:00:00", "Night") // no .otherwise — faithful NULL edge
+  }
+
+  /** F8 — `date(ts)` (ref `models/tripss.sql:2`). */
+  def toDateCol(ts: Column): Column = ts.cast("date")
+
+  /** F9 — `timestamp_diff(t1, t2, MINUTE)` (ref `models/tripss.sql:3`):
+    * whole-minute difference truncated toward zero (BigQuery semantics,
+    * including negatives). Millisecond epoch keeps sub-second inputs exact;
+    * cast(double → long) truncates toward zero like BQ.
+    */
+  def timestampDiffMinutes(t1: Column, t2: Column): Column =
+    ((unix_millis(t1) - unix_millis(t2)) / 60000.0).cast("long")
+}

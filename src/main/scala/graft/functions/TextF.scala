@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar surface for the training-data-pipeline extension ops
+  * (tokenization, quality scoring, language-ID, fingerprinting, shingling).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._`
+  * (codegen'd higher-order array functions) — no UDFs — so a 100 TB
+  * documents scan keeps whole-stage codegen end-to-end and the work
+  * parallelizes per input split with zero shuffles.
+  */
+object TextF {
+
+  /** Whitespace tokenizer: trim then split on runs of whitespace. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def lowerTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** English-ish stopword list shared with the DuckDB oracle (keep in sync
+    * with the SQL in `graft.queries.ExtQueries`). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = lowerTokens(text)
+    round(
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks), 6)
+  }
+
+  /** Ratio of characters that are neither alphanumeric nor whitespace. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+      / length(text), 6)
+
+  /** Heuristic quality score in [0,1]: token-volume saturation damped by
+    * punctuation density (same closed formula mirrored in the oracle SQL). */
+  def qualityScore(text: Column): Column =
+    round(least(lit(1.0), tokenCount(text).cast("double") / 100.0)
+      * (lit(1.0) - punctRatio(text)), 6)
+
+  /** Language marker-word tables for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with fixed priority en>de>es>fr. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "et", "les", "un", "est"))
+
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(lowerTokens(text), t => t.isin(markers: _*)))
+
+  def langId(text: Column): Column = {
+    val Seq(e, g, s, f) = LangMarkers.map { case (_, m) => markerHits(text, m) }
+    when(e >= g && e >= s && e >= f, "en")
+      .when(g >= s && g >= f, "de")
+      .when(s >= f, "es")
+      .otherwise("fr")
+  }
+
+  /** Canonical whitespace-collapsed lowercase form used for fingerprinting
+    * and exact dedup. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text. Content-addressed,
+    * engine-independent (matches DuckDB md5 byte-for-byte). */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Word k-shingles ("n-gram" over tokens): deterministic, empty array for
+    * docs shorter than k tokens (guards Spark's descending `sequence`). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = lowerTokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(o => toks(i + o)): _*)))
+      .otherwise(array())
+  }
+
+  def distinctShingles(text: Column, k: Int): Column =
+    array_distinct(wordShingles(text, k))
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>`/`array<double>` columns, for
+  * the similarity-search / near-dup extension ops.
+  *
+  * Built on the codegen'd higher-order array functions (`zip_with` /
+  * `aggregate`) rather than UDFs: stays inside whole-stage codegen and
+  * needs no SerDe. All math is done in doubles, folding left-to-right —
+  * the same order DuckDB's `list_cosine_similarity` uses, so results are
+  * bit-comparable with the oracle.
+  */
+object VectorF {
+
+  /** Sequential left-to-right sum of an array<double> column. */
+  def arraySum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    arraySum(zip_with(a, b, (x, y) => x * y))
+
+  def norm2(a: Column): Column = sqrt(arraySum(zip_with(a, a, (x, y) => x * y)))
+
+  /** Cosine similarity; NULL on zero-norm inputs (division yields NULL via
+    * nullif guard rather than NaN/Inf). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm2(a) * norm2(b), lit(0.0))
+
+  /** Random-hyperplane LSH bucket: sign-bit signature over `nPlanes`
+    * deterministic pseudo-hyperplanes derived from the vector itself is NOT
+    * valid LSH — planes must be data-independent. We derive plane p's
+    * component d from a fixed hash h(p,d) mapped to [-1,1): deterministic,
+    * engine-independent, no RNG at plan time. */
+  def hyperplaneComponent(p: Int, d: Int): Double = {
+    // splitmix64-style integer mix of (p,d) → uniform double in [-1, 1)
+    var z = (p.toLong << 32 | (d.toLong & 0xffffffffL)) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign bit of <v, plane_p> for a fixed-dimension vector column. The plane
+    * is inlined as a literal array → the dot product is codegen'd, no UDF. */
+  def planeSignBit(v: Column, p: Int, dim: Int): Column = {
+    val plane = array((0 until dim).map(d => lit(hyperplaneComponent(p, d))): _*)
+    when(dot(v, plane) >= 0, 1L).otherwise(0L)
+  }
+
+  /** `nPlanes`-bit LSH bucket id for a vector column of dimension `dim`. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map(p => planeSignBit(v, p, dim) * lit(1L << p))
+      .reduce(_ + _)
+}

@@ -1,0 +1,19 @@
+/** graft — a Spark-native (Scala) analytics engine re-expressing the query
+  * and data-processing surface of the reference ETL (`/root/reference`,
+  * a BigQuery-delegating taxi-trips pipeline; see SURVEY.md) as idiomatic
+  * DataFrame/Catalyst plans, plus the large-scale training-data-pipeline
+  * operators (dedup, similarity search, text analysis, multimodal columns).
+  *
+  * Design rules (SURVEY.md §7):
+  *  - declarative DataFrame plans; let Catalyst push/prune/reorder
+  *  - no driver-side collect except bounded top-k
+  *  - every shuffle is authored deliberately (groupBy/join keys chosen so
+  *    the plan survives a 100 TB / 1000-executor scale-up)
+  */
+package object graft {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Load one of the driver-provided parquet tables from an sf dir. */
+  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
