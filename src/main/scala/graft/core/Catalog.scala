@@ -40,8 +40,9 @@ final class Catalog(val spark: SparkSession, val warehouseDir: String) {
   def drop(name: String): Unit = {
     val p = pathOf(name)
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
     }
   }
 

@@ -17,16 +17,25 @@ object DateTimeF {
     */
   def timeOfDay(ts: Column): Column = date_format(ts, "HH:mm:ss")
 
+  /** Parquet fixtures surface as TIMESTAMP_NTZ (Spark 4 infers NTZ); the
+    * epoch-based functions below need TIMESTAMP. With a UTC session the
+    * cast preserves the wall clock, so both input types behave alike. */
+  private def asLtz(ts: Column): Column = ts.cast("timestamp")
+
   /** F2 — daypart bucketing CASE (ref `enrichment_query.py:4-7`).
     * Faithful to the reference's no-ELSE CASE: a sub-second pickup in
     * (23:59:59, 24:00) falls through every branch → NULL daypart.
+    * Compares on microsecond-of-day (BigQuery TIME keeps microseconds;
+    * an "HH:mm:ss" string would truncate 23:59:59.5 to "23:59:59" and
+    * mis-classify it as Evening instead of NULL).
     */
   def daypart(ts: Column): Column = {
-    val t = timeOfDay(ts)
-    when(t >= "06:00:00" && t < "12:00:00", "Morning")
-      .when(t >= "12:00:00" && t < "18:00:00", "Noon")
-      .when(t >= "18:00:00" && t <= "23:59:59", "Evening")
-      .when(t < "06:00:00", "Night") // no .otherwise — faithful NULL edge
+    val us = pmod(unix_micros(asLtz(ts)), lit(86400000000L)) // micros since midnight
+    val H = 3600000000L // one hour in micros
+    when(us >= 6 * H && us < 12 * H, "Morning")
+      .when(us >= 12 * H && us < 18 * H, "Noon")
+      .when(us >= 18 * H && us <= 24 * H - 1000000L, "Evening")
+      .when(us < 6 * H, "Night") // no .otherwise — faithful NULL edge
   }
 
   /** F8 — `date(ts)` (ref `models/tripss.sql:2`). */
@@ -38,5 +47,5 @@ object DateTimeF {
     * cast(double → long) truncates toward zero like BQ.
     */
   def timestampDiffMinutes(t1: Column, t2: Column): Column =
-    ((unix_millis(t1) - unix_millis(t2)) / 60000.0).cast("long")
+    ((unix_millis(asLtz(t1)) - unix_millis(asLtz(t2))) / 60000.0).cast("long")
 }

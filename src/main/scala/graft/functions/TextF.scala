@@ -10,13 +10,21 @@ import org.apache.spark.sql.functions._
   * (codegen'd higher-order array functions) — no UDFs — so a 100 TB
   * documents scan keeps whole-stage codegen end-to-end and the work
   * parallelizes per input split with zero shuffles.
+  *
+  * All ratio math is pure IEEE-754 over exactly-computed integers with the
+  * same expression tree as the DuckDB oracle SQL (graft.queries.ExtQueries),
+  * so results are bit-identical without rounding fudge.
   */
 object TextF {
 
-  /** Whitespace tokenizer: trim then split on runs of whitespace. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenizer: trim then split on runs of whitespace.
+    * Empty/whitespace-only input tokenizes to an EMPTY array (a bare
+    * split("") would yield [""], a phantom token); NULL stays NULL. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
 
-  def lowerTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def lowerTokens(text: Column): Column = tokens(lower(text))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -25,25 +33,27 @@ object TextF {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
+  /** stopword tokens / all tokens; NULL for empty docs (0/0 guarded). */
   def stopwordRatio(text: Column): Column = {
     val toks = lowerTokens(text)
-    round(
-      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks), 6)
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+      nullif(size(toks), lit(0)).cast("double")
   }
 
-  /** Ratio of characters that are neither alphanumeric nor whitespace. */
+  /** Ratio of characters that are neither alphanumeric nor whitespace;
+    * NULL for empty docs. */
   def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
-      / length(text), 6)
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
+      nullif(length(text), lit(0)).cast("double")
 
   /** Heuristic quality score in [0,1]: token-volume saturation damped by
     * punctuation density (same closed formula mirrored in the oracle SQL). */
   def qualityScore(text: Column): Column =
-    round(least(lit(1.0), tokenCount(text).cast("double") / 100.0)
-      * (lit(1.0) - punctRatio(text)), 6)
+    least(lit(1.0), tokenCount(text).cast("double") / lit(100.0)) *
+      (lit(1.0) - punctRatio(text))
 
-  /** Language marker-word tables for the n-gram/stopword language-ID
-    * heuristic. Deterministic argmax with fixed priority en>de>es>fr. */
+  /** Language marker-word tables for the stopword language-ID heuristic.
+    * Deterministic argmax with fixed priority en>de>es>fr. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "a"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -53,9 +63,11 @@ object TextF {
   def markerHits(text: Column, markers: Seq[String]): Column =
     size(filter(lowerTokens(text), t => t.isin(markers: _*)))
 
+  /** NULL text → NULL language (not "fr" via the otherwise fallthrough). */
   def langId(text: Column): Column = {
     val Seq(e, g, s, f) = LangMarkers.map { case (_, m) => markerHits(text, m) }
-    when(e >= g && e >= s && e >= f, "en")
+    when(text.isNull, lit(null).cast("string"))
+      .when(e >= g && e >= s && e >= f, "en")
       .when(g >= s && g >= f, "de")
       .when(s >= f, "es")
       .otherwise("fr")
@@ -77,7 +89,7 @@ object TextF {
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(o => toks(i + o)): _*)))
-      .otherwise(array())
+      .otherwise(array().cast("array<string>"))
   }
 
   def distinctShingles(text: Column, k: Int): Column =

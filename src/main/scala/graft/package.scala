@@ -16,4 +16,17 @@ package object graft {
   /** Load one of the driver-provided parquet tables from an sf dir. */
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` with `ts` as TimestampType. The fixture stores TIMESTAMP
+    * (NANOS), which Spark only reads with legacy.parquet.nanosAsLong (set
+    * in every session builder) — convert epoch-nanos → µs timestamp here.
+    * The fixture's values are exactly µs-precision, so this is lossless. */
+  def eventsTbl(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val df = tbl(spark, sfDir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
+  }
 }

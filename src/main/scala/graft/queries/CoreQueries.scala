@@ -1,0 +1,489 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tbl
+import graft.functions.DateTimeF
+
+/** The reference's relational query surface (SURVEY.md §2.2–§2.8),
+  * re-expressed over the driver's TPC-H-ish fixtures.
+  *
+  * Mapping of the taxi domain onto the fixtures (documented per query):
+  * trips ≙ `lineitem` (60k rows at sf0.01), pickup/dropoff location ids ≙
+  * `l_partkey`/`l_suppkey`, zone-geometry dim tables ≙ `part`/`supplier`,
+  * timestamps ≙ `l_shipdate`/`o_orderdate`, time-of-day semantics ≙
+  * `events.ts` (the only fixture timestamps with intra-day spread).
+  *
+  * Scale notes are attached per query; the unifying rules:
+  *  - aggregations are plain groupBy → partial+final HashAggregate;
+  *  - top-k is always `orderBy.limit(k)` → TakeOrderedAndProject
+  *    (distributed per-partition top-k, never a full global sort);
+  *  - global RANK is computed only over an already-bounded (≤100 row)
+  *    result, never over unbounded data (SURVEY §7.4);
+  *  - small dimension tables broadcast (AQE converts; `part`/`supplier`
+  *    are tiny relative to `lineitem` at every SF).
+  */
+object CoreQueries {
+
+  private val li = Seq("l_orderkey", "l_linenumber")
+
+  /** P2 — normalization keep-good filter (ref
+    * `taxi_trips_etl_packages/queries/normalization_query.py:4-8`): a
+    * 6-predicate conjunction incl. a two-column inequality
+    * (pickup != dropoff ≙ l_returnflag != l_linestatus) and
+    * `!= 0` / `IS NOT NULL` pairs. Scale: scan-local, fully pushed into
+    * the parquet reader (PushedFilters), no shuffle. */
+  private def normalizeKeep(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(
+        col("l_returnflag") =!= col("l_linestatus") &&
+          col("l_quantity") =!= 0 && col("l_quantity").isNotNull &&
+          col("l_discount") =!= 0 && col("l_discount").isNotNull &&
+          col("l_extendedprice") =!= 0)
+      .orderBy(li.map(col): _*)
+
+  private val normalizeKeepSql =
+    """SELECT * FROM lineitem
+      | WHERE l_returnflag != l_linestatus
+      |   AND l_quantity != 0 AND l_quantity IS NOT NULL
+      |   AND l_discount != 0 AND l_discount IS NOT NULL
+      |   AND l_extendedprice != 0
+      | ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** P3 — the inverted (select-bad) normalization variant
+    * (ref `main.py:85-91`): disjunction of the error conditions.
+    * P2 ∪ P3 partitions the input (property-tested in NormalizeSpec). */
+  private def normalizeReject(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(
+        col("l_returnflag") === col("l_linestatus") ||
+          col("l_quantity") === 0 || col("l_quantity").isNull ||
+          col("l_discount") === 0 || col("l_discount").isNull ||
+          col("l_extendedprice") === 0)
+      .orderBy(li.map(col): _*)
+
+  private val normalizeRejectSql =
+    """SELECT * FROM lineitem
+      | WHERE l_returnflag = l_linestatus
+      |    OR l_quantity = 0 OR l_quantity IS NULL
+      |    OR l_discount = 0 OR l_discount IS NULL
+      |    OR l_extendedprice = 0
+      | ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** P1 — `SELECT *` pass-through (ref `normalization_query.py:4`). */
+  private def selectStar(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select("*").orderBy(li.map(col): _*)
+
+  /** P4 — column-subset + rename projection (ref
+    * `models/staging/taxi_trips/stg_taxi_trips__tripss.sql:9-19`). */
+  private def projectRename(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("amount"))
+      .orderBy("order_id", "line_no")
+
+  /** P6 — CTE chaining (`WITH source AS …, renamed AS …`); in the DSL the
+    * CTEs are just chained vals (Catalyst inlines them either way). */
+  private def cteChain(s: SparkSession, dir: String): DataFrame = {
+    val source = tbl(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val renamed = source.select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id"),
+      col("o_totalprice").as("amount"),
+      col("o_orderdate").cast("date").cast("string").as("order_date"))
+    renamed.select("*").orderBy("order_id")
+  }
+
+  private val cteChainSql =
+    """WITH source AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      |), renamed AS (
+      |  SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+      |         o_totalprice AS amount,
+      |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+      |  FROM source
+      |)
+      |SELECT * FROM renamed ORDER BY order_id""".stripMargin
+
+  /** W1 + P5 + F4 — partitioned RANK dedup then `finish_rank = 1`
+    * (ref `enrichment_query.py:12-14`): keep the "largest geometry" row(s)
+    * per zone; `byte_length(ST_ASTEXT(geom))` ≙ `octet_length(c_name)`,
+    * zone_id ≙ `c_nationkey` (25 zones × ~60 candidate rows, with real
+    * rank-1 ties). Scale: the window partitions by the grouping key, so it
+    * shuffles once on zone_id and never single-partitions. */
+  private def rankDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(expr("octet_length(c_name)").desc)
+    tbl(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+        rank().over(w).as("finish_rank"))
+      .filter(col("finish_rank") === 1)
+      .select(col("c_nationkey").as("zone_id"), col("c_custkey"),
+        col("c_name").as("zone_geom"), col("finish_rank"))
+      .orderBy("zone_id", "c_custkey")
+  }
+
+  private val rankDedupSql =
+    """SELECT c_nationkey AS zone_id, c_custkey, c_name AS zone_geom, finish_rank
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_name,
+      |         rank() OVER (PARTITION BY c_nationkey
+      |                      ORDER BY strlen(c_name) DESC) AS finish_rank
+      |  FROM customer
+      |) WHERE finish_rank = 1
+      |ORDER BY zone_id, c_custkey""".stripMargin
+
+  /** J1 + J2 + J3 + W1 + P5 — the enrichment join graph (ref
+    * `enrichment_query.py:3-25`): two LEFT joins of trips against
+    * rank-deduped zone dims (dropoff ≙ supplier, pickup ≙ part), each
+    * followed by `finish_rank = 1` (which Catalyst's EliminateOuterJoin
+    * correctly collapses to inner), then an INNER self-join on the
+    * 4-column composite trip identity re-uniting the branches.
+    * Scale: both dims are small → AQE broadcasts them (no shuffle of the
+    * fact table for J1/J2); J3 shuffles once on the composite key. */
+  private def enrichJoinGraph(s: SparkSession, dir: String): DataFrame = {
+    val trips = tbl(s, dir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+
+    val wSupp = Window.partitionBy("s_suppkey")
+      .orderBy(expr("octet_length(s_name)").desc)
+    val suppG = tbl(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"),
+        rank().over(wSupp).as("finish_rank"))
+    val doff = trips
+      .join(suppG, trips("l_suppkey") === suppG("s_suppkey"), "left")
+      .filter(col("finish_rank") === 1)
+      .select((keys.map(col) :+ col("l_shipdate") :+
+        col("s_name").as("dropoff_zone")): _*)
+
+    val wPart = Window.partitionBy("p_partkey")
+      .orderBy(expr("octet_length(p_name)").desc)
+    val partG = tbl(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        rank().over(wPart).as("finish_rank"))
+    val pup = trips
+      .join(partG, trips("l_partkey") === partG("p_partkey"), "left")
+      .filter(col("finish_rank") === 1)
+      .select((keys.map(col) :+ col("p_name").as("pickup_zone")): _*)
+
+    doff.join(pup, keys, "inner")
+      .select(keys.map(col) :+ col("dropoff_zone") :+ col("pickup_zone") :+
+        DateTimeF.daypart(col("l_shipdate")).as("daypart"): _*)
+      .orderBy(li.map(col): _*)
+  }
+
+  private val enrichJoinGraphSql =
+    """WITH supp_g AS (
+      |  SELECT s_suppkey, s_name,
+      |         rank() OVER (PARTITION BY s_suppkey
+      |                      ORDER BY strlen(s_name) DESC) AS finish_rank
+      |  FROM supplier
+      |), part_g AS (
+      |  SELECT p_partkey, p_name,
+      |         rank() OVER (PARTITION BY p_partkey
+      |                      ORDER BY strlen(p_name) DESC) AS finish_rank
+      |  FROM part
+      |), doff AS (
+      |  SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_partkey,
+      |         l.l_shipdate, g.s_name AS dropoff_zone
+      |  FROM lineitem l LEFT JOIN supp_g g ON l.l_suppkey = g.s_suppkey
+      |  WHERE g.finish_rank = 1
+      |), pup AS (
+      |  SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_partkey,
+      |         g.p_name AS pickup_zone
+      |  FROM lineitem l LEFT JOIN part_g g ON l.l_partkey = g.p_partkey
+      |  WHERE g.finish_rank = 1
+      |)
+      |SELECT d.l_orderkey, d.l_linenumber, d.l_suppkey, d.l_partkey,
+      |       d.dropoff_zone, p.pickup_zone,
+      |       CASE WHEN CAST(d.l_shipdate AS TIME) >= TIME '06:00:00'
+      |             AND CAST(d.l_shipdate AS TIME) < TIME '12:00:00' THEN 'Morning'
+      |            WHEN CAST(d.l_shipdate AS TIME) >= TIME '12:00:00'
+      |             AND CAST(d.l_shipdate AS TIME) < TIME '18:00:00' THEN 'Noon'
+      |            WHEN CAST(d.l_shipdate AS TIME) >= TIME '18:00:00'
+      |             AND CAST(d.l_shipdate AS TIME) <= TIME '23:59:59' THEN 'Evening'
+      |            WHEN CAST(d.l_shipdate AS TIME) < TIME '06:00:00' THEN 'Night'
+      |       END AS daypart
+      |FROM doff d INNER JOIN pup p
+      |  ON d.l_orderkey = p.l_orderkey AND d.l_linenumber = p.l_linenumber
+      | AND d.l_suppkey = p.l_suppkey AND d.l_partkey = p.l_partkey
+      |ORDER BY d.l_orderkey, d.l_linenumber""".stripMargin
+
+  /** Bounded global rank: top-k via orderBy.limit (TakeOrderedAndProject —
+    * distributed partial top-k, no global sort) and RANK only over the ≤k
+    * surviving rows (single-partition window over ≤100 rows is free; the
+    * naive `RANK() OVER (ORDER BY cnt)` over unbounded data would
+    * single-partition the whole aggregate — SURVEY §7.4). RANK is
+    * prefix-determined, so ranking the deterministic top-k equals the
+    * global rank restricted to those rows. */
+  private def rankedTopK(df: DataFrame, cnt: String, k: Int,
+                         tieBreak: Seq[String]): DataFrame = {
+    val limited = df.orderBy(col(cnt).desc +: tieBreak.map(col): _*).limit(k)
+    limited.withColumn("popularity",
+      rank().over(Window.orderBy(col(cnt).desc)))
+  }
+
+  /** A1 + A2 + W2 + O1 + J4 — the flagship "most populars" query (ref
+    * `taxi_trips_etl.py:164-176`): three popularity aggregates (routes /
+    * dropoff hexes / pickup hexes), each `RANK() OVER (ORDER BY count(*)
+    * DESC)` + top-100, joined `USING(popularity)` twice (rank ties ⇒ row
+    * multiplication, faithful to the reference; README.md:51).
+    * h3 cells ≙ stringified part/supp keys. Tie-break columns are added to
+    * the LIMIT ordering (both engines) so the top-100 cut is
+    * deterministic; rank itself still ranks on count alone, like the
+    * reference. The reference's STRUCT route output is covered separately
+    * by `f7_struct` (flattened here: nested-hash canonicalization across
+    * engines is not part of the driver contract). */
+  private def topkPopularity(s: SparkSession, dir: String): DataFrame = {
+    val trips = tbl(s, dir, "lineitem")
+      .select(col("l_partkey").cast("string").as("h3_pickup"),
+        col("l_suppkey").cast("string").as("h3_dropoff"))
+
+    val routes = rankedTopK(
+      trips.groupBy("h3_pickup", "h3_dropoff")
+        .agg(count(lit(1)).as("route_count")),
+      "route_count", 100, Seq("h3_pickup", "h3_dropoff"))
+      .select(col("h3_pickup").as("route_pickup_hex"),
+        col("h3_dropoff").as("route_dropoff_hex"),
+        col("route_count"), col("popularity"))
+
+    val dropoffs = rankedTopK(
+      trips.groupBy("h3_dropoff").agg(count(lit(1)).as("dropoff_count")),
+      "dropoff_count", 100, Seq("h3_dropoff"))
+      .select(col("h3_dropoff").as("top_dropoff_hex"),
+        col("dropoff_count"), col("popularity"))
+
+    val pickups = rankedTopK(
+      trips.groupBy("h3_pickup").agg(count(lit(1)).as("pickup_count")),
+      "pickup_count", 100, Seq("h3_pickup"))
+      .select(col("h3_pickup").as("top_pickup_hex"),
+        col("pickup_count"), col("popularity"))
+
+    routes
+      .join(dropoffs, Seq("popularity"), "inner") // J4: USING(popularity)
+      .join(pickups, Seq("popularity"), "inner")
+      .orderBy("popularity", "route_pickup_hex", "route_dropoff_hex",
+        "top_dropoff_hex", "top_pickup_hex")
+  }
+
+  private val topkPopularitySql =
+    """WITH trips AS (
+      |  SELECT CAST(l_partkey AS VARCHAR) AS h3_pickup,
+      |         CAST(l_suppkey AS VARCHAR) AS h3_dropoff
+      |  FROM lineitem
+      |), routes AS (
+      |  SELECT h3_pickup AS route_pickup_hex, h3_dropoff AS route_dropoff_hex,
+      |         route_count, rank() OVER (ORDER BY route_count DESC) AS popularity
+      |  FROM (
+      |    SELECT h3_pickup, h3_dropoff, count(*) AS route_count
+      |    FROM trips GROUP BY h3_pickup, h3_dropoff
+      |    ORDER BY route_count DESC, h3_pickup, h3_dropoff LIMIT 100
+      |  )
+      |), dropoffs AS (
+      |  SELECT h3_dropoff AS top_dropoff_hex, dropoff_count,
+      |         rank() OVER (ORDER BY dropoff_count DESC) AS popularity
+      |  FROM (
+      |    SELECT h3_dropoff, count(*) AS dropoff_count
+      |    FROM trips GROUP BY h3_dropoff
+      |    ORDER BY dropoff_count DESC, h3_dropoff LIMIT 100
+      |  )
+      |), pickups AS (
+      |  SELECT h3_pickup AS top_pickup_hex, pickup_count,
+      |         rank() OVER (ORDER BY pickup_count DESC) AS popularity
+      |  FROM (
+      |    SELECT h3_pickup, count(*) AS pickup_count
+      |    FROM trips GROUP BY h3_pickup
+      |    ORDER BY pickup_count DESC, h3_pickup LIMIT 100
+      |  )
+      |)
+      |SELECT r.route_pickup_hex, r.route_dropoff_hex, r.route_count,
+      |       r.popularity, d.top_dropoff_hex, d.dropoff_count,
+      |       p.top_pickup_hex, p.pickup_count
+      |FROM routes r
+      |JOIN dropoffs d USING (popularity)
+      |JOIN pickups p USING (popularity)
+      |ORDER BY popularity, route_pickup_hex, route_dropoff_hex,
+      |         top_dropoff_hex, top_pickup_hex""".stripMargin
+
+  /** A1 — GROUP BY 2 keys + count(*) (ref `taxi_trips_etl.py:166-169`). */
+  private def groupcount2(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2 — GROUP BY 1 key + count(*) (ref `taxi_trips_etl.py:171-175`). */
+  private def groupcount1(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("zone"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("zone")
+
+  /** A3 + F8 + F9 + O2 — the dbt models `tripss` (ref `models/tripss.sql:
+    * 1-9`: date(), timestamp_diff MINUTE, amount projection) composed into
+    * `daily_trip_metrics` (ref `models/daily_trip_metrics.sql:1-3`:
+    * avg/sum × 2 measures GROUP BY date, ORDER BY date DESC).
+    * Double sums go through exact DECIMAL(18,2) accumulation with one
+    * final cast to double → order-independent bits, identical to the
+    * oracle regardless of shuffle/merge order. avg := exact_sum / count
+    * (same single division both engines), not a float-accumulating AVG. */
+  private def dailyMetrics(s: SparkSession, dir: String): DataFrame = {
+    val tripss = tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .select(
+        DateTimeF.toDateCol(col("o_orderdate")).as("pickup_date"),
+        DateTimeF.timestampDiffMinutes(col("l_shipdate"), col("o_orderdate"))
+          .as("drive_time"),
+        col("l_extendedprice").as("total_amount"))
+    val sumAmt = sum(col("total_amount").cast(DecimalType(18, 2)))
+      .cast("double")
+    tripss.groupBy(col("pickup_date").cast("string").as("pickup_date"))
+      .agg(
+        (sum("drive_time").cast("double") / count(lit(1)))
+          .as("avg_drive_time"),
+        sum("drive_time").as("total_drive_time"),
+        (sumAmt / count(lit(1))).as("avg_amount"),
+        sumAmt.as("sum_amount"))
+      .orderBy(col("pickup_date").desc)
+  }
+
+  private val dailyMetricsSql =
+    """WITH tripss AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS pickup_date,
+      |         CAST(trunc((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+      |                    / 60000.0) AS BIGINT) AS drive_time,
+      |         l_extendedprice AS total_amount
+      |  FROM lineitem INNER JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT CAST(pickup_date AS VARCHAR) AS pickup_date,
+      |       CAST(SUM(drive_time) AS DOUBLE) / COUNT(*) AS avg_drive_time,
+      |       CAST(SUM(drive_time) AS BIGINT) AS total_drive_time,
+      |       CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*) AS avg_amount,
+      |       CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_amount
+      |FROM tripss GROUP BY CAST(pickup_date AS VARCHAR)
+      |ORDER BY pickup_date DESC""".stripMargin
+
+  /** A4 + F10 — global count(1) (ref `models/trips_view.sql:1`). */
+  private def globalCount(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").agg(count(lit(1)).as("trip_count"))
+
+  /** O1 — ORDER BY … DESC LIMIT 100 top-k (ref `taxi_trips_etl.py:169`).
+    * Plans as TakeOrderedAndProject: per-partition heap top-k, then a
+    * single ≤100-row merge on the driver — no global sort at any SF. */
+  private def topkOrders(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(100)
+
+  /** F1 + F2 — EXTRACT(TIME) + daypart CASE (ref `enrichment_query.py:
+    * 4-10`) over the only fixture timestamps with intra-day spread.
+    * Faithful no-ELSE edge: sub-second times in (23:59:59, 24:00) → NULL.
+    * Spark compares microsecond-of-day; the oracle compares TIME (µs). */
+  private def daypartTime(s: SparkSession, dir: String): DataFrame =
+    graft.eventsTbl(s, dir)
+      .select(col("event_id"),
+        DateTimeF.timeOfDay(col("ts")).as("time_of_day"),
+        DateTimeF.daypart(col("ts")).as("daypart"))
+      .orderBy("event_id")
+
+  private val daypartTimeSql =
+    """SELECT event_id, strftime(ts, '%H:%M:%S') AS time_of_day,
+      |       CASE WHEN CAST(ts AS TIME) >= TIME '06:00:00'
+      |             AND CAST(ts AS TIME) < TIME '12:00:00' THEN 'Morning'
+      |            WHEN CAST(ts AS TIME) >= TIME '12:00:00'
+      |             AND CAST(ts AS TIME) < TIME '18:00:00' THEN 'Noon'
+      |            WHEN CAST(ts AS TIME) >= TIME '18:00:00'
+      |             AND CAST(ts AS TIME) <= TIME '23:59:59' THEN 'Evening'
+      |            WHEN CAST(ts AS TIME) < TIME '06:00:00' THEN 'Night'
+      |       END AS daypart
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** F7 — named STRUCT constructor (ref `taxi_trips_etl.py:166`). */
+  private def structRoute(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        struct(
+          col("l_partkey").cast("string").as("pickup_hexagons"),
+          col("l_suppkey").cast("string").as("dropoff_hexagons"))
+          .as("route"))
+      .orderBy(li.map(col): _*)
+
+  private val structRouteSql =
+    """SELECT l_orderkey, l_linenumber,
+      |       {'pickup_hexagons': CAST(l_partkey AS VARCHAR),
+      |        'dropoff_hexagons': CAST(l_suppkey AS VARCHAR)} AS route
+      |FROM lineitem WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** F9 — timestamp_diff(…, MINUTE) both signs: BigQuery truncates toward
+    * zero, incl. negatives (ref `models/tripss.sql:3`). */
+  private def tsdiffMinutes(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        DateTimeF.timestampDiffMinutes(col("l_shipdate"), col("o_orderdate"))
+          .as("diff_fwd"),
+        DateTimeF.timestampDiffMinutes(col("o_orderdate"), col("l_shipdate"))
+          .as("diff_rev"))
+      .orderBy(li.map(col): _*)
+
+  private val tsdiffMinutesSql =
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(trunc((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+      |                  / 60000.0) AS BIGINT) AS diff_fwd,
+      |       CAST(trunc((epoch_ms(o_orderdate) - epoch_ms(l_shipdate))
+      |                  / 60000.0) AS BIGINT) AS diff_rev
+      |FROM lineitem INNER JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "p1_select_star" -> QueryDef(selectStar,
+      Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+    "p2_normalize" -> QueryDef(normalizeKeep, Some(normalizeKeepSql),
+      bench = true),
+    "p3_normalize_inverted" -> QueryDef(normalizeReject,
+      Some(normalizeRejectSql)),
+    "p4_project_rename" -> QueryDef(projectRename, Some(
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |       l_quantity AS qty, l_extendedprice AS amount
+        |FROM lineitem ORDER BY order_id, line_no""".stripMargin)),
+    "p6_cte_chain" -> QueryDef(cteChain, Some(cteChainSql)),
+    "w1_rank_dedup" -> QueryDef(rankDedup, Some(rankDedupSql)),
+    "j_enrich_join_graph" -> QueryDef(enrichJoinGraph,
+      Some(enrichJoinGraphSql), bench = true),
+    "q_topk_popularity" -> QueryDef(topkPopularity, Some(topkPopularitySql),
+      bench = true),
+    "a1_groupcount_2key" -> QueryDef(groupcount2, Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    "a2_groupcount_1key" -> QueryDef(groupcount1, Some(
+      """SELECT l_suppkey AS zone, count(*) AS cnt FROM lineitem
+        |GROUP BY l_suppkey ORDER BY zone""".stripMargin)),
+    "a3_daily_metrics" -> QueryDef(dailyMetrics, Some(dailyMetricsSql),
+      bench = true),
+    "a4_global_count" -> QueryDef(globalCount,
+      Some("SELECT count(1) AS trip_count FROM lineitem")),
+    "o1_topk" -> QueryDef(topkOrders, Some(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin)),
+    "f_daypart_time" -> QueryDef(daypartTime, Some(daypartTimeSql)),
+    "f7_struct" -> QueryDef(structRoute, Some(structRouteSql)),
+    "f9_tsdiff_minutes" -> QueryDef(tsdiffMinutes, Some(tsdiffMinutesSql))
+  )
+}

@@ -1,0 +1,19 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine operator: the Spark plan builder, the equivalent
+  * DuckDB oracle SQL (None → driver records a weaker rows-only check), and
+  * whether it belongs in the headline bench set.
+  *
+  * Determinism contract (the driver hash-compares canonicalized output):
+  *  - every query ends in a total ORDER BY reproduced in the oracle SQL;
+  *  - double-valued aggregates are computed via exact decimal/integer sums
+  *    and a single final cast to double, so the bits are order-independent
+  *    and identical across engines;
+  *  - column names are aliased identically on both sides.
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)

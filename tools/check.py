@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Dev-only local replica of the driver's correctness gate.
+
+Runs DuckDB on oracle_sql.json over the sf parquet tables and compares
+against the Verify-dumped parquet results: row count, schema (column
+names), and a hash over column-name-sorted, row-sorted values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    rows = sorted(
+        tuple(cell(v) for v in row) for row in df.itertuples(index=False))
+    h = hashlib.md5()
+    for r in rows:
+        h.update(("\x1f".join(r) + "\x1e").encode())
+    return h.hexdigest()
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            odf = con.sql(sql).df()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            results[name] = "NO-SPARK-OUTPUT"
+            continue
+        sdf = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        ok_rows = len(odf) == len(sdf)
+        ok_cols = sorted(odf.columns) == sorted(sdf.columns)
+        ok_hash = ok_rows and ok_cols and canon(odf) == canon(sdf)
+        if ok_hash:
+            results[name] = f"OK ({len(sdf)} rows)"
+        else:
+            results[name] = (f"MISMATCH rows={ok_rows}({len(odf)}/{len(sdf)})"
+                             f" cols={ok_cols} hash={ok_hash}")
+            if ok_rows and ok_cols:
+                o, s = (odf.reindex(sorted(odf.columns), axis=1),
+                        sdf.reindex(sorted(sdf.columns), axis=1))
+                o = o.sort_values(list(o.columns)).reset_index(drop=True)
+                s = s.sort_values(list(s.columns)).reset_index(drop=True)
+                for c in o.columns:
+                    if list(map(str, o[c])) != list(map(str, s[c])):
+                        i = next(j for j in range(len(o))
+                                 if str(o[c][j]) != str(s[c][j]))
+                        results[name] += (f" col={c} row{i}:"
+                                          f" oracle={o[c][i]!r} spark={s[c][i]!r}")
+                        break
+    bad = 0
+    for name, r in sorted(results.items()):
+        flag = " " if r.startswith("OK") else "✗"
+        bad += 0 if r.startswith("OK") else 1
+        print(f"{flag} {name}: {r}")
+    print(f"\n{len(results)-bad}/{len(results)} queries match")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
