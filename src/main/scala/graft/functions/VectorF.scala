@@ -42,12 +42,18 @@ object VectorF {
     (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }
 
-  /** Sign bit of <v, plane_p> for a fixed-dimension vector column. The plane
-    * is inlined as a literal array → the dot product is codegen'd, no UDF. */
-  def planeSignBit(v: Column, p: Int, dim: Int): Column = {
-    val plane = array((0 until dim).map(d => lit(hyperplaneComponent(p, d))): _*)
-    when(dot(v, plane) >= 0, 1L).otherwise(0L)
-  }
+  /** The full plane-p vector for dimension `dim` (shared with the oracle
+    * SQL, which inlines the same values as a list literal). */
+  def plane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => hyperplaneComponent(p, d))
+
+  /** Sign bit of <v, plane_p> for a fixed-dimension vector column. The
+    * plane is ONE array literal (`typedlit`), not dim scalar literals —
+    * at embedding dims × 16 planes, per-element `lit`s would blow up the
+    * plan/constant pool; a single ArrayType literal keeps the codegen'd
+    * dot product and a constant-size plan. */
+  def planeSignBit(v: Column, p: Int, dim: Int): Column =
+    when(dot(v, typedlit(plane(p, dim))) >= 0, 1L).otherwise(0L)
 
   /** `nPlanes`-bit LSH bucket id for a vector column of dimension `dim`. */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =

@@ -1,0 +1,491 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tbl
+import graft.functions.{HashF, TextF, VectorF}
+
+/** Opaque media payload: the multimodal column contract (binary blob +
+  * typed metadata). Fixture has no real image/audio bytes, so `payload`
+  * carries the document's UTF-8 bytes; the decode step is a deterministic
+  * stub (see [[ExtQueries.multimodalFeatures]]). */
+final case class MediaBlob(doc_id: Long, payload: Array[Byte], mime: String)
+
+/** Output of the stubbed per-batch decode/feature-extract step. */
+final case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Int,
+                               n_tokens: Long)
+
+/** Training-data-pipeline operators (builder prompt "beyond the
+  * reference"): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis, and
+  * multimodal-column plumbing — over the `documents` / `embeddings`
+  * fixtures, each with a DuckDB oracle.
+  *
+  * Scale design notes (the 100 TB story, per operator):
+  *  - everything text-side is built from codegen'd higher-order array
+  *    functions — the scan stays in whole-stage codegen, no UDFs, no SerDe;
+  *  - near-dup candidate generation is always *bucketed* (LSH band join /
+  *    byte-band join), never all-pairs: shuffle keys are band values, so
+  *    work scales with collision volume, not n²;
+  *  - hashes are md5-prefix uint32s, engine-independent and reproducible
+  *    (HashF), so the oracle runs the same pipeline;
+  *  - brute-force cosine exists as the small-side baseline; the ANN
+  *    variant (bucket join) is the scale path.
+  */
+object ExtQueries {
+
+  private val K = 3 // word-shingle width shared with every oracle below
+
+  // ---- shared SQL fragments (keep in lockstep with TextF/HashF/VectorF) --
+
+  /** DuckDB: lowercase whitespace tokens of `text` (empty doc → []). */
+  private val sqlLowerToks =
+    """CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+      |     ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+
+  /** DuckDB: distinct k=3 word shingles from a `t` token-list column. */
+  private val sqlShingles =
+    "list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+
+  /** DuckDB: md5-prefix uint32 hash of column `c` (≡ HashF.tokenHash). */
+  private def sqlHash(c: String) = s"('0x'||substr(md5($c),1,8))::BIGINT"
+
+  private def sqlMinhash(i: Int): String = {
+    val (a, b) = HashF.MinhashSeeds(i)
+    s"min(($a*h+$b) % ${HashF.MinhashPrime}) AS h$i"
+  }
+
+  /** Spark: distinct-shingle explode of documents → (doc_id, h). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextF.distinctShingles(col("text"), K)).as("shingle"))
+      .select(col("doc_id"), HashF.tokenHash(col("shingle")).as("h"))
+
+  private val sqlShingleHashes =
+    s"""SELECT doc_id, ${sqlHash("shingle")} AS h FROM (
+       |  SELECT doc_id, unnest($sqlShingles) AS shingle
+       |  FROM (SELECT doc_id, $sqlLowerToks AS t FROM documents)
+       |  WHERE len(t) >= $K
+       |)""".stripMargin
+
+  // ------------------------------- text analysis -------------------------
+
+  /** Text quality/statistics scan: token count, stopword & punctuation
+    * ratios, heuristic quality score, marker-based language ID. One pass,
+    * zero shuffles, whole-stage codegen end-to-end. Ratios are single
+    * int/int IEEE divisions with the same expression tree as the oracle →
+    * bit-identical, no rounding fudge. */
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        TextF.tokenCount(col("text")).as("n_tokens"),
+        TextF.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextF.punctRatio(col("text")).as("punct_ratio"),
+        TextF.qualityScore(col("text")).as("quality"),
+        TextF.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  private val textStatsSql = {
+    val stop = TextF.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val markers = TextF.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }.toMap
+    def hits(lang: String) =
+      s"len(list_filter(lt, x -> list_contains(${markers(lang)}, x)))"
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $sqlLowerToks AS lt,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS t
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text, t, lt,
+       |         ${hits("en")} AS he, ${hits("de")} AS hg,
+       |         ${hits("es")} AS hs, ${hits("fr")} AS hf,
+       |         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+       |              AS DOUBLE) / CAST(nullif(length(text), 0) AS DOUBLE)
+       |           AS punct_ratio
+       |  FROM base
+       |)
+       |SELECT doc_id, len(t) AS n_tokens,
+       |       CAST(len(list_filter(lt, x -> list_contains($stop, x)))
+       |            AS DOUBLE) / CAST(nullif(len(lt), 0) AS DOUBLE)
+       |         AS stopword_ratio,
+       |       punct_ratio,
+       |       least(1.0, CAST(len(t) AS DOUBLE) / 100.0) * (1.0 - punct_ratio)
+       |         AS quality,
+       |       CASE WHEN text IS NULL THEN NULL
+       |            WHEN he >= hg AND he >= hs AND he >= hf THEN 'en'
+       |            WHEN hg >= hs AND hg >= hf THEN 'de'
+       |            WHEN hs >= hf THEN 'es'
+       |            ELSE 'fr' END AS lang_guess
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------- dedup ---------------------------------
+
+  /** Exact dedup by content fingerprint (md5 of whitespace-normalized
+    * lowercase text): groupBy fingerprint, keep min doc_id. Scale: one
+    * shuffle on the fingerprint — the canonical exact-dedup plan. */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.fingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fingerprint")
+
+  private val dedupExactSql =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |         AS fingerprint,
+      |       min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  /** MinHash signatures: 8 universal-hash minima over distinct k=3 word
+    * shingles. Scale: explode is scan-side (map-only); the single shuffle
+    * is the groupBy(doc_id) min-aggregation with map-side partials. */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    shingleHashes(s, dir)
+      .groupBy("doc_id")
+      .agg(
+        min(HashF.minhashHash(col("h"), HashF.MinhashSeeds.head._1,
+          HashF.MinhashSeeds.head._2)).as("h0"),
+        HashF.MinhashSeeds.zipWithIndex.tail.map { case ((a, b), i) =>
+          min(HashF.minhashHash(col("h"), a, b)).as(s"h$i")
+        }: _*)
+      .orderBy("doc_id")
+
+  private val minhashSignaturesSql =
+    s"""WITH hv AS ($sqlShingleHashes)
+       |SELECT doc_id, ${(0 until 8).map(sqlMinhash).mkString(",\n       ")}
+       |FROM hv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** MinHash-LSH near-dup candidates: 4 bands × 2 rows; docs sharing any
+    * band bucket become a candidate pair; est. Jaccard = matching
+    * signature fraction. Scale: the self-join key is (band, h_i, h_j) —
+    * a bucket join whose cost tracks collisions, not n²; the final
+    * signature re-join is by doc_id. */
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    val bands = (0 until 4).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        col(s"h${2 * b}").as("x"), col(s"h${2 * b + 1}").as("y"))
+    }.reduce(_ unionAll _)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"),
+      col("x"), col("y"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"),
+      col("x"), col("y"))
+    val cand = a.join(b, Seq("band", "x", "y"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until 8)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sa, col("doc_a") === col("a_doc_id"))
+      .join(sb, col("doc_b") === col("b_doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / 8.0).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashLshPairsSql = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, h${2 * b} AS x, h${2 * b + 1} AS y FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val matches = (0 until 8)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH hv AS ($sqlShingleHashes),
+       |sigs AS (
+       |  SELECT doc_id, ${(0 until 8).map(sqlMinhash).mkString(", ")}
+       |  FROM hv GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b, CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
+       |FROM cand c
+       |JOIN sigs sa ON c.doc_a = sa.doc_id
+       |JOIN sigs sb ON c.doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash fingerprints: 32-bit fingerprint from per-bit ±1 weight sums
+    * over distinct-token hashes. The 32 bit-sums are unrolled aggregate
+    * columns (not a 32× explode — at 100 TB that factor matters). */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextF.lowerTokens(col("text")))).as("w"))
+      .select(col("doc_id"), HashF.tokenHash(col("w")).as("h"))
+    val weightCols = (0 until HashF.SimhashBits)
+      .map(j => sum(HashF.simhashBitContrib(col("h"), j)).as(s"w$j"))
+    toks.groupBy("doc_id")
+      .agg(weightCols.head, weightCols.tail: _*)
+      .select(col("doc_id"),
+        HashF.simhashFromWeights(
+          (0 until HashF.SimhashBits).map(j => col(s"w$j"))).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val simhashCte = {
+    val ws = (0 until 32)
+      .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS w$j")
+      .mkString(", ")
+    val fp = (0 until 32)
+      .map(j => s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""hv AS (
+       |  SELECT doc_id, ${sqlHash("w")} AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct($sqlLowerToks)) AS w
+       |    FROM documents)
+       |), bits AS (
+       |  SELECT doc_id, $ws FROM hv GROUP BY doc_id
+       |), sim AS (
+       |  SELECT doc_id, $fp AS simhash FROM bits
+       |)""".stripMargin
+  }
+
+  private val simhashSql =
+    s"WITH $simhashCte SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+
+  /** SimHash near-dup pairs, hamming ≤ 3: candidates via byte-band
+    * bucketing (4 bands of 8 bits; pigeonhole — any pair within hamming 3
+    * shares ≥1 intact band), then exact hamming filter. Same
+    * bucketed-join scale shape as MinHash-LSH. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sims = simhash(s, dir)
+    val bands = (0 until 4).map { b =>
+      sims.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("byte"))
+    }.reduce(_ unionAll _)
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("band"), col("byte"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("band"), col("byte"))
+    a.join(b, Seq("band", "byte"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        HashF.hammingDist(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simhashPairsSql = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS byte FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $simhashCte,
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** True n-gram Jaccard near-dup pairs (≥ 0.1 over distinct k=3 word
+    * shingles): candidates from an inverted-index join on the shingle —
+    * only docs sharing ≥1 shingle are ever paired (25 pairs at sf0.01).
+    * Jaccard = |∩| / (|A|+|B|−|∩|), exact int math + one division. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.distinctShingles(col("text"), K).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"),
+        first("nb").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramJaccardPairsSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, len(shl) AS n, unnest(shl) AS shingle FROM (
+       |    SELECT doc_id, $sqlShingles AS shl
+       |    FROM (SELECT doc_id, $sqlLowerToks AS t FROM documents)
+       |    WHERE len(t) >= $K)
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+       |         any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+       |         AS jaccard
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------- similarity search -------------------------
+
+  private val Dim = 64 // embeddings fixture dimension
+  private val NPlanes = 8
+  private val NQueries = 10 // query set: vec_id < 10
+
+  private def embDouble: Column = col("embedding").cast("array<double>")
+
+  /** Rounded cosine: both engines compute the identical sequential double
+    * fold; round(…, 6) + vec_id tie-break makes top-k selection robust to
+    * any last-bit divergence. */
+  private def simCol(a: Column, b: Column): Column =
+    round(VectorF.cosine(a, b), 6)
+
+  /** Brute-force cosine top-5 per query vector (vec_id < 10) — the
+    * exact-answer baseline. Scale: broadcast the bounded query set against
+    * the full corpus (map-side nested loop, no shuffle of the corpus);
+    * per-group top-k via window over query_id partitions. */
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), embDouble.as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), embDouble.as("cv"))
+    val rn = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id")))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        simCol(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val cosineTopKSql =
+    s"""SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                      CAST(c.embedding AS DOUBLE[])),
+       |               6) AS sim,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY round(list_cosine_similarity(
+       |                              CAST(q.embedding AS DOUBLE[]),
+       |                              CAST(c.embedding AS DOUBLE[])), 6) DESC,
+       |                            c.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |) WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** LSH-bucketed ANN: 8 random-hyperplane sign bits → bucket id; search
+    * only within the query's bucket (top-3). Scale path for similarity
+    * search: bucket computation is scan-side; the join shuffles on the
+    * bucket id, so cost tracks bucket occupancy, not n². */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), embDouble.as("v"))
+      .withColumn("bucket",
+        VectorF.lshBucket(col("v"), NPlanes, Dim))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("bucket"))
+    val rn = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id")))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        simCol(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= 3)
+      .orderBy("query_id", "rn")
+  }
+
+  private val annLshSql = {
+    def planeLit(p: Int) =
+      VectorF.plane(p, Dim).map(d => s"$d").mkString("[", ",", "]")
+    val bucket = (0 until NPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeLit(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+       |)
+       |SELECT query_id, neighbor_id, bucket, sim, rn FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+       |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                      CAST(c.embedding AS DOUBLE[])),
+       |               6) AS sim,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY round(list_cosine_similarity(
+       |                              CAST(q.embedding AS DOUBLE[]),
+       |                              CAST(c.embedding AS DOUBLE[])), 6) DESC,
+       |                            c.vec_id) AS rn
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  }
+
+  // ------------------------------ multimodal -----------------------------
+
+  /** Multimodal-column plumbing: media as an opaque `binary` column with
+    * typed metadata, processed by a per-partition batch "decode +
+    * feature-extract" step (the real-world slot for image/audio decoding;
+    * this container has no media libs, so the decode is a DETERMINISTIC
+    * STUB over the payload bytes — the Spark-side contract (schema,
+    * typed Dataset, partition-batch shape) is real and oracle-checked).
+    * Scale: mapPartitions keeps the decode batched per input split; the
+    * binary column never shuffles. */
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"))
+      .as[MediaBlob]
+    blobs.mapPartitions { batch =>
+      batch.map { m =>
+        // STUB decode: real deployments decode image/audio here.
+        val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+        val toks = text.trim.split("\\s+").count(_.nonEmpty)
+        MediaFeatures(m.doc_id, m.payload.length.toLong,
+          if (m.payload.isEmpty) -1 else m.payload(0) & 0xff, toks.toLong)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val multimodalFeaturesSql =
+    """SELECT doc_id, strlen(text) AS n_bytes,
+      |       ascii(substr(text, 1, 1)) AS first_byte,
+      |       CASE WHEN length(trim(text)) = 0 THEN 0
+      |            ELSE len(string_split_regex(trim(text), '\s+')) END
+      |         AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "x_text_stats" -> QueryDef(textStats, Some(textStatsSql), bench = true),
+    "x_dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
+    "x_minhash_signatures" -> QueryDef(minhashSignatures,
+      Some(minhashSignaturesSql)),
+    "x_minhash_lsh_pairs" -> QueryDef(minhashLshPairs,
+      Some(minhashLshPairsSql), bench = true),
+    "x_simhash" -> QueryDef(simhash, Some(simhashSql)),
+    "x_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql)),
+    "x_ngram_jaccard_pairs" -> QueryDef(ngramJaccardPairs,
+      Some(ngramJaccardPairsSql)),
+    "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql)),
+    "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true),
+    "x_multimodal_features" -> QueryDef(multimodalFeatures,
+      Some(multimodalFeaturesSql))
+  )
+}
