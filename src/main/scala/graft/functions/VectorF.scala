@@ -39,7 +39,8 @@ object VectorF {
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    // z>>>11 is a 53-bit value; scale by 2^53 → [0,1) → affine to [-1,1)
+    (z >>> 11).toDouble / 9007199254740992.0 * 2.0 - 1.0 // 2^53
   }
 
   /** The full plane-p vector for dimension `dim` (shared with the oracle

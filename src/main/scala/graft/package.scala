@@ -26,7 +26,9 @@ package object graft {
     import org.apache.spark.sql.types.LongType
     val df = tbl(spark, sfDir, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer `div`, NOT `/`: epoch-nanos exceed 2^53, so double
+      // division would round and drift the value by ±1 µs
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df.withColumn("ts", col("ts").cast("timestamp"))
   }
 }

@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Catalog
+import graft.functions.DateTimeF
+
+/** One pipeline stage: returns false to short-circuit the rest (C2). */
+final case class Stage(name: String, run: Catalog => Boolean)
+
+/** Linear short-circuiting stage runner (SURVEY.md §2.11 C1–C3).
+  *
+  * Reference behavior: Airflow chains
+  * `storage_to_bq >> normalization >> enrichment >> final_result`
+  * (`taxi_trips_etl.py:238`) with a ShortCircuitOperator gate on stage 1
+  * (`taxi_trips_etl.py:199-207`) and per-stage input-existence no-ops
+  * (`taxi_trips_etl.py:99,128`). We implement the *intended* gate
+  * semantics — true iff ≥1 row loaded — not the reference's buggy
+  * last-blob-only flag (C2 note in SURVEY §2.11).
+  */
+object Runner {
+  /** Runs stages in order; returns names of stages that ran. */
+  def run(catalog: Catalog, stages: Seq[Stage]): Seq[String] = {
+    val ran = Seq.newBuilder[String]
+    var go = true
+    stages.foreach { st =>
+      if (go) {
+        ran += st.name
+        go = st.run(catalog)
+        if (!go)
+          catalog.spark.sparkContext.setJobDescription(
+            s"pipeline short-circuited after ${st.name}")
+      }
+    }
+    ran.result()
+  }
+}
+
+/** The reference's 4-stage taxi ETL re-expressed over the `events` fixture
+  * (trips ≙ events, zones ≙ nation, ds-partitioned ingest ≙ date-path
+  * parquet dirs). Every stage writes through the [[Catalog]] exactly like
+  * the reference's BigQuery-table plumbing:
+  *
+  *  1. ingest    — date-path read (S1) + file-prefix glob (S2) →
+  *                 `temp_trips` (S5); gate: any rows? (C2)
+  *  2. normalize — keep-good filter (P2 shape) → `normalized_trips`
+  *                 (WRITE_TRUNCATE, S6), drop `temp_trips` (S8)
+  *  3. enrich    — W1 zone dedup + J1/J2 left joins + finish_rank=1 (P5) +
+  *                 J3 4-key rejoin + daypart (F2) → `trips_{yyyyMMdd}` (S9),
+  *                 drop `normalized_trips`
+  *  4. final     — A1/A2 + bounded-rank top-100 (W2/O1) + USING(popularity)
+  *                 ×2 (J4) → `most_populars_{yyyyMMdd}`
+  *
+  * Scale: each stage's plan is the scale-safe variant documented on the
+  * corresponding CoreQueries operator (bucketed joins, bounded windows);
+  * the inter-stage parquet materialization mirrors the reference's
+  * observable intermediate tables (SURVEY §4) — fusing the stages into one
+  * plan would be faster but intentionally changes observability.
+  */
+object TaxiPipeline {
+
+  /** `ds` (e.g. "2024-01-05") → "yyyyMMdd" table suffix (F11). */
+  def dsNoDash(ds: String): String = ds.replace("-", "")
+
+  def ingest(srcDir: String, ds: String): Stage = Stage("ingest", { c =>
+    val Array(y, m, d) = ds.split("-")
+    // S1 date-path prefix + S2 file-name prefix filter (FILE_PREFIX≙part-)
+    val day = c.spark.read
+      .option("pathGlobFilter", "part-*")
+      .parquet(s"$srcDir/$y/$m/$d")
+    c.save("temp_trips", day)
+    c.load("temp_trips").limit(1).count() > 0 // C2: any data this day?
+  })
+
+  def normalize: Stage = Stage("normalize", { c =>
+    if (!c.exists("temp_trips")) { // C3 existence gate
+      println("[pipeline] temp_trips missing; skipping normalize"); false
+    } else {
+      val df = c.load("temp_trips").filter(
+        col("event_type") =!= "error" &&
+          col("value") =!= 0 && col("value").isNotNull &&
+          col("user_id").isNotNull)
+      c.save("normalized_trips", df)
+      c.drop("temp_trips")
+      true
+    }
+  })
+
+  def enrich(spark: SparkSession, sfDir: String, ds: String): Stage =
+    Stage("enrich", { c =>
+      if (!c.exists("normalized_trips")) {
+        println("[pipeline] normalized_trips missing; skipping enrich"); false
+      } else {
+        val trips = c.load("normalized_trips")
+          .withColumn("pickup_zone_id", col("event_id") % 25)
+          .withColumn("dropoff_zone_id", col("user_id") % 25)
+        val zones = graft.tbl(spark, sfDir, "nation")
+          .select(col("n_nationkey"), col("n_name"),
+            rank().over(Window.partitionBy("n_nationkey")
+              .orderBy(expr("octet_length(n_name)").desc)).as("finish_rank"))
+        val keys = Seq("event_id", "user_id", "pickup_zone_id",
+          "dropoff_zone_id")
+        val doff = trips
+          .join(zones, trips("dropoff_zone_id") === zones("n_nationkey"),
+            "left")
+          .filter(col("finish_rank") === 1)
+          .select(keys.map(col) :+ col("ts") :+
+            col("n_name").as("dropoff_zone"): _*)
+        val pup = trips
+          .join(zones, trips("pickup_zone_id") === zones("n_nationkey"),
+            "left")
+          .filter(col("finish_rank") === 1)
+          .select(keys.map(col) :+ col("n_name").as("pickup_zone"): _*)
+        val enriched = doff.join(pup, keys, "inner")
+          .select(col("event_id"), col("user_id"),
+            col("pickup_zone"), col("dropoff_zone"),
+            DateTimeF.daypart(col("ts")).as("daypart"))
+        c.save(s"trips_${dsNoDash(ds)}", enriched)
+        c.drop("normalized_trips")
+        true
+      }
+    })
+
+  def finalResult(ds: String): Stage = Stage("final_result", { c =>
+    val in = s"trips_${dsNoDash(ds)}"
+    if (!c.exists(in)) {
+      println(s"[pipeline] $in missing; skipping final_result"); false
+    } else {
+      val trips = c.load(in)
+      def topRanked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
+        df.orderBy(col(cnt).desc +: tie.map(col): _*).limit(100)
+          .withColumn("popularity", rank().over(Window.orderBy(col(cnt).desc)))
+      val routes = topRanked(
+        trips.groupBy("pickup_zone", "dropoff_zone")
+          .agg(count(lit(1)).as("route_count")),
+        "route_count", Seq("pickup_zone", "dropoff_zone"))
+        .select(col("pickup_zone").as("route_pickup"),
+          col("dropoff_zone").as("route_dropoff"),
+          col("route_count"), col("popularity"))
+      val dropoffs = topRanked(
+        trips.groupBy("dropoff_zone").agg(count(lit(1)).as("dropoff_count")),
+        "dropoff_count", Seq("dropoff_zone"))
+        .select(col("dropoff_zone").as("top_dropoff"),
+          col("dropoff_count"), col("popularity"))
+      val pickups = topRanked(
+        trips.groupBy("pickup_zone").agg(count(lit(1)).as("pickup_count")),
+        "pickup_count", Seq("pickup_zone"))
+        .select(col("pickup_zone").as("top_pickup"),
+          col("pickup_count"), col("popularity"))
+      val result = routes
+        .join(dropoffs, Seq("popularity"), "inner")
+        .join(pickups, Seq("popularity"), "inner")
+      c.save(s"most_populars_${dsNoDash(ds)}", result)
+      true
+    }
+  })
+
+  /** Build the 4-stage chain for one execution date (C4: `--ds`). */
+  def stages(spark: SparkSession, sfDir: String, srcDir: String,
+             ds: String): Seq[Stage] =
+    Seq(ingest(srcDir, ds), normalize, enrich(spark, sfDir, ds),
+      finalResult(ds))
+}

@@ -167,7 +167,12 @@ object ExtQueries {
     * a bucket join whose cost tracks collisions, not n²; the final
     * signature re-join is by doc_id. */
   private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(s, dir)
+    // Materialize signatures once: the band fan-out + both sides of the
+    // candidate join reuse them, and without a cut Spark would re-derive
+    // the full shingle→hash→min pipeline per branch (6× recompute and a
+    // janino-compiled mega-plan). At scale this is a real table write —
+    // signatures ARE the dedup index.
+    val sigs = minhashSignatures(s, dir).localCheckpoint()
     val bands = (0 until 4).map { b =>
       sigs.select(col("doc_id"), lit(b).as("band"),
         col(s"h${2 * b}").as("x"), col(s"h${2 * b + 1}").as("y"))
@@ -301,10 +306,14 @@ object ExtQueries {
     * only docs sharing ≥1 shingle are ever paired (25 pairs at sf0.01).
     * Jaccard = |∩| / (|A|+|B|−|∩|), exact int math + one division. */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // Materialized once (both sides of the inverted-index self-join);
+    // the join's cost is Σ_shingle n_docs² — data-dependent, so don't
+    // also pay recompute per side.
     val sh = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.distinctShingles(col("text"), K).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
+      .localCheckpoint()
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("na"),
       col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n").as("nb"),

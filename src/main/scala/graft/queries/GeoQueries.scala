@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tbl
+import graft.functions.GeoF
+
+/** Geo enrichment operators (SURVEY.md §2.8 F3–F6) over synthetic zone
+  * geometries built from `nation` (the fixtures carry no WKT, so each
+  * query *constructs* a deterministic polygon per zone in-plan, then
+  * exercises the real parse → centroid → hex-index path on it).
+  *
+  * Zone k (k = n_nationkey ∈ [0,25)): a 0.5°×0.5° square centered at
+  * lat = k/2 − 6, lng = 3k/2 − 18 — quarter-degree grid corners keep all
+  * shoelace arithmetic exact in binary floating point, so the centroid is
+  * bit-exactly the analytic center and the oracle can state it directly.
+  */
+object GeoQueries {
+
+  private def latOf(k: Int): Double = k * 0.5 - 6.0
+  private def lngOf(k: Int): Double = k * 1.5 - 18.0
+
+  private def zonesWkt(s: SparkSession, dir: String): DataFrame = {
+    val lat0 = col("n_nationkey") * 0.5 - 6.0
+    val lng0 = col("n_nationkey") * 1.5 - 18.0
+    def pt(lng: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+      concat(lng.cast("string"), lit(" "), lat.cast("string"))
+    tbl(s, dir, "nation").select(
+      col("n_nationkey").as("zone_id"),
+      concat(lit("POLYGON(("),
+        pt(lng0 - 0.25, lat0 - 0.25), lit(", "),
+        pt(lng0 + 0.25, lat0 - 0.25), lit(", "),
+        pt(lng0 + 0.25, lat0 + 0.25), lit(", "),
+        pt(lng0 - 0.25, lat0 + 0.25), lit(", "),
+        pt(lng0 - 0.25, lat0 - 0.25), lit("))")).as("zone_geom"))
+  }
+
+  /** F3 + F5 — ST_ASTEXT (identity on WKT) and ST_CENTROID (ref
+    * `enrichment_query.py:10,17`): parse each zone's WKT and compute the
+    * planar area-weighted centroid. The quarter-degree construction makes
+    * the result analytically exact, which the oracle states directly. */
+  private def wktCentroid(s: SparkSession, dir: String): DataFrame =
+    zonesWkt(s, dir)
+      .select(col("zone_id"),
+        round(GeoF.centroidLng(GeoF.stAsText(col("zone_geom"))), 6)
+          .as("c_lng"),
+        round(GeoF.centroidLat(GeoF.stAsText(col("zone_geom"))), 6)
+          .as("c_lat"))
+      .orderBy("zone_id")
+
+  private val wktCentroidSql =
+    """SELECT n_nationkey AS zone_id,
+      |       round(n_nationkey * 1.5 - 18.0, 6) AS c_lng,
+      |       round(n_nationkey * 0.5 - 6.0, 6) AS c_lat
+      |FROM nation ORDER BY zone_id""".stripMargin
+
+  /** F6 — H3_FROMGEOGPOINT(ST_CENTROID(geom), 9) (ref
+    * `enrichment_query.py:10,17`): centroid → res-9 hex cell id, the full
+    * enrichment geo path. The oracle is generated from the Scala mirror
+    * of the same cell function ([[GeoF.hexCellScala]]) — a genuine
+    * cross-check of the codegen'd Column math against an independent
+    * implementation (DuckDB has no offline H3; see GeoF scaladoc for the
+    * carto-H3 numbering divergence). */
+  private def hexIndex(s: SparkSession, dir: String): DataFrame =
+    zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.hexCell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 9).as("h3_9"))
+      .orderBy("zone_id")
+
+  private val hexIndexSql = {
+    val rows = (0 until 25)
+      .map(k => s"($k, '${GeoF.hexCellScala(latOf(k), lngOf(k), 9)}')")
+      .mkString(", ")
+    s"""SELECT t.zone_id, t.h3_9
+       |FROM (VALUES $rows) AS t(zone_id, h3_9)
+       |JOIN nation ON t.zone_id = n_nationkey
+       |ORDER BY zone_id""".stripMargin
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "f5_wkt_centroid" -> QueryDef(wktCentroid, Some(wktCentroidSql)),
+    "f6_hex_index" -> QueryDef(hexIndex, Some(hexIndexSql))
+  )
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{eventsTbl, tbl}
+import graft.core.Catalog
+import graft.pipeline.{Runner, TaxiPipeline}
+
+/** Source/sink/catalog operators (SURVEY.md §2.1) and the 4-stage pipeline
+  * (§2.11), exercised end-to-end through real file layouts: queries here
+  * first *produce* the reference's storage shapes (date-path parquet dirs,
+  * header CSVs, a warehouse of named tables) under `target/qtmp`, then
+  * read them back the way the reference reads GCS/BigQuery, and the
+  * oracle recomputes the same result straight from the fixtures.
+  */
+object IngestQueries {
+
+  private def qtmp(name: String): String =
+    s"${sys.props("user.dir")}/target/qtmp/$name"
+
+  /** The ingest day every datepath/pipeline query uses (exists at every
+    * fixture SF: events span 2024-01). */
+  private val Ds = "2024-01-05"
+
+  private def writeDay(s: SparkSession, dir: String, base: String,
+                       ds: String): Unit = {
+    val Array(y, m, d) = ds.split("-")
+    eventsTbl(s, dir)
+      .filter(to_date(col("ts")) === lit(ds).cast("date"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/$y/$m/$d")
+  }
+
+  /** S1 + S2 — date-path-prefix listing and file-name-prefix filtering
+    * (ref `taxi_trips_etl.py:28-35`: `prefix='YYYY/MM/DD'`,
+    * `FILE_PREFIX='000'`): lay `events` out as `base/YYYY/MM/DD/part-*`
+    * and read exactly one day back via path + `pathGlobFilter`.
+    * Scale: path-prefix selection IS partition pruning — only the chosen
+    * day's files are ever listed/opened; the glob prunes at file-listing
+    * time, before any reads. */
+  private def datepathGlob(s: SparkSession, dir: String): DataFrame = {
+    val base = qtmp("datepath")
+    writeDay(s, dir, base, Ds)
+    writeDay(s, dir, base, "2024-01-06") // decoy day that must NOT be read
+    val Array(y, m, d) = Ds.split("-")
+    s.read.option("pathGlobFilter", "part-*").parquet(s"$base/$y/$m/$d")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  private val datepathGlobSql =
+    s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+       |FROM events WHERE CAST(ts AS DATE) = DATE '$Ds'
+       |ORDER BY event_id""".stripMargin
+
+  /** S4 — CSV load with header skip + schema inference (ref
+    * `taxi_trips_etl.py:43-59`): round-trip `nation` through a header CSV
+    * and read it back with `header` + `inferSchema`. */
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = qtmp("csv/nation")
+    tbl(s, dir, "nation").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+      .orderBy("n_nationkey")
+  }
+
+  /** S5–S8 + S10/S11 — catalog lifecycle: truncate-then-append load,
+    * existence probes, drop, temp-view registration (ref
+    * `taxi_trips_etl.py:32-40,77-80,88-93,112`). The probe outcomes ride
+    * along as a literal column so the oracle can check them. */
+  private def catalogLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s, qtmp("wh_lifecycle"))
+    val region = tbl(s, dir, "region")
+    cat.drop("region_t")
+    cat.save("region_t", region.filter(col("r_regionkey") < 3)) // S5 truncate
+    cat.append("region_t", region.filter(col("r_regionkey") >= 3)) // append
+    cat.save("scratch", region.limit(1)) // S6 CTAS
+    val existed = cat.exists("region_t") && cat.exists("scratch") // S7
+    cat.drop("scratch") // S8
+    val dropped = !cat.exists("scratch")
+    cat.view("region_t") // S10/S11 logical-name registration
+    s.table("region_t")
+      .select(col("r_regionkey"), col("r_name"))
+      .withColumn("probe_ok", lit(existed && dropped))
+      .orderBy("r_regionkey")
+  }
+
+  private val catalogLifecycleSql =
+    """SELECT r_regionkey, r_name, true AS probe_ok
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
+  /** C1–C4 + S5–S9 — the full 4-stage reference pipeline (ingest →
+    * normalize → enrich → final_result) through the Catalog with
+    * date-suffixed outputs, gated and short-circuited like the DAG
+    * (`taxi_trips_etl.py:199-238`); see [[graft.pipeline.TaxiPipeline]].
+    * The oracle recomputes all four stages as one SQL pipeline. */
+  private def pipelineE2E(s: SparkSession, dir: String): DataFrame = {
+    val base = qtmp("pipeline")
+    writeDay(s, dir, s"$base/src", Ds)
+    val cat = new Catalog(s, s"$base/wh")
+    val ran = Runner.run(cat, TaxiPipeline.stages(s, dir, s"$base/src", Ds))
+    require(ran.size == 4, s"pipeline short-circuited: ran only $ran")
+    cat.load(s"most_populars_${TaxiPipeline.dsNoDash(Ds)}")
+      .orderBy("popularity", "route_pickup", "route_dropoff",
+        "top_dropoff", "top_pickup")
+  }
+
+  private val pipelineE2ESql =
+    s"""WITH day AS (
+       |  SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '$Ds'
+       |), norm AS (
+       |  SELECT * FROM day
+       |  WHERE event_type != 'error' AND value != 0 AND value IS NOT NULL
+       |    AND user_id IS NOT NULL
+       |), zones AS (
+       |  SELECT n_nationkey, n_name,
+       |         rank() OVER (PARTITION BY n_nationkey
+       |                      ORDER BY strlen(n_name) DESC) AS finish_rank
+       |  FROM nation
+       |), t AS (
+       |  SELECT event_id, user_id, event_id % 25 AS pickup_zone_id,
+       |         user_id % 25 AS dropoff_zone_id, ts
+       |  FROM norm
+       |), doff AS (
+       |  SELECT t.event_id, t.user_id, t.pickup_zone_id, t.dropoff_zone_id,
+       |         t.ts, z.n_name AS dropoff_zone
+       |  FROM t LEFT JOIN zones z ON t.dropoff_zone_id = z.n_nationkey
+       |  WHERE z.finish_rank = 1
+       |), pup AS (
+       |  SELECT t.event_id, t.user_id, t.pickup_zone_id, t.dropoff_zone_id,
+       |         z.n_name AS pickup_zone
+       |  FROM t LEFT JOIN zones z ON t.pickup_zone_id = z.n_nationkey
+       |  WHERE z.finish_rank = 1
+       |), enriched AS (
+       |  SELECT p.pickup_zone, d.dropoff_zone
+       |  FROM doff d JOIN pup p
+       |    ON d.event_id = p.event_id AND d.user_id = p.user_id
+       |   AND d.pickup_zone_id = p.pickup_zone_id
+       |   AND d.dropoff_zone_id = p.dropoff_zone_id
+       |), routes AS (
+       |  SELECT pickup_zone AS route_pickup, dropoff_zone AS route_dropoff,
+       |         route_count, rank() OVER (ORDER BY route_count DESC)
+       |           AS popularity
+       |  FROM (
+       |    SELECT pickup_zone, dropoff_zone, count(*) AS route_count
+       |    FROM enriched GROUP BY pickup_zone, dropoff_zone
+       |    ORDER BY route_count DESC, pickup_zone, dropoff_zone LIMIT 100
+       |  )
+       |), dropoffs AS (
+       |  SELECT dropoff_zone AS top_dropoff, dropoff_count,
+       |         rank() OVER (ORDER BY dropoff_count DESC) AS popularity
+       |  FROM (
+       |    SELECT dropoff_zone, count(*) AS dropoff_count
+       |    FROM enriched GROUP BY dropoff_zone
+       |    ORDER BY dropoff_count DESC, dropoff_zone LIMIT 100
+       |  )
+       |), pickups AS (
+       |  SELECT pickup_zone AS top_pickup, pickup_count,
+       |         rank() OVER (ORDER BY pickup_count DESC) AS popularity
+       |  FROM (
+       |    SELECT pickup_zone, count(*) AS pickup_count
+       |    FROM enriched GROUP BY pickup_zone
+       |    ORDER BY pickup_count DESC, pickup_zone LIMIT 100
+       |  )
+       |)
+       |SELECT r.route_pickup, r.route_dropoff, r.route_count, r.popularity,
+       |       d.top_dropoff, d.dropoff_count, p.top_pickup, p.pickup_count
+       |FROM routes r
+       |JOIN dropoffs d USING (popularity)
+       |JOIN pickups p USING (popularity)
+       |ORDER BY popularity, route_pickup, route_dropoff, top_dropoff,
+       |         top_pickup""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "s1_s2_datepath_glob" -> QueryDef(datepathGlob, Some(datepathGlobSql)),
+    "s4_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(
+      "SELECT * FROM nation ORDER BY n_nationkey")),
+    "s5_catalog_lifecycle" -> QueryDef(catalogLifecycle,
+      Some(catalogLifecycleSql)),
+    "c_pipeline_e2e" -> QueryDef(pipelineE2E, Some(pipelineE2ESql),
+      bench = true)
+  )
+}

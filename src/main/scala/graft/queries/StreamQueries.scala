@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.eventsTbl
+import graft.streaming.StreamIngest
+
+/** Streaming operators registered as synchronous queries: each runs a
+  * real Structured Streaming job with `Trigger.AvailableNow` (drain
+  * pending input, then stop) so the result is deterministic and the
+  * DuckDB oracle can state the equivalent batch answer — the streaming /
+  * batch unification Spark promises, checked. */
+object StreamQueries {
+
+  private def qtmp(name: String): String =
+    s"${sys.props("user.dir")}/target/qtmp/stream/$name"
+
+  private def freshDir(p: String): String = {
+    val dir = new java.io.File(p)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete()
+    }
+    if (dir.exists()) del(dir)
+    dir.mkdirs()
+    p
+  }
+
+  /** File-source streaming ingest (S1's streaming twin): events land as
+    * parquet files, the stream drains them into an append table, and the
+    * result must equal the batch read — counted per event_type. */
+  private def streamIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("ingest"))
+    eventsTbl(s, dir).repartition(8)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val ingested = StreamIngest.ingestAvailableNow(
+      s, s"$base/src", s"$base/dest", s"$base/ckpt")
+    ingested.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val streamIngestSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Watermarked tumbling-window aggregation, drained synchronously:
+    * events per (UTC day, type). Oracle: the equivalent batch GROUP BY. */
+  private def streamWindowCounts(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("window"))
+    eventsTbl(s, dir).repartition(4)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = s.read.parquet(s"$base/src").schema
+    val stream = s.readStream.schema(schema).parquet(s"$base/src")
+    val q = StreamIngest.dailyTypeCounts(stream)
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_window")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_window").orderBy("day", "event_type")
+  }
+
+  private val streamWindowCountsSql =
+    """SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+      |       event_type, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "st_stream_ingest" -> QueryDef(streamIngest, Some(streamIngestSql)),
+    "st_stream_window" -> QueryDef(streamWindowCounts,
+      Some(streamWindowCountsSql))
+  )
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("empty and whitespace-only docs tokenize to an empty array") {
+    val r = Seq("", "   ", "a b", " a  b ").toDF("text")
+      .select(TextF.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(r === Seq(0, 0, 2, 2))
+  }
+
+  test("stopwordRatio/punctRatio are NULL (not NaN/∞) for empty docs") {
+    val r = Seq("").toDF("text")
+      .select(TextF.stopwordRatio(col("text")),
+        TextF.punctRatio(col("text")))
+      .as[(Option[Double], Option[Double])].head()
+    assert(r === (None, None))
+  }
+
+  test("punctRatio counts non-alnum non-space chars") {
+    val r = Seq("ab, cd!").toDF("text")
+      .select(TextF.punctRatio(col("text"))).as[Double].head()
+    assert(r === 2.0 / 7.0)
+  }
+
+  test("langId: NULL text → NULL; marker argmax with fixed priority") {
+    val r = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, "the cat and the dog is here"),
+      (3L, "der hund und die katze ist da"),
+      (4L, "el perro y la casa es grande"))
+      .toDF("id", "text")
+      .select(TextF.langId(col("text"))).as[Option[String]].collect().toSeq
+    assert(r === Seq(None, Some("en"), Some("de"), Some("es")))
+  }
+
+  test("fingerprint is whitespace/case-insensitive content identity") {
+    val r = Seq("Hello  World", "hello world", "hello worlds").toDF("text")
+      .select(TextF.fingerprint(col("text"))).as[String].collect().toSeq
+    assert(r(0) === r(1))
+    assert(r(0) !== r(2))
+  }
+
+  test("wordShingles: k-gram count and short-doc guard") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val r = df.select(size(TextF.wordShingles(col("text"), 3)))
+      .as[Int].collect().toSeq
+    assert(r === Seq(2, 0)) // "a b c","b c d"; <k tokens → empty
+    val first = df.limit(1)
+      .select(TextF.wordShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(first === Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Fixture-level invariants over the registered queries (sf0.001). */
+class QuerySpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("P2 ∪ P3 partitions lineitem: keep + reject = total, disjoint") {
+    val total = graft.tbl(spark, sf, "lineitem").count()
+    val keep = run("p2_normalize").count()
+    val reject = run("p3_normalize_inverted").count()
+    assert(keep + reject === total)
+    assert(keep > 0 && reject > 0)
+  }
+
+  test("every registered query with an oracle returns a stable schema") {
+    // Plans must at least analyze at sf0.001; execution is Verify's job.
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.fieldNames.nonEmpty, name)
+    }
+  }
+
+  test("topk popularity: rank ties multiply USING-join rows (J4 fidelity)") {
+    val df = run("q_topk_popularity")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // popularity is rank-valued: values may repeat (ties), never exceed 100
+    val pops = rows.map(_.getAs[Int]("popularity"))
+    assert(pops.forall(p => p >= 1 && p <= 100))
+  }
+
+  test("minhash est_jaccard is consistent with true jaccard for near-dups") {
+    val est = run("x_minhash_lsh_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = run("x_ngram_jaccard_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every very-high-jaccard pair must be surfaced by some LSH band
+    val high = truth.filter(_._2 >= 0.9).keySet
+    assert(high.subsetOf(est.keySet),
+      s"missed near-dups: ${high -- est.keySet}")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class StreamSpec extends SparkSpec {
+
+  test("mapGroupsWithState accumulates per-user stats (batch-mode check)") {
+    import spark.implicits._
+    // mapGroupsWithState also runs on batch Datasets (state spans the group)
+    val evs = Seq(
+      UserEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      UserEvent(1L, Timestamp.valueOf("2024-01-01 00:01:00"), 2.0),
+      UserEvent(2L, Timestamp.valueOf("2024-01-01 00:02:00"), 7.0)).toDS()
+    val out = StreamIngest.userRunningStats(evs).collect()
+      .map(s => s.user_id -> s).toMap
+    assert(out(1L).n_events === 2L)
+    assert(out(2L).n_events === 1L)
+    assert(out(2L).last_value === 7.0)
+  }
+
+  test("streaming file ingest equals the batch read (AvailableNow drains)") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("user.dir"), "target"), "st_test")
+      .toString
+    val src = graft.eventsTbl(spark, sf).limit(200)
+    src.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val ingested = StreamIngest.ingestAvailableNow(
+      spark, s"$base/src", s"$base/dest", s"$base/ckpt")
+    assert(ingested.count() === 200)
+    val a = ingested.agg(sum("event_id")).head().getLong(0)
+    val b = spark.read.parquet(s"$base/src").agg(sum("event_id"))
+      .head().getLong(0)
+    assert(a === b)
+  }
+}
