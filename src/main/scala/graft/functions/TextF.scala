@@ -73,6 +73,31 @@ object TextF {
       .otherwise("fr")
   }
 
+  // --- materialized-token variants (hot-path form: tokenize once via a
+  // projected column, then compute everything from the bound array) ---
+
+  /** stopwordRatio over a materialized lowercase-token column. */
+  def stopwordRatioT(lt: Column): Column =
+    size(filter(lt, t => t.isin(Stopwords: _*))).cast("double") /
+      nullif(size(lt), lit(0)).cast("double")
+
+  /** qualityScore from a materialized token column + raw text. */
+  def qualityScoreT(t: Column, text: Column): Column =
+    least(lit(1.0), size(t).cast("double") / lit(100.0)) *
+      (lit(1.0) - punctRatio(text))
+
+  /** langId over a materialized lowercase-token column. */
+  def langIdT(text: Column, lt: Column): Column = {
+    val Seq(e, g, s, f) = LangMarkers.map { case (_, m) =>
+      size(filter(lt, t => t.isin(m: _*)))
+    }
+    when(text.isNull, lit(null).cast("string"))
+      .when(e >= g && e >= s && e >= f, "en")
+      .when(g >= s && g >= f, "de")
+      .when(s >= f, "es")
+      .otherwise("fr")
+  }
+
   /** Canonical whitespace-collapsed lowercase form used for fingerprinting
     * and exact dedup. */
   def normalized(text: Column): Column =
@@ -82,15 +107,28 @@ object TextF {
     * engine-independent (matches DuckDB md5 byte-for-byte). */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 
-  /** Word k-shingles ("n-gram" over tokens): deterministic, empty array for
-    * docs shorter than k tokens (guards Spark's descending `sequence`). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = lowerTokens(text)
+  /** Word k-shingles over an ALREADY-MATERIALIZED token-array column.
+    *
+    * `toks` must be a bound column (e.g. projected via
+    * `.withColumn("toks", lowerTokens($"text"))`), not a raw tokenizer
+    * expression: the lambda indexes it k times per element, and passing
+    * the split(...) expression directly would re-run the regex split per
+    * access — O(tokens²) work per document (measured 6× the entire
+    * MinHash pipeline's cost). Catalyst's CollapseProject keeps a
+    * non-cheap multiply-referenced projection materialized, so the
+    * two-step select does tokenization exactly once per row.
+    * Deterministic; empty array for docs shorter than k tokens (guards
+    * Spark's descending `sequence`). */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(o => toks(i + o)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** One-expression convenience form — ONLY for tiny/test inputs; hot
+    * paths must project tokens first (see [[shinglesFromTokens]]). */
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesFromTokens(lowerTokens(text), k)
 
   def distinctShingles(text: Column, k: Int): Column =
     array_distinct(wordShingles(text, k))

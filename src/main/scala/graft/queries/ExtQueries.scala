@@ -57,11 +57,17 @@ object ExtQueries {
     s"min(($a*h+$b) % ${HashF.MinhashPrime}) AS h$i"
   }
 
-  /** Spark: distinct-shingle explode of documents → (doc_id, h). */
+  /** Spark: distinct-shingle explode of documents → (doc_id, h).
+    * Tokens are materialized in their own projection first — passing the
+    * tokenizer expression straight into the shingle lambda re-splits the
+    * text per element access (O(tokens²)/doc; measured 72 s vs 12 s at
+    * sf0.1). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextF.distinctShingles(col("text"), K)).as("shingle"))
+        explode(array_distinct(
+          TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
       .select(col("doc_id"), HashF.tokenHash(col("shingle")).as("h"))
 
   private val sqlShingleHashes =
@@ -80,12 +86,16 @@ object ExtQueries {
     * bit-identical, no rounding fudge. */
   private def textStats(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
+      // tokenize exactly once per row; all stats read the bound arrays
+      .select(col("doc_id"), col("text"),
+        TextF.tokens(col("text")).as("t"),
+        TextF.lowerTokens(col("text")).as("lt"))
       .select(col("doc_id"),
-        TextF.tokenCount(col("text")).as("n_tokens"),
-        TextF.stopwordRatio(col("text")).as("stopword_ratio"),
+        size(col("t")).as("n_tokens"),
+        TextF.stopwordRatioT(col("lt")).as("stopword_ratio"),
         TextF.punctRatio(col("text")).as("punct_ratio"),
-        TextF.qualityScore(col("text")).as("quality"),
-        TextF.langId(col("text")).as("lang_guess"))
+        TextF.qualityScoreT(col("t"), col("text")).as("quality"),
+        TextF.langIdT(col("text"), col("lt")).as("lang_guess"))
       .orderBy("doc_id")
 
   private val textStatsSql = {
@@ -310,7 +320,9 @@ object ExtQueries {
     // the join's cost is Σ_shingle n_docs² — data-dependent, so don't
     // also pay recompute per side.
     val sh = tbl(s, dir, "documents")
-      .select(col("doc_id"), TextF.distinctShingles(col("text"), K).as("sh"))
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(
+        TextF.shinglesFromTokens(col("toks"), K)).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
       .localCheckpoint()
