@@ -93,11 +93,30 @@ object GeoF {
     } catch { case _: Exception => None }
   }
 
-  /** F5 as columns: (lng, lat) of the centroid. Registered UDFs. */
-  def centroidLng: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((w: String) => wktCentroid(w).map(_._1))
-  def centroidLat: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((w: String) => wktCentroid(w).map(_._2))
+  /** Java-friendly static forms for generated code (null = no centroid). */
+  def centroidLngJava(w: String): java.lang.Double =
+    wktCentroid(w) match {
+      case Some((lng, _)) => java.lang.Double.valueOf(lng)
+      case None => null
+    }
+  def centroidLatJava(w: String): java.lang.Double =
+    wktCentroid(w) match {
+      case Some((_, lat)) => java.lang.Double.valueOf(lat)
+      case None => null
+    }
+
+  /** F5 as columns: native codegen expressions (no UDF SerDe; stays in
+    * whole-stage codegen — see [[graft.plans.WktCentroidBase]]).
+    * Spark 4 Columns wrap ColumnNodes, not Expressions; the classic
+    * bridge is `classic.ExpressionUtils`. */
+  def centroidLng(geom: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.WktCentroidLng(
+        org.apache.spark.sql.GraftBridge.expression(geom)))
+  def centroidLat(geom: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.WktCentroidLat(
+        org.apache.spark.sql.GraftBridge.expression(geom)))
 
   // ----------------------------- F6: hex index ---------------------------
 

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tbl
+
+/** At-scale physical-layout operators: bucketed co-located joins.
+  *
+  * The reference materializes every stage into BigQuery tables and lets
+  * Dremel re-shuffle per query; Spark's equivalent lever for repeated
+  * fact-to-fact joins is BUCKETING — write both tables hash-bucketed on
+  * the join key, and every subsequent join/aggregation on that key runs
+  * with ZERO exchanges (the scan is already co-partitioned). At 100 TB
+  * this converts the dominant shuffle of a fact⋈fact join into a
+  * bucket-local sort-merge; `ScaleSpec` asserts the exchange-free plan.
+  */
+object ScaleQueries {
+
+  private def qtmp(name: String): String =
+    s"${sys.props("user.dir")}/target/qtmp/$name"
+
+  /** lineitem ⋈ orders on the order key, both sides pre-bucketed (8
+    * buckets) through the session catalog; the `merge` hint pins SMJ so
+    * the plan's shuffle-freeness is attributable to bucketing, not to a
+    * broadcast. Output: per-status counts + exact decimal quantity sums. */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = qtmp("bucketed")
+    tbl(s, dir, "lineitem")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("graft_li_b")
+    tbl(s, dir, "orders")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord_b").saveAsTable("graft_ord_b")
+    s.table("graft_li_b").hint("merge")
+      .join(s.table("graft_ord_b"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "b_bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql))
+  )
+}

@@ -6,14 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared tiny local session for unit specs (one JVM-wide session; specs
   * must not stop it). */
 object TestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Built through GraftSession so GraftExtensions (SQL function
+  // registration) is bound at session creation — getOrCreate would skip
+  // extensions on an already-active session.
+  lazy val spark: SparkSession =
+    graft.core.GraftSession.local(cores = 4, appName = "graft-test",
+      extraConf = Map("spark.sql.shuffle.partitions" -> "4"))
 }
 
 abstract class SparkSpec extends AnyFunSuite {
