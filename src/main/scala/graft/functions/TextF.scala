@@ -98,6 +98,28 @@ object TextF {
       .otherwise("fr")
   }
 
+  /** BPE-ish subword tokenization proxy: count of maximal runs of
+    * letters / digits / single punctuation marks (the coarse character
+    * classes BPE pre-tokenizers split on). Same RE2-compatible pattern as
+    * the oracle; codegen'd regexp_count, no UDF. */
+  val SubtokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def subtokenCount(text: Column): Column =
+    regexp_count(text, lit(SubtokenPattern))
+
+  /** Polynomial rolling hash over the lowercase token stream:
+    * h = fold(tokens, 0, (acc, t) → (acc·B + md5prefix(t)) mod P).
+    * Order-sensitive (unlike the md5 content fingerprint) — equal only
+    * for equal token sequences; engine-independent via the md5-prefix
+    * token hash. B < 2^20 and P > 2^32 keep acc·B + h < 2^52 (no 64-bit
+    * overflow in either engine). `lt` must be a materialized token
+    * column. */
+  val RollB = 1000003L
+  val RollP = 4294967311L
+  def rollingHash(lt: Column): Column =
+    aggregate(lt, lit(0L), (acc, t) =>
+      (acc * RollB + conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
+        .cast("long")) % RollP)
+
   /** Canonical whitespace-collapsed lowercase form used for fingerprinting
     * and exact dedup. */
   def normalized(text: Column): Column =

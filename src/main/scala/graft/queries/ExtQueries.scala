@@ -92,10 +92,12 @@ object ExtQueries {
         TextF.lowerTokens(col("text")).as("lt"))
       .select(col("doc_id"),
         size(col("t")).as("n_tokens"),
+        TextF.subtokenCount(col("text")).as("n_subtokens"),
         TextF.stopwordRatioT(col("lt")).as("stopword_ratio"),
         TextF.punctRatio(col("text")).as("punct_ratio"),
         TextF.qualityScoreT(col("t"), col("text")).as("quality"),
-        TextF.langIdT(col("text"), col("lt")).as("lang_guess"))
+        TextF.langIdT(col("text"), col("lt")).as("lang_guess"),
+        TextF.rollingHash(col("lt")).as("roll_hash"))
       .orderBy("doc_id")
 
   private val textStatsSql = {
@@ -120,6 +122,13 @@ object ExtQueries {
        |  FROM base
        |)
        |SELECT doc_id, len(t) AS n_tokens,
+       |       len(regexp_extract_all(text, '${TextF.SubtokenPattern}'))
+       |         AS n_subtokens,
+       |       list_reduce(
+       |         list_prepend(0::BIGINT, list_transform(lt,
+       |           x -> ('0x'||substr(md5(x),1,8))::BIGINT)),
+       |         (acc, h) -> (acc * ${TextF.RollB} + h) % ${TextF.RollP})
+       |         AS roll_hash,
        |       CAST(len(list_filter(lt, x -> list_contains($stop, x)))
        |            AS DOUBLE) / CAST(nullif(len(lt), 0) AS DOUBLE)
        |         AS stopword_ratio,
@@ -458,6 +467,67 @@ object ExtQueries {
        |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Embedding-cosine near-dup pairs via BANDED hyperplane LSH: 16
+    * data-independent planes grouped into 8 bands of 2; vectors are
+    * candidates iff ANY band code matches (OR-amplification: a cos-0.5
+    * pair passes some band w.p. ≈0.99 where a single 8-plane bucket
+    * would find it w.p. ≈0.04), then exact cosine ≥ 0.45 confirms.
+    * Scale: candidates come from 8 bucket joins on (band, code) — cost
+    * tracks band-collision volume; the threshold is a demo value sized to
+    * the fixture's cosine range (max ≈ 0.51). Plane indices 100+ keep the
+    * family disjoint from the ANN query's. */
+  private val NdBands = 8
+  private val NdThreshold = 0.45
+
+  private def ndBandCode(v: Column, band: Int): Column =
+    (0 until 2).map { i =>
+      VectorF.planeSignBit(v, 100 + band * 2 + i, Dim) * lit(1L << i)
+    }.reduce(_ + _)
+
+  private def embedNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id") +: embDouble.as("v") +:
+        (0 until NdBands).map(b => ndBandCode(embDouble, b).as(s"b$b")): _*)
+      .localCheckpoint() // reused by 8 band fan-outs × 2 join sides
+    val bands = (0 until NdBands).map { b =>
+      emb.select(col("vec_id"), lit(b).as("band"), col(s"b$b").as("code"))
+    }.reduce(_ unionAll _)
+    val cand = bands.select(col("vec_id").as("vec_a"), col("band"),
+      col("code"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band"),
+        col("code")), Seq("band", "code"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val va = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        simCol(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= NdThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val embedNeardupPairsSql = {
+    def planeLit(p: Int) =
+      VectorF.plane(p, Dim).map(d => s"$d").mkString("[", ",", "]")
+    def code(tbl: String, band: Int) = (0 until 2).map { i =>
+      s"(CASE WHEN list_dot_product(CAST($tbl.embedding AS DOUBLE[]), ${planeLit(100 + band * 2 + i)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val anyBand = (0 until NdBands)
+      .map(b => s"(${code("a", b)}) = (${code("b", b)})")
+      .mkString("\n     OR ")
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                    CAST(b.embedding AS DOUBLE[])), 6)
+       |         AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ($anyBand)
+       |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                   CAST(b.embedding AS DOUBLE[])), 6)
+       |      >= $NdThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ------------------------------ multimodal -----------------------------
 
   /** Multimodal-column plumbing: media as an opaque `binary` column with
@@ -505,6 +575,8 @@ object ExtQueries {
     "x_ngram_jaccard_pairs" -> QueryDef(ngramJaccardPairs,
       Some(ngramJaccardPairsSql)),
     "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql)),
+    "x_embed_neardup" -> QueryDef(embedNeardupPairs,
+      Some(embedNeardupPairsSql)),
     "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true),
     "x_multimodal_features" -> QueryDef(multimodalFeatures,
       Some(multimodalFeaturesSql))

@@ -52,7 +52,42 @@ object ScaleQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Salted skew join: the standard fix when one join key dominates (a
+    * "hot zone"): the fact side gets a deterministic salt in [0, F), the
+    * dim side is replicated F× with every salt value, and the join runs
+    * on (key, salt) — splitting each hot key's rows across F reducers.
+    * Salting is a physical-plan rewrite with identical semantics, which
+    * is exactly what the oracle checks (plain unsalted join). AQE's
+    * skew-join handles moderate skew automatically; explicit salting is
+    * the deterministic variant that also works for aggregations. */
+  private val SaltF = 4
+
+  private def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.eventsTbl(s, dir)
+      .select(col("event_id"), (col("user_id") % 25).as("zone_id"),
+        col("value"))
+      .withColumn("salt", pmod(col("event_id"), lit(SaltF)))
+    val dim = tbl(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltF - 1))))
+    ev.join(dim,
+      ev("zone_id") === dim("n_nationkey") && ev("salt") === dim("salt"),
+      "inner")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("n_name")
+  }
+
+  private val saltedJoinSql =
+    """SELECT n_name, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
-    "b_bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql))
+    "b_bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql)),
+    "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql))
   )
 }
