@@ -478,7 +478,7 @@ object CoreQueries {
       bench = true),
     "a4_global_count" -> QueryDef(globalCount,
       Some("SELECT count(1) AS trip_count FROM lineitem")),
-    "o1_topk" -> QueryDef(topkOrders, Some(
+    "o1_topk" -> QueryDef(topkOrders, bench = true, oracle = Some(
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin)),

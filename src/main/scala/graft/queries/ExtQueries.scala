@@ -528,6 +528,91 @@ object ExtQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer (16 fixed centroids —
+    * the vec_id<16 vectors, a deterministic stand-in for trained k-means
+    * centers) partitions the corpus into posting lists; each query probes
+    * its nprobe=2 nearest lists and brute-forces only those. The coarse
+    * assignment is a broadcast nested loop against 16 rows (map-side),
+    * the probe is a bucket join on cluster id — the other standard ANN
+    * scale path next to hyperplane LSH (`x_ann_lsh`). Distances are
+    * rounded (6 dp) with centroid-id tie-breaks so the assignment is
+    * engine-deterministic. */
+  private val IvfK = 16
+  private val IvfNProbe = 2
+
+  private def l2(a: Column, b: Column): Column =
+    sqrt(VectorF.arraySum(zip_with(a, b, (x, y) => (x - y) * (x - y))))
+
+  private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), embDouble.as("v"))
+    val cent = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // coarse assignment: nearest centroid per vector (rank over 16 rows)
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(round(l2(col("v"), col("cv")), 6), col("cid"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cluster"))
+      .localCheckpoint() // reused: corpus side + query side
+    // queries probe their nprobe nearest centroid lists
+    val probes = emb.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cid").as("cluster"))
+    val rn = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id")))
+    probes.join(
+      assigned.select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
+        col("cluster")),
+      Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        simCol(col("qv"), col("cv2")).as("sim"))
+      .groupBy("query_id", "neighbor_id") // a neighbor may appear in 2 lists
+      .agg(first("sim").as("sim"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= 3)
+      .orderBy("query_id", "rn")
+  }
+
+  private val ivfAnnSql =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $IvfK
+       |), assigned AS (
+       |  SELECT vec_id, v, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_distance(e.v, c.cv), 6), c.cid) AS rk
+       |    FROM emb e CROSS JOIN cent c
+       |  ) WHERE rk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_distance(e.v, c.cv), 6), c.cid) AS rk
+       |    FROM emb e CROSS JOIN cent c WHERE e.vec_id < $NQueries
+       |  ) WHERE rk <= $IvfNProbe
+       |)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |           any_value(round(list_cosine_similarity(p.qv, a.v), 6))
+       |             AS sim
+       |    FROM probes p JOIN assigned a ON p.cluster = a.cluster
+       |    WHERE p.query_id != a.vec_id
+       |    GROUP BY p.query_id, a.vec_id
+       |  )
+       |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
   // ------------------------------ multimodal -----------------------------
 
   /** Multimodal-column plumbing: media as an opaque `binary` column with
@@ -565,7 +650,8 @@ object ExtQueries {
 
   val all: Map[String, QueryDef] = Map(
     "x_text_stats" -> QueryDef(textStats, Some(textStatsSql), bench = true),
-    "x_dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
+    "x_dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql),
+      bench = true),
     "x_minhash_signatures" -> QueryDef(minhashSignatures,
       Some(minhashSignaturesSql)),
     "x_minhash_lsh_pairs" -> QueryDef(minhashLshPairs,
@@ -574,10 +660,12 @@ object ExtQueries {
     "x_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "x_ngram_jaccard_pairs" -> QueryDef(ngramJaccardPairs,
       Some(ngramJaccardPairsSql)),
-    "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql)),
+    "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql),
+      bench = true),
     "x_embed_neardup" -> QueryDef(embedNeardupPairs,
       Some(embedNeardupPairsSql)),
     "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true),
+    "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "x_multimodal_features" -> QueryDef(multimodalFeatures,
       Some(multimodalFeaturesSql))
   )

@@ -87,7 +87,8 @@ object ScaleQueries {
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
-    "b_bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql)),
+    "b_bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql),
+      bench = true),
     "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql))
   )
 }
