@@ -1,8 +1,7 @@
 package graft.core
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
 
 /** Parquet-backed named-table catalog (SURVEY.md §2.1 S6–S9).
   *
@@ -16,45 +15,44 @@ import java.util.Comparator
   *  - S9 date-suffixed names (`taxi_trips_etl.py:118-124`) → plain string
   *    interpolation by callers; the catalog is name-agnostic.
   *
-  * At 100 TB scale each table is a parquet directory; writes go through
-  * Spark's committer (atomic rename per task), reads get partition/row-group
-  * pruning from the vectorized reader. No driver-side data movement.
+  * All path operations go through Hadoop `FileSystem` resolved from the
+  * warehouse URI — the same abstraction the reads/writes use — so the
+  * catalog behaves identically on local disk, HDFS, or an object store
+  * (`s3a://…` warehouse); java.nio would silently see only the driver's
+  * local filesystem. At 100 TB each table is a parquet directory; writes
+  * go through Spark's committer, reads get partition/row-group pruning
+  * from the vectorized reader. No driver-side data movement.
   */
 final class Catalog(val spark: SparkSession, val warehouseDir: String) {
-  Files.createDirectories(Paths.get(warehouseDir))
 
-  private def pathOf(name: String): Path = Paths.get(warehouseDir, name)
+  private val root = new Path(warehouseDir)
+  private val fs: FileSystem =
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+  fs.mkdirs(root)
 
-  def exists(name: String): Boolean = Files.exists(pathOf(name))
+  private def pathOf(name: String): Path = new Path(root, name)
 
-  def save(name: String, df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit =
+  def exists(name: String): Boolean = fs.exists(pathOf(name))
+
+  def save(name: String, df: DataFrame,
+           mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(pathOf(name).toString)
 
-  def append(name: String, df: DataFrame): Unit = save(name, df, SaveMode.Append)
+  def append(name: String, df: DataFrame): Unit =
+    save(name, df, SaveMode.Append)
 
-  def load(name: String): DataFrame = spark.read.parquet(pathOf(name).toString)
+  def load(name: String): DataFrame =
+    spark.read.parquet(pathOf(name).toString)
 
   /** Register under a logical name for spark.sql / dbt-style `ref` (S10/S11). */
   def view(name: String): Unit = load(name).createOrReplaceTempView(name)
 
   def drop(name: String): Unit = {
     val p = pathOf(name)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally s.close()
-    }
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
-  def tables(): Seq[String] = {
-    val d = Paths.get(warehouseDir)
-    if (!Files.exists(d)) Seq.empty
-    else {
-      val s = Files.list(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
-      } finally s.close()
-    }
-  }
+  def tables(): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName).toSeq.sorted
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DateTimeF, GeoF}
+
+/** The reference pipeline's query surface as a public, composable API on
+  * the reference's OWN column names (NYC TLC green-trips schema +
+  * `taxi_zone_geom(zone_id, zone_geom)`): a user of the reference brings
+  * the same DataFrames and calls the same stages.
+  *
+  * trips: pickup_datetime, dropoff_datetime, passenger_count,
+  *        trip_distance, fare_amount, pickup_location_id,
+  *        dropoff_location_id, …
+  * zones: zone_id, zone_geom (WKT GEOGRAPHY representation)
+  */
+object TaxiOps {
+
+  /** P2 — normalization keep-good filter, verbatim semantics of
+    * `taxi_trips_etl_packages/queries/normalization_query.py:4-8`. */
+  def normalize(trips: DataFrame): DataFrame =
+    trips.filter(
+      col("pickup_datetime") =!= col("dropoff_datetime") &&
+        col("passenger_count") =!= 0 && col("passenger_count").isNotNull &&
+        col("trip_distance") =!= 0 && col("trip_distance").isNotNull &&
+        col("fare_amount") =!= 0)
+
+  /** P3 — the inverted (select-bad) variant (`main.py:85-91`), exposed as
+    * the documented anomaly, not default behavior. */
+  def normalizeInverted(trips: DataFrame): DataFrame =
+    trips.filter(
+      col("pickup_datetime") === col("dropoff_datetime") ||
+        col("passenger_count") === 0 || col("passenger_count").isNull ||
+        col("trip_distance") === 0 || col("trip_distance").isNull ||
+        col("fare_amount") === 0)
+
+  /** W1+P5 — zone dedup: keep the largest-WKT geometry per zone_id
+    * (`enrichment_query.py:12-14`); rank ties keep all tied rows, like
+    * the reference. */
+  def dedupZones(zones: DataFrame): DataFrame =
+    zones
+      .withColumn("finish_rank", rank().over(
+        Window.partitionBy("zone_id")
+          .orderBy(GeoF.byteLength(GeoF.stAsText(col("zone_geom"))).desc)))
+      .filter(col("finish_rank") === 1)
+
+  /** F5+F6 — zone centroid hex index at the given resolution
+    * (`enrichment_query.py:10,17`; see GeoF for the carto-H3 numbering
+    * divergence). */
+  def zoneHex(zones: DataFrame, res: Int = 9): DataFrame =
+    zones.withColumn("h3",
+      GeoF.hexCell(
+        GeoF.centroidLat(col("zone_geom")),
+        GeoF.centroidLng(col("zone_geom")), res))
+
+  /** J1+J2+J3+F1+F2 — the full enrichment join graph
+    * (`enrichment_query.py:3-25`): dropoff and pickup branches against
+    * the deduped+hexed zone dim, re-united on the 4-column trip identity,
+    * plus `daypart` from pickup time. Zone dims broadcast (AQE); the
+    * branch-and-rejoin shape (incl. duplicate-trip multiplication) is
+    * preserved deliberately. */
+  def enrich(trips: DataFrame, zones: DataFrame, res: Int = 9): DataFrame = {
+    val keys = Seq("pickup_datetime", "dropoff_datetime",
+      "pickup_location_id", "dropoff_location_id")
+    val zonesH = zoneHex(dedupZones(zones), res)
+      .select(col("zone_id"), col("h3"))
+    val doff = trips.join(zonesH,
+      trips("dropoff_location_id") === zonesH("zone_id"), "left")
+      .select(keys.map(trips(_)) :+ zonesH("h3").as("h3_dropoff"): _*)
+    val pup = trips.join(zonesH,
+      trips("pickup_location_id") === zonesH("zone_id"), "left")
+      .select(keys.map(trips(_)) :+ zonesH("h3").as("h3_pickup"): _*)
+    doff.join(pup, keys, "inner")
+      .withColumn("daypart", DateTimeF.daypart(col("pickup_datetime")))
+  }
+
+  /** A1/A2+W2+O1+F7+J4 — the flagship most-populars query
+    * (`taxi_trips_etl.py:164-176`): three top-k popularity aggregates
+    * joined `USING(popularity)`, with the reference's STRUCT route.
+    * Scale-safe: `orderBy.limit(k)` (TakeOrderedAndProject) before the
+    * bounded RANK — never a global window over unbounded data. */
+  def mostPopulars(enriched: DataFrame, k: Int = 100): DataFrame = {
+    def ranked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
+      df.orderBy(col(cnt).desc +: tie.map(col): _*).limit(k)
+        .withColumn("popularity", rank().over(Window.orderBy(col(cnt).desc)))
+    val routes = ranked(
+      enriched.groupBy("h3_pickup", "h3_dropoff")
+        .agg(count(lit(1)).as("route_count")),
+      "route_count", Seq("h3_pickup", "h3_dropoff"))
+      .select(struct(col("h3_pickup").as("pickup_hexagons"),
+        col("h3_dropoff").as("dropoff_hexagons")).as("route"),
+        col("route_count"), col("popularity"))
+    val dropoffs = ranked(
+      enriched.groupBy("h3_dropoff").agg(count(lit(1)).as("dropoff_count")),
+      "dropoff_count", Seq("h3_dropoff"))
+    val pickups = ranked(
+      enriched.groupBy("h3_pickup").agg(count(lit(1)).as("pickup_count")),
+      "pickup_count", Seq("h3_pickup"))
+    routes
+      .join(dropoffs, Seq("popularity"), "inner")
+      .join(pickups, Seq("popularity"), "inner")
+  }
+
+  /** dbt `tripss` (`models/tripss.sql:1-9`): date, whole-minute drive
+    * time, amount. */
+  def tripss(enriched: DataFrame): DataFrame =
+    enriched.select(
+      DateTimeF.toDateCol(col("pickup_datetime")).as("pickup_date"),
+      DateTimeF.timestampDiffMinutes(col("dropoff_datetime"),
+        col("pickup_datetime")).as("drive_time"),
+      col("total_amount"))
+
+  /** dbt `daily_trip_metrics` (`models/daily_trip_metrics.sql:1-3`). */
+  def dailyTripMetrics(tripss: DataFrame): DataFrame =
+    tripss.groupBy("pickup_date")
+      .agg(avg("drive_time").as("avg_drive_time"),
+        sum("drive_time").as("total_drive_time"),
+        avg("total_amount").as("avg_amount"),
+        sum("total_amount").as("total_amount"))
+      .orderBy(col("pickup_date").desc)
+
+  /** dbt `trips_view` (`models/trips_view.sql:1`). */
+  def tripCount(trips: DataFrame): DataFrame =
+    trips.agg(count(lit(1)).as("trip_count"))
+}
