@@ -395,7 +395,9 @@ object ExtQueries {
     val c = emb.select(col("vec_id").as("neighbor_id"), embDouble.as("cv"))
     val rn = row_number().over(Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id")))
-    q.crossJoin(c)
+    // broadcast the BOUNDED query set and stream the corpus — the default
+    // (build-right = corpus) would broadcast the unbounded side at scale
+    broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         simCol(col("qv"), col("cv")).as("sim"))
