@@ -64,14 +64,24 @@ object TaxiOps {
   def enrich(trips: DataFrame, zones: DataFrame, res: Int = 9): DataFrame = {
     val keys = Seq("pickup_datetime", "dropoff_datetime",
       "pickup_location_id", "dropoff_location_id")
-    val zonesH = zoneHex(dedupZones(zones), res)
-      .select(col("zone_id"), col("h3"))
-    val doff = trips.join(zonesH,
-      trips("dropoff_location_id") === zonesH("zone_id"), "left")
-      .select(keys.map(trips(_)) :+ zonesH("h3").as("h3_dropoff"): _*)
-    val pup = trips.join(zonesH,
-      trips("pickup_location_id") === zonesH("zone_id"), "left")
-      .select(keys.map(trips(_)) :+ zonesH("h3").as("h3_pickup"): _*)
+    // rank computed BEFORE the join, `finish_rank = 1` applied AFTER it —
+    // the reference's authored shape (`enrichment_query.py:11-14`): the
+    // post-join filter also kills NULL-extended rows from unmatched zone
+    // ids, making the LEFT join effectively inner (Catalyst derives this
+    // via EliminateOuterJoin).
+    val ranked = zoneHex(zones.withColumn("finish_rank", rank().over(
+      Window.partitionBy("zone_id")
+        .orderBy(GeoF.byteLength(GeoF.stAsText(col("zone_geom"))).desc))),
+      res)
+      .select(col("zone_id"), col("h3"), col("finish_rank"))
+    val doff = trips.join(ranked,
+      trips("dropoff_location_id") === ranked("zone_id"), "left")
+      .filter(col("finish_rank") === 1)
+      .select(keys.map(trips(_)) :+ ranked("h3").as("h3_dropoff"): _*)
+    val pup = trips.join(ranked,
+      trips("pickup_location_id") === ranked("zone_id"), "left")
+      .filter(col("finish_rank") === 1)
+      .select(keys.map(trips(_)) :+ ranked("h3").as("h3_pickup"): _*)
     doff.join(pup, keys, "inner")
       .withColumn("daypart", DateTimeF.daypart(col("pickup_datetime")))
   }
