@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries, GeoQueries, IngestQueries, QueryDef, ScaleQueries, StreamQueries}
+import graft.queries.{CoreQueries, ExtQueries, FidelityQueries, GeoQueries, IngestQueries, QueryDef, ScaleQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   /** All registered operators, merged from the query modules. */
   def defs: Map[String, QueryDef] =
     CoreQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
-      GeoQueries.all ++ StreamQueries.all ++ ScaleQueries.all
+      GeoQueries.all ++ StreamQueries.all ++ ScaleQueries.all ++
+      FidelityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -18,10 +18,10 @@ import graft.functions.GeoF
   */
 object GeoQueries {
 
-  private def latOf(k: Int): Double = k * 0.5 - 6.0
-  private def lngOf(k: Int): Double = k * 1.5 - 18.0
+  private[queries] def latOf(k: Int): Double = k * 0.5 - 6.0
+  private[queries] def lngOf(k: Int): Double = k * 1.5 - 18.0
 
-  private def zonesWkt(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def zonesWkt(s: SparkSession, dir: String): DataFrame = {
     val lat0 = col("n_nationkey") * 0.5 - 6.0
     val lng0 = col("n_nationkey") * 1.5 - 18.0
     def pt(lng: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
