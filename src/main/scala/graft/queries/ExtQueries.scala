@@ -17,6 +17,10 @@ final case class MediaBlob(doc_id: Long, payload: Array[Byte], mime: String)
 final case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Int,
                                n_tokens: Long)
 
+/** Output of the frame-sampling multimodal path. */
+final case class MediaFrameStats(doc_id: Long, n_frames: Long,
+                                 n_sampled: Long, first_frame_md5: String)
+
 /** Training-data-pipeline operators (builder prompt "beyond the
   * reference"): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
   * similarity search (brute-force + LSH-bucketed ANN), text analysis, and
@@ -650,6 +654,42 @@ object ExtQueries {
       |         AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal frame-sampling: chunk the opaque payload into fixed
+    * 64-byte "frames" (the video-frame / audio-window batch shape),
+    * sample every 4th, and feature-extract the first frame (md5) — the
+    * decode/resize step a real deployment runs per frame is the
+    * deterministic stub here, but the partition-batched iteration,
+    * binary chunking, and typed output schema are the real plumbing.
+    * Scale: per-partition streaming over the payload bytes, no shuffle,
+    * binary never leaves its input split. */
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("application/octet-stream").as("mime"))
+      .as[MediaBlob]
+    blobs.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { m =>
+        val frames = m.payload.grouped(64).toArray
+        val sampled = frames.indices.count(_ % 4 == 0)
+        val firstMd5 = frames.headOption.map { f =>
+          md.reset()
+          md.digest(f).map("%02x".format(_)).mkString
+        }.orNull
+        MediaFrameStats(m.doc_id, frames.length.toLong, sampled.toLong,
+          firstMd5)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val multimodalFramesSql =
+    """SELECT doc_id,
+      |       (strlen(text) + 63) // 64 AS n_frames,
+      |       ((strlen(text) + 63) // 64 + 3) // 4 AS n_sampled,
+      |       md5(substring(text, 1, 64)) AS first_frame_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "x_text_stats" -> QueryDef(textStats, Some(textStatsSql), bench = true),
     "x_dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql),
@@ -669,6 +709,8 @@ object ExtQueries {
     "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true),
     "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "x_multimodal_features" -> QueryDef(multimodalFeatures,
-      Some(multimodalFeaturesSql))
+      Some(multimodalFeaturesSql)),
+    "x_multimodal_frames" -> QueryDef(multimodalFrames,
+      Some(multimodalFramesSql))
   )
 }
