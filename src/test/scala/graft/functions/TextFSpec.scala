@@ -44,6 +44,21 @@ class TextFSpec extends SparkSpec {
     assert(r(0) !== r(2))
   }
 
+  test("subtokenCount splits on BPE-ish character-class boundaries") {
+    val r = Seq("ab1 cd, x!", "", "hello").toDF("text")
+      .select(TextF.subtokenCount(col("text"))).as[Int].collect().toSeq
+    assert(r === Seq(6, 0, 1)) // ab|1|cd|,|x|!
+  }
+
+  test("rollingHash is order-sensitive and bounded by the modulus") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextF.lowerTokens(col("text")).as("lt"))
+      .select(TextF.rollingHash(col("lt"))).as[Long].collect().toSeq
+    assert(df(0) === df(2)) // same sequence → same hash
+    assert(df(0) !== df(1)) // permutation → different hash
+    assert(df.forall(h => h >= 0 && h < TextF.RollP))
+  }
+
   test("wordShingles: k-gram count and short-doc guard") {
     val df = Seq("a b c d", "a b").toDF("text")
     val r = df.select(size(TextF.wordShingles(col("text"), 3)))
