@@ -26,16 +26,21 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.benchNames.flatMap { name =>
       SparkEntry.queries.get(name).flatMap { fn =>
+        // Warm the plan at the smallest SF first: JIT + whole-stage
+        // codegen compile are one-time JVM costs (measured 22 s cold vs
+        // 2.4 s warm on identical plans). A warm-up failure (e.g. the
+        // warm-up fixture absent) must not mark the query failed — only
+        // the timed runs at the target SF decide that.
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name warmup skipped: ${e.getMessage}")
+        }
         try {
-          // Warm the plan at the smallest SF first: JIT + whole-stage
-          // codegen compile are one-time JVM costs (measured 22 s cold vs
-          // 2.4 s warm on identical plans). Then time 2 runs at the
-          // target SF and keep the min — the host shows stochastic CPU
-          // steal (identical plans measured 1.5 s and 69 s minutes
-          // apart), so a single sample is noise, and min-of-N is the
-          // steady-state throughput estimator.
-          fn(spark, "/root/testdata/sf0.001")
-            .write.format("noop").mode("overwrite").save()
+          // Time 2 runs at the target SF and keep the min — the host
+          // shows stochastic CPU steal (identical plans measured 1.5 s
+          // and 69 s minutes apart), so a single sample is noise and
+          // min-of-N is the steady-state throughput estimator.
           val samples = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()

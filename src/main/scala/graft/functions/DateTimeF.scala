@@ -43,9 +43,12 @@ object DateTimeF {
 
   /** F9 — `timestamp_diff(t1, t2, MINUTE)` (ref `models/tripss.sql:3`):
     * whole-minute difference truncated toward zero (BigQuery semantics,
-    * including negatives). Millisecond epoch keeps sub-second inputs exact;
+    * including negatives). Microsecond epoch preserves BQ's full
+    * TIMESTAMP precision (millis would truncate each operand first and
+    * misclassify e.g. a 59,999,200 µs gap as a whole minute);
     * cast(double → long) truncates toward zero like BQ.
     */
   def timestampDiffMinutes(t1: Column, t2: Column): Column =
-    ((unix_millis(asLtz(t1)) - unix_millis(asLtz(t2))) / 60000.0).cast("long")
+    ((unix_micros(asLtz(t1)) - unix_micros(asLtz(t2))) / 60000000.0)
+      .cast("long")
 }

@@ -153,8 +153,13 @@ object GeoF {
       lpad(lower(hex(zz(q))), 6, "0"), lpad(lower(hex(zz(r))), 6, "0"))
   }
 
-  /** Scala-side mirror of [[hexCell]] for unit tests / oracle generation. */
+  /** Scala-side mirror of [[hexCell]] for unit tests / oracle generation.
+    * Rounding uses HALF_UP (away from zero) to match Spark's `round`
+    * exactly — `math.round` rounds half toward +∞ and would disagree on
+    * negative half-integer axial coordinates. */
   def hexCellScala(lat: Double, lng: Double, res: Int): String = {
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
     val s = edgeLengthM(res)
     val phi = math.toRadians(lat)
     val x = math.toRadians(lng) * math.cos(phi) * EarthR
@@ -162,9 +167,9 @@ object GeoF {
     val qf = (x * (math.sqrt(3.0) / 3.0) - y / 3.0) / s
     val rf = y * (2.0 / 3.0) / s
     val sf = -qf - rf
-    var qr = math.round(qf).toDouble
-    var rr = math.round(rf).toDouble
-    val sr = math.round(sf).toDouble
+    var qr = rnd(qf)
+    var rr = rnd(rf)
+    val sr = rnd(sf)
     val (dq, dr, ds) =
       (math.abs(qr - qf), math.abs(rr - rf), math.abs(sr - sf))
     if (dq > dr && dq > ds) qr = -rr - sr

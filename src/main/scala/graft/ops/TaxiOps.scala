@@ -36,14 +36,18 @@ object TaxiOps {
         col("trip_distance") === 0 || col("trip_distance").isNull ||
         col("fare_amount") === 0)
 
-  /** W1+P5 — zone dedup: keep the largest-WKT geometry per zone_id
-    * (`enrichment_query.py:12-14`); rank ties keep all tied rows, like
-    * the reference. */
+  /** The W1 dedup window: largest WKT byte-length wins per zone_id
+    * (`enrichment_query.py:12-14`) — single definition shared by
+    * [[dedupZones]] and [[enrich]] so the two can never disagree on
+    * which geometry wins. */
+  private def zoneRank: org.apache.spark.sql.Column =
+    rank().over(Window.partitionBy("zone_id")
+      .orderBy(GeoF.byteLength(GeoF.stAsText(col("zone_geom"))).desc))
+
+  /** W1+P5 — zone dedup: keep the largest-WKT geometry per zone_id;
+    * rank ties keep all tied rows, like the reference. */
   def dedupZones(zones: DataFrame): DataFrame =
-    zones
-      .withColumn("finish_rank", rank().over(
-        Window.partitionBy("zone_id")
-          .orderBy(GeoF.byteLength(GeoF.stAsText(col("zone_geom"))).desc)))
+    zones.withColumn("finish_rank", zoneRank)
       .filter(col("finish_rank") === 1)
 
   /** F5+F6 — zone centroid hex index at the given resolution
@@ -69,10 +73,7 @@ object TaxiOps {
     // post-join filter also kills NULL-extended rows from unmatched zone
     // ids, making the LEFT join effectively inner (Catalyst derives this
     // via EliminateOuterJoin).
-    val ranked = zoneHex(zones.withColumn("finish_rank", rank().over(
-      Window.partitionBy("zone_id")
-        .orderBy(GeoF.byteLength(GeoF.stAsText(col("zone_geom"))).desc))),
-      res)
+    val ranked = zoneHex(zones.withColumn("finish_rank", zoneRank), res)
       .select(col("zone_id"), col("h3"), col("finish_rank"))
     val doff = trips.join(ranked,
       trips("dropoff_location_id") === ranked("zone_id"), "left")
@@ -93,8 +94,7 @@ object TaxiOps {
     * bounded RANK — never a global window over unbounded data. */
   def mostPopulars(enriched: DataFrame, k: Int = 100): DataFrame = {
     def ranked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
-      df.orderBy(col(cnt).desc +: tie.map(col): _*).limit(k)
-        .withColumn("popularity", rank().over(Window.orderBy(col(cnt).desc)))
+      Ranked.topK(df, cnt, k, tie)
     val routes = ranked(
       enriched.groupBy("h3_pickup", "h3_dropoff")
         .agg(count(lit(1)).as("route_count")),

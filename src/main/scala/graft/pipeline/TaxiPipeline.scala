@@ -66,12 +66,22 @@ object TaxiPipeline {
 
   def ingest(srcDir: String, ds: String): Stage = Stage("ingest", { c =>
     val Array(y, m, d) = ds.split("-")
-    // S1 date-path prefix + S2 file-name prefix filter (FILE_PREFIX≙part-)
-    val day = c.spark.read
-      .option("pathGlobFilter", "part-*")
-      .parquet(s"$srcDir/$y/$m/$d")
-    c.save("temp_trips", day)
-    c.load("temp_trips").limit(1).count() > 0 // C2: any data this day?
+    val dayPath = s"$srcDir/$y/$m/$d"
+    // An absent date path IS the reference's "empty day" (no blobs under
+    // the prefix, `taxi_trips_etl.py:33`): gate false, don't crash.
+    val fs = new org.apache.hadoop.fs.Path(dayPath)
+      .getFileSystem(c.spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dayPath))) {
+      println(s"[pipeline] no data under $dayPath; short-circuiting")
+      false
+    } else {
+      // S1 date-path prefix + S2 file-name prefix filter (FILE_PREFIX≙part-)
+      val day = c.spark.read
+        .option("pathGlobFilter", "part-*")
+        .parquet(dayPath)
+      c.save("temp_trips", day)
+      c.load("temp_trips").limit(1).count() > 0 // C2: any data this day?
+    }
   })
 
   def normalize: Stage = Stage("normalize", { c =>
@@ -130,8 +140,7 @@ object TaxiPipeline {
     } else {
       val trips = c.load(in)
       def topRanked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
-        df.orderBy(col(cnt).desc +: tie.map(col): _*).limit(100)
-          .withColumn("popularity", rank().over(Window.orderBy(col(cnt).desc)))
+        graft.ops.Ranked.topK(df, cnt, 100, tie)
       val routes = topRanked(
         trips.groupBy("pickup_zone", "dropoff_zone")
           .agg(count(lit(1)).as("route_count")),

@@ -216,19 +216,11 @@ object CoreQueries {
       | AND d.l_suppkey = p.l_suppkey AND d.l_partkey = p.l_partkey
       |ORDER BY d.l_orderkey, d.l_linenumber""".stripMargin
 
-  /** Bounded global rank: top-k via orderBy.limit (TakeOrderedAndProject —
-    * distributed partial top-k, no global sort) and RANK only over the ≤k
-    * surviving rows (single-partition window over ≤100 rows is free; the
-    * naive `RANK() OVER (ORDER BY cnt)` over unbounded data would
-    * single-partition the whole aggregate — SURVEY §7.4). RANK is
-    * prefix-determined, so ranking the deterministic top-k equals the
-    * global rank restricted to those rows. */
+  /** Bounded global rank — see [[graft.ops.Ranked.topK]] (the scale-safe
+    * plan shared across the query registry, TaxiOps, and the pipeline). */
   private def rankedTopK(df: DataFrame, cnt: String, k: Int,
-                         tieBreak: Seq[String]): DataFrame = {
-    val limited = df.orderBy(col(cnt).desc +: tieBreak.map(col): _*).limit(k)
-    limited.withColumn("popularity",
-      rank().over(Window.orderBy(col(cnt).desc)))
-  }
+                         tieBreak: Seq[String]): DataFrame =
+    graft.ops.Ranked.topK(df, cnt, k, tieBreak)
 
   /** A1 + A2 + W2 + O1 + J4 — the flagship "most populars" query (ref
     * `taxi_trips_etl.py:164-176`): three popularity aggregates (routes /
@@ -358,8 +350,8 @@ object CoreQueries {
   private val dailyMetricsSql =
     """WITH tripss AS (
       |  SELECT CAST(o_orderdate AS DATE) AS pickup_date,
-      |         CAST(trunc((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
-      |                    / 60000.0) AS BIGINT) AS drive_time,
+      |         CAST(trunc((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+      |                    / 60000000.0) AS BIGINT) AS drive_time,
       |         l_extendedprice AS total_amount
       |  FROM lineitem INNER JOIN orders ON l_orderkey = o_orderkey
       |)
@@ -443,10 +435,10 @@ object CoreQueries {
 
   private val tsdiffMinutesSql =
     """SELECT l_orderkey, l_linenumber,
-      |       CAST(trunc((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
-      |                  / 60000.0) AS BIGINT) AS diff_fwd,
-      |       CAST(trunc((epoch_ms(o_orderdate) - epoch_ms(l_shipdate))
-      |                  / 60000.0) AS BIGINT) AS diff_rev
+      |       CAST(trunc((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+      |                  / 60000000.0) AS BIGINT) AS diff_fwd,
+      |       CAST(trunc((epoch_us(o_orderdate) - epoch_us(l_shipdate))
+      |                  / 60000000.0) AS BIGINT) AS diff_rev
       |FROM lineitem INNER JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 

@@ -632,16 +632,20 @@ object ExtQueries {
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blobs = tbl(s, dir, "documents")
+      .filter(col("text").isNotNull) // NULL docs carry no media payload
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("text/plain").as("mime"))
       .as[MediaBlob]
     blobs.mapPartitions { batch =>
       batch.map { m =>
         // STUB decode: real deployments decode image/audio here.
-        val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+        // NULL payload → zeroed features (the query filters NULL docs
+        // upstream; this keeps the map total rather than NPE-prone).
+        val payload = Option(m.payload).getOrElse(Array.emptyByteArray)
+        val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
         val toks = text.trim.split("\\s+").count(_.nonEmpty)
-        MediaFeatures(m.doc_id, m.payload.length.toLong,
-          if (m.payload.isEmpty) -1 else m.payload(0) & 0xff, toks.toLong)
+        MediaFeatures(m.doc_id, payload.length.toLong,
+          if (payload.isEmpty) 0 else payload(0) & 0xff, toks.toLong)
       }
     }.toDF().orderBy("doc_id")
   }
@@ -652,7 +656,7 @@ object ExtQueries {
       |       CASE WHEN length(trim(text)) = 0 THEN 0
       |            ELSE len(string_split_regex(trim(text), '\s+')) END
       |         AS n_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   /** Multimodal frame-sampling: chunk the opaque payload into fixed
     * 64-byte "frames" (the video-frame / audio-window batch shape),
@@ -665,18 +669,20 @@ object ExtQueries {
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blobs = tbl(s, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("application/octet-stream").as("mime"))
       .as[MediaBlob]
     blobs.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { m =>
-        val frames = m.payload.grouped(64).toArray
+        val payload = Option(m.payload).getOrElse(Array.emptyByteArray)
+        val frames = payload.grouped(64).toArray
         val sampled = frames.indices.count(_ % 4 == 0)
         val firstMd5 = frames.headOption.map { f =>
           md.reset()
           md.digest(f).map("%02x".format(_)).mkString
-        }.orNull
+        }.orNull // empty payload → 0 frames, NULL digest (oracle NULLIFs)
         MediaFrameStats(m.doc_id, frames.length.toLong, sampled.toLong,
           firstMd5)
       }
@@ -687,8 +693,9 @@ object ExtQueries {
     """SELECT doc_id,
       |       (strlen(text) + 63) // 64 AS n_frames,
       |       ((strlen(text) + 63) // 64 + 3) // 4 AS n_sampled,
-      |       md5(substring(text, 1, 64)) AS first_frame_md5
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |       CASE WHEN strlen(text) = 0 THEN NULL
+      |            ELSE md5(substring(text, 1, 64)) END AS first_frame_md5
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
     "x_text_stats" -> QueryDef(textStats, Some(textStatsSql), bench = true),

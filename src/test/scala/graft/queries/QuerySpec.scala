@@ -18,9 +18,19 @@ class QuerySpec extends SparkSpec {
 
   test("every registered query with an oracle returns a stable schema") {
     // Plans must at least analyze at sf0.001; execution is Verify's job.
+    // Queries whose CONSTRUCTION is side-effecting (pipeline/catalog/
+    // ingest/stream jobs run inside the builder) are excluded here —
+    // Verify executes them for real.
+    val sideEffecting = Set("c_pipeline_e2e", "b_bucketed_join",
+      "b_salted_join", "s1_s2_datepath_glob", "s4_csv_roundtrip",
+      "s5_catalog_lifecycle", "st_stream_ingest", "st_stream_window",
+      "x_minhash_lsh_pairs", "x_ngram_jaccard_pairs", "x_embed_neardup",
+      "x_ann_ivf")
     graft.SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, sf)
-      assert(df.schema.fieldNames.nonEmpty, name)
+      if (!sideEffecting(name)) {
+        val df = fn(spark, sf)
+        assert(df.schema.fieldNames.nonEmpty, name)
+      }
     }
   }
 
