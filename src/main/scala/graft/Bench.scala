@@ -37,11 +37,12 @@ object Bench {
           System.err.println(s"[bench] $name warmup skipped: ${e.getMessage}")
         }
         try {
-          // Time 2 runs at the target SF and keep the min — the host
+          // Time 3 runs at the target SF and keep the min — the host
           // shows stochastic CPU steal (identical plans measured 1.5 s
-          // and 69 s minutes apart), so a single sample is noise and
-          // min-of-N is the steady-state throughput estimator.
-          val samples = (1 to 2).map { _ =>
+          // and 69 s minutes apart, and steal windows can span one whole
+          // sample), so a single sample is noise and min-of-N is the
+          // steady-state throughput estimator.
+          val samples = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
