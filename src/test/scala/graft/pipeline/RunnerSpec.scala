@@ -32,6 +32,13 @@ class RunnerSpec extends SparkSpec {
     assert(!cRan)
   }
 
+  test("empty-day gate (C2): ingest returns false on a missing date path") {
+    val cat = freshCatalog()
+    val missing = s"${cat.warehouseDir}/no_such_src"
+    assert(TaxiPipeline.ingest(missing, "2099-01-01").run(cat) === false)
+    assert(!cat.exists("temp_trips"))
+  }
+
   test("existence gate (C3): normalize skips when temp_trips is missing") {
     val cat = freshCatalog()
     assert(!cat.exists("temp_trips"))
