@@ -18,17 +18,20 @@ import org.apache.spark.sql.functions._
   * udf-first surface per SURVEY §2.10), upgradeable to a codegen
   * `Expression` if the scan ever becomes hash-bound.
   *
-  * F6 `H3_FROMGEOGPOINT(point, res)`: a deterministic hexagonal cell
-  * index with the H3 *contract* — (lat, lng, res) → 15-char hex cell id,
-  * hexagonal tiling, ~res-9 cell scale (edge ≈ 174 m), equal ids ⟺ same
-  * cell. Carto-H3's exact cell *numbering* depends on its published
-  * icosahedral base-cell tables (122 base cells × face IJK orientations),
-  * which cannot be reproduced in this offline build; the tiling here is a
-  * sinusoidal-projection axial hex lattice with the same edge-length
-  * schedule (res-0 edge / √7ᵉʳ). All uses in the reference
-  * (`enrichment_query.py:10,17`) only group/join on the id, which this
-  * preserves. Pure `Column` math (cos/floor/when) → whole-stage codegen,
-  * no UDF on the 100 TB path.
+  * F6 — `hexCell(point, res)`, this library's slot for the reference's
+  * `H3_FROMGEOGPOINT` (`enrichment_query.py:10,17`). It is deliberately
+  * NOT H3 and does not claim H3 cell ids: carto-H3's numbering depends
+  * on its icosahedral base-cell tables (122 base cells × face IJK
+  * orientations), which cannot be reproduced in this offline build.
+  * What it IS: a deterministic hexagonal cell index — (lat, lng, res) →
+  * 19-char hex cell id, hexagonal tiling on a sinusoidal-projection
+  * axial lattice, the same aperture-7 edge-length schedule as H3
+  * (res-0 edge / √7ᵉʳ, so res 9 ≈ 174 m), equal ids ⟺ same cell. All
+  * uses in the reference only group/join on the id, which this
+  * preserves; columns derived from it are named `hex_*`, not `h3_*`, so
+  * the API never implies id-level compatibility with a carto-H3 run.
+  * Pure `Column` math (cos/round/when) → whole-stage codegen, no UDF on
+  * the 100 TB path.
   */
 object GeoF {
 
@@ -130,8 +133,14 @@ object GeoF {
 
   /** (lat°, lng°, res) → cell id Column. Sinusoidal (equal-area-ish)
     * projection to meters, axial hex coordinates, cube rounding, packed
-    * as `"9%02x%06x%06x"`-style 15-char hex (res byte + zigzag q + r). */
+    * as `"9%02x%08x%08x"`-style 19-char hex (res byte + zigzag q + r).
+    * 8 hex chars per coordinate: the zigzagged axial coordinate is
+    * bounded by ~2·(π·R·(√3/3+1/3))/edge(res) < 2³² for every res ≤ 15,
+    * so `lpad` never sees an over-wide input and cannot truncate
+    * distinct cells into a collision (6 chars overflowed at res ≥ 14). */
   def hexCell(lat: Column, lng: Column, res: Int): Column = {
+    require(res >= 0 && res <= 15,
+      s"hexCell resolution must be in [0, 15], got $res")
     val s = edgeLengthM(res) // hex size parameter (center→vertex)
     val phi = radians(lat)
     val x = radians(lng) * cos(phi) * EarthR
@@ -150,7 +159,7 @@ object GeoF {
     def zz(c: Column): Column =
       when(c >= 0, c * 2).otherwise(c * -2 - 1)
     concat(lit("9"), lpad(lower(hex(lit(res))), 2, "0"),
-      lpad(lower(hex(zz(q))), 6, "0"), lpad(lower(hex(zz(r))), 6, "0"))
+      lpad(lower(hex(zz(q))), 8, "0"), lpad(lower(hex(zz(r))), 8, "0"))
   }
 
   /** Scala-side mirror of [[hexCell]] for unit tests / oracle generation.
@@ -158,6 +167,8 @@ object GeoF {
     * exactly — `math.round` rounds half toward +∞ and would disagree on
     * negative half-integer axial coordinates. */
   def hexCellScala(lat: Double, lng: Double, res: Int): String = {
+    require(res >= 0 && res <= 15,
+      s"hexCell resolution must be in [0, 15], got $res")
     def rnd(x: Double): Double =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
     val s = edgeLengthM(res)
@@ -175,6 +186,6 @@ object GeoF {
     if (dq > dr && dq > ds) qr = -rr - sr
     else if (dr > ds) rr = -qr - sr
     def zz(c: Long): Long = if (c >= 0) c * 2 else c * -2 - 1
-    f"9${res}%02x${zz(qr.toLong)}%06x${zz(rr.toLong)}%06x"
+    f"9${res}%02x${zz(qr.toLong)}%08x${zz(rr.toLong)}%08x"
   }
 }

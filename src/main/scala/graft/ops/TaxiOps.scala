@@ -54,7 +54,7 @@ object TaxiOps {
     * (`enrichment_query.py:10,17`; see GeoF for the carto-H3 numbering
     * divergence). */
   def zoneHex(zones: DataFrame, res: Int = 9): DataFrame =
-    zones.withColumn("h3",
+    zones.withColumn("hex",
       GeoF.hexCell(
         GeoF.centroidLat(col("zone_geom")),
         GeoF.centroidLng(col("zone_geom")), res))
@@ -74,15 +74,15 @@ object TaxiOps {
     // ids, making the LEFT join effectively inner (Catalyst derives this
     // via EliminateOuterJoin).
     val ranked = zoneHex(zones.withColumn("finish_rank", zoneRank), res)
-      .select(col("zone_id"), col("h3"), col("finish_rank"))
+      .select(col("zone_id"), col("hex"), col("finish_rank"))
     val doff = trips.join(ranked,
       trips("dropoff_location_id") === ranked("zone_id"), "left")
       .filter(col("finish_rank") === 1)
-      .select(keys.map(trips(_)) :+ ranked("h3").as("h3_dropoff"): _*)
+      .select(keys.map(trips(_)) :+ ranked("hex").as("hex_dropoff"): _*)
     val pup = trips.join(ranked,
       trips("pickup_location_id") === ranked("zone_id"), "left")
       .filter(col("finish_rank") === 1)
-      .select(keys.map(trips(_)) :+ ranked("h3").as("h3_pickup"): _*)
+      .select(keys.map(trips(_)) :+ ranked("hex").as("hex_pickup"): _*)
     doff.join(pup, keys, "inner")
       .withColumn("daypart", DateTimeF.daypart(col("pickup_datetime")))
   }
@@ -96,18 +96,18 @@ object TaxiOps {
     def ranked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
       Ranked.topK(df, cnt, k, tie)
     val routes = ranked(
-      enriched.groupBy("h3_pickup", "h3_dropoff")
+      enriched.groupBy("hex_pickup", "hex_dropoff")
         .agg(count(lit(1)).as("route_count")),
-      "route_count", Seq("h3_pickup", "h3_dropoff"))
-      .select(struct(col("h3_pickup").as("pickup_hexagons"),
-        col("h3_dropoff").as("dropoff_hexagons")).as("route"),
+      "route_count", Seq("hex_pickup", "hex_dropoff"))
+      .select(struct(col("hex_pickup").as("pickup_hexagons"),
+        col("hex_dropoff").as("dropoff_hexagons")).as("route"),
         col("route_count"), col("popularity"))
     val dropoffs = ranked(
-      enriched.groupBy("h3_dropoff").agg(count(lit(1)).as("dropoff_count")),
-      "dropoff_count", Seq("h3_dropoff"))
+      enriched.groupBy("hex_dropoff").agg(count(lit(1)).as("dropoff_count")),
+      "dropoff_count", Seq("hex_dropoff"))
     val pickups = ranked(
-      enriched.groupBy("h3_pickup").agg(count(lit(1)).as("pickup_count")),
-      "pickup_count", Seq("h3_pickup"))
+      enriched.groupBy("hex_pickup").agg(count(lit(1)).as("pickup_count")),
+      "pickup_count", Seq("hex_pickup"))
     routes
       .join(dropoffs, Seq("popularity"), "inner")
       .join(pickups, Seq("popularity"), "inner")

@@ -71,7 +71,16 @@ object TaxiPipeline {
     // the prefix, `taxi_trips_etl.py:33`): gate false, don't crash.
     val fs = new org.apache.hadoop.fs.Path(dayPath)
       .getFileSystem(c.spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dayPath))) {
+    // A day directory that exists but holds no part-* files (e.g. only
+    // _SUCCESS after an empty write) is ALSO an empty day: reading it
+    // would throw "Unable to infer schema", not gate false.
+    // (globStatus may return null rather than an empty array on some
+    // Hadoop filesystems when nothing matches — treat both as empty.)
+    val hasData = fs.exists(new org.apache.hadoop.fs.Path(dayPath)) &&
+      Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dayPath, "part-*")))
+        .exists(_.nonEmpty)
+    if (!hasData) {
       println(s"[pipeline] no data under $dayPath; short-circuiting")
       false
     } else {

@@ -227,7 +227,7 @@ object CoreQueries {
     * dropoff hexes / pickup hexes), each `RANK() OVER (ORDER BY count(*)
     * DESC)` + top-100, joined `USING(popularity)` twice (rank ties ⇒ row
     * multiplication, faithful to the reference; README.md:51).
-    * h3 cells ≙ stringified part/supp keys. Tie-break columns are added to
+    * hex cells ≙ stringified part/supp keys. Tie-break columns are added to
     * the LIMIT ordering (both engines) so the top-100 cut is
     * deterministic; rank itself still ranks on count alone, like the
     * reference. The reference's STRUCT route output is covered separately
@@ -235,27 +235,27 @@ object CoreQueries {
     * engines is not part of the driver contract). */
   private def topkPopularity(s: SparkSession, dir: String): DataFrame = {
     val trips = tbl(s, dir, "lineitem")
-      .select(col("l_partkey").cast("string").as("h3_pickup"),
-        col("l_suppkey").cast("string").as("h3_dropoff"))
+      .select(col("l_partkey").cast("string").as("hex_pickup"),
+        col("l_suppkey").cast("string").as("hex_dropoff"))
 
     val routes = rankedTopK(
-      trips.groupBy("h3_pickup", "h3_dropoff")
+      trips.groupBy("hex_pickup", "hex_dropoff")
         .agg(count(lit(1)).as("route_count")),
-      "route_count", 100, Seq("h3_pickup", "h3_dropoff"))
-      .select(col("h3_pickup").as("route_pickup_hex"),
-        col("h3_dropoff").as("route_dropoff_hex"),
+      "route_count", 100, Seq("hex_pickup", "hex_dropoff"))
+      .select(col("hex_pickup").as("route_pickup_hex"),
+        col("hex_dropoff").as("route_dropoff_hex"),
         col("route_count"), col("popularity"))
 
     val dropoffs = rankedTopK(
-      trips.groupBy("h3_dropoff").agg(count(lit(1)).as("dropoff_count")),
-      "dropoff_count", 100, Seq("h3_dropoff"))
-      .select(col("h3_dropoff").as("top_dropoff_hex"),
+      trips.groupBy("hex_dropoff").agg(count(lit(1)).as("dropoff_count")),
+      "dropoff_count", 100, Seq("hex_dropoff"))
+      .select(col("hex_dropoff").as("top_dropoff_hex"),
         col("dropoff_count"), col("popularity"))
 
     val pickups = rankedTopK(
-      trips.groupBy("h3_pickup").agg(count(lit(1)).as("pickup_count")),
-      "pickup_count", 100, Seq("h3_pickup"))
-      .select(col("h3_pickup").as("top_pickup_hex"),
+      trips.groupBy("hex_pickup").agg(count(lit(1)).as("pickup_count")),
+      "pickup_count", 100, Seq("hex_pickup"))
+      .select(col("hex_pickup").as("top_pickup_hex"),
         col("pickup_count"), col("popularity"))
 
     routes
@@ -267,32 +267,32 @@ object CoreQueries {
 
   private val topkPopularitySql =
     """WITH trips AS (
-      |  SELECT CAST(l_partkey AS VARCHAR) AS h3_pickup,
-      |         CAST(l_suppkey AS VARCHAR) AS h3_dropoff
+      |  SELECT CAST(l_partkey AS VARCHAR) AS hex_pickup,
+      |         CAST(l_suppkey AS VARCHAR) AS hex_dropoff
       |  FROM lineitem
       |), routes AS (
-      |  SELECT h3_pickup AS route_pickup_hex, h3_dropoff AS route_dropoff_hex,
+      |  SELECT hex_pickup AS route_pickup_hex, hex_dropoff AS route_dropoff_hex,
       |         route_count, rank() OVER (ORDER BY route_count DESC) AS popularity
       |  FROM (
-      |    SELECT h3_pickup, h3_dropoff, count(*) AS route_count
-      |    FROM trips GROUP BY h3_pickup, h3_dropoff
-      |    ORDER BY route_count DESC, h3_pickup, h3_dropoff LIMIT 100
+      |    SELECT hex_pickup, hex_dropoff, count(*) AS route_count
+      |    FROM trips GROUP BY hex_pickup, hex_dropoff
+      |    ORDER BY route_count DESC, hex_pickup, hex_dropoff LIMIT 100
       |  )
       |), dropoffs AS (
-      |  SELECT h3_dropoff AS top_dropoff_hex, dropoff_count,
+      |  SELECT hex_dropoff AS top_dropoff_hex, dropoff_count,
       |         rank() OVER (ORDER BY dropoff_count DESC) AS popularity
       |  FROM (
-      |    SELECT h3_dropoff, count(*) AS dropoff_count
-      |    FROM trips GROUP BY h3_dropoff
-      |    ORDER BY dropoff_count DESC, h3_dropoff LIMIT 100
+      |    SELECT hex_dropoff, count(*) AS dropoff_count
+      |    FROM trips GROUP BY hex_dropoff
+      |    ORDER BY dropoff_count DESC, hex_dropoff LIMIT 100
       |  )
       |), pickups AS (
-      |  SELECT h3_pickup AS top_pickup_hex, pickup_count,
+      |  SELECT hex_pickup AS top_pickup_hex, pickup_count,
       |         rank() OVER (ORDER BY pickup_count DESC) AS popularity
       |  FROM (
-      |    SELECT h3_pickup, count(*) AS pickup_count
-      |    FROM trips GROUP BY h3_pickup
-      |    ORDER BY pickup_count DESC, h3_pickup LIMIT 100
+      |    SELECT hex_pickup, count(*) AS pickup_count
+      |    FROM trips GROUP BY hex_pickup
+      |    ORDER BY pickup_count DESC, hex_pickup LIMIT 100
       |  )
       |)
       |SELECT r.route_pickup_hex, r.route_dropoff_hex, r.route_count,
@@ -402,7 +402,12 @@ object CoreQueries {
       |       END AS daypart
       |FROM events ORDER BY event_id""".stripMargin
 
-  /** F7 — named STRUCT constructor (ref `taxi_trips_etl.py:166`). */
+  /** F7 — named STRUCT constructor (ref `taxi_trips_etl.py:166`).
+    * The struct is genuinely constructed (the operator under test), then
+    * serialized with `to_json` for the cross-engine compare: the driver's
+    * pandas canonicalizer cannot hash a nested dict cell, but both Spark
+    * and DuckDB emit the identical compact JSON text for a 2-field struct
+    * of strings, so the serialized column hashes deterministically. */
   private def structRoute(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
       .filter(col("l_orderkey") <= 100)
@@ -411,12 +416,15 @@ object CoreQueries {
           col("l_partkey").cast("string").as("pickup_hexagons"),
           col("l_suppkey").cast("string").as("dropoff_hexagons"))
           .as("route"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_json(col("route")).as("route_json"))
       .orderBy(li.map(col): _*)
 
   private val structRouteSql =
     """SELECT l_orderkey, l_linenumber,
-      |       {'pickup_hexagons': CAST(l_partkey AS VARCHAR),
-      |        'dropoff_hexagons': CAST(l_suppkey AS VARCHAR)} AS route
+      |       CAST(to_json({'pickup_hexagons': CAST(l_partkey AS VARCHAR),
+      |                     'dropoff_hexagons': CAST(l_suppkey AS VARCHAR)})
+      |            AS VARCHAR) AS route_json
       |FROM lineitem WHERE l_orderkey <= 100
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 

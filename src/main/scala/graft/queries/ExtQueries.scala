@@ -650,9 +650,16 @@ object ExtQueries {
     }.toDF().orderBy("doc_id")
   }
 
+  // Oracle is BYTE-based (encode(text) → BLOB) to match the Spark side,
+  // which operates on the raw UTF-8 payload: strlen/ascii count
+  // CHARACTERS/code points and would diverge on any non-ASCII document.
+  // n_tokens stays character-based — the split delimiters are ASCII
+  // whitespace, so UTF-8 decode-then-split ≡ byte-split on both engines.
   private val multimodalFeaturesSql =
-    """SELECT doc_id, strlen(text) AS n_bytes,
-      |       ascii(substr(text, 1, 1)) AS first_byte,
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |       CASE WHEN octet_length(encode(text)) = 0 THEN 0
+      |            ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END
+      |         AS first_byte,
       |       CASE WHEN length(trim(text)) = 0 THEN 0
       |            ELSE len(string_split_regex(trim(text), '\s+')) END
       |         AS n_tokens
@@ -679,9 +686,16 @@ object ExtQueries {
         val payload = Option(m.payload).getOrElse(Array.emptyByteArray)
         val frames = payload.grouped(64).toArray
         val sampled = frames.indices.count(_ % 4 == 0)
+        // Digest the frame's lowercase-hex fingerprint (not the raw
+        // bytes): this DuckDB build has no md5(BLOB), and digesting the
+        // hex string keeps the compared value a pure function of the
+        // BYTE content on both engines. A real deployment would digest
+        // the raw frame here.
         val firstMd5 = frames.headOption.map { f =>
           md.reset()
-          md.digest(f).map("%02x".format(_)).mkString
+          val hexStr = f.map("%02x".format(_)).mkString
+          md.digest(hexStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
         }.orNull // empty payload → 0 frames, NULL digest (oracle NULLIFs)
         MediaFrameStats(m.doc_id, frames.length.toLong, sampled.toLong,
           firstMd5)
@@ -689,12 +703,17 @@ object ExtQueries {
     }.toDF().orderBy("doc_id")
   }
 
+  // Byte-based like the features oracle: frame boundaries are BYTE
+  // offsets (substr of the blob's hex, 2 hex chars per byte), so
+  // multi-byte UTF-8 sequences split mid-character exactly as the Spark
+  // side's payload.grouped(64) does.
   private val multimodalFramesSql =
     """SELECT doc_id,
-      |       (strlen(text) + 63) // 64 AS n_frames,
-      |       ((strlen(text) + 63) // 64 + 3) // 4 AS n_sampled,
-      |       CASE WHEN strlen(text) = 0 THEN NULL
-      |            ELSE md5(substring(text, 1, 64)) END AS first_frame_md5
+      |       (octet_length(encode(text)) + 63) // 64 AS n_frames,
+      |       ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled,
+      |       CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+      |            ELSE md5(lower(substr(hex(encode(text)), 1, 128))) END
+      |         AS first_frame_md5
       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   val all: Map[String, QueryDef] = Map(

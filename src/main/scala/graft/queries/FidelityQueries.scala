@@ -42,8 +42,8 @@ object FidelityQueries {
       col("route.pickup_hexagons").as("route_pickup_hex"),
       col("route.dropoff_hexagons").as("route_dropoff_hex"),
       col("route_count"),
-      col("h3_dropoff").as("top_dropoff_hex"), col("dropoff_count"),
-      col("h3_pickup").as("top_pickup_hex"), col("pickup_count"))
+      col("hex_dropoff").as("top_dropoff_hex"), col("dropoff_count"),
+      col("hex_pickup").as("top_pickup_hex"), col("pickup_count"))
       .orderBy("popularity", "route_pickup_hex", "route_dropoff_hex",
         "top_dropoff_hex", "top_pickup_hex")
   }
@@ -68,50 +68,50 @@ object FidelityQueries {
        |    AND trip_distance != 0 AND trip_distance IS NOT NULL
        |    AND fare_amount != 0
        |), zone_hex AS (
-       |  SELECT * FROM (VALUES $hexRows) AS t(zone_id, h3)
+       |  SELECT * FROM (VALUES $hexRows) AS t(zone_id, hex)
        |), doff AS (
        |  SELECT n.pickup_datetime, n.dropoff_datetime,
        |         n.pickup_location_id, n.dropoff_location_id,
-       |         z.h3 AS h3_dropoff
+       |         z.hex AS hex_dropoff
        |  FROM norm n LEFT JOIN zone_hex z ON n.dropoff_location_id = z.zone_id
        |  WHERE z.zone_id IS NOT NULL
        |), pup AS (
        |  SELECT n.pickup_datetime, n.dropoff_datetime,
        |         n.pickup_location_id, n.dropoff_location_id,
-       |         z.h3 AS h3_pickup
+       |         z.hex AS hex_pickup
        |  FROM norm n LEFT JOIN zone_hex z ON n.pickup_location_id = z.zone_id
        |  WHERE z.zone_id IS NOT NULL
        |), enriched AS (
-       |  SELECT p.h3_pickup, d.h3_dropoff
+       |  SELECT p.hex_pickup, d.hex_dropoff
        |  FROM doff d JOIN pup p
        |    ON d.pickup_datetime = p.pickup_datetime
        |   AND d.dropoff_datetime = p.dropoff_datetime
        |   AND d.pickup_location_id = p.pickup_location_id
        |   AND d.dropoff_location_id = p.dropoff_location_id
        |), routes AS (
-       |  SELECT h3_pickup AS route_pickup_hex, h3_dropoff AS route_dropoff_hex,
+       |  SELECT hex_pickup AS route_pickup_hex, hex_dropoff AS route_dropoff_hex,
        |         route_count, rank() OVER (ORDER BY route_count DESC)
        |           AS popularity
        |  FROM (
-       |    SELECT h3_pickup, h3_dropoff, count(*) AS route_count
-       |    FROM enriched GROUP BY h3_pickup, h3_dropoff
-       |    ORDER BY route_count DESC, h3_pickup, h3_dropoff LIMIT 100
+       |    SELECT hex_pickup, hex_dropoff, count(*) AS route_count
+       |    FROM enriched GROUP BY hex_pickup, hex_dropoff
+       |    ORDER BY route_count DESC, hex_pickup, hex_dropoff LIMIT 100
        |  )
        |), dropoffs AS (
-       |  SELECT h3_dropoff AS top_dropoff_hex, dropoff_count,
+       |  SELECT hex_dropoff AS top_dropoff_hex, dropoff_count,
        |         rank() OVER (ORDER BY dropoff_count DESC) AS popularity
        |  FROM (
-       |    SELECT h3_dropoff, count(*) AS dropoff_count
-       |    FROM enriched GROUP BY h3_dropoff
-       |    ORDER BY dropoff_count DESC, h3_dropoff LIMIT 100
+       |    SELECT hex_dropoff, count(*) AS dropoff_count
+       |    FROM enriched GROUP BY hex_dropoff
+       |    ORDER BY dropoff_count DESC, hex_dropoff LIMIT 100
        |  )
        |), pickups AS (
-       |  SELECT h3_pickup AS top_pickup_hex, pickup_count,
+       |  SELECT hex_pickup AS top_pickup_hex, pickup_count,
        |         rank() OVER (ORDER BY pickup_count DESC) AS popularity
        |  FROM (
-       |    SELECT h3_pickup, count(*) AS pickup_count
-       |    FROM enriched GROUP BY h3_pickup
-       |    ORDER BY pickup_count DESC, h3_pickup LIMIT 100
+       |    SELECT hex_pickup, count(*) AS pickup_count
+       |    FROM enriched GROUP BY hex_pickup
+       |    ORDER BY pickup_count DESC, hex_pickup LIMIT 100
        |  )
        |)
        |SELECT r.popularity, r.route_pickup_hex, r.route_dropoff_hex,

@@ -55,27 +55,29 @@ object GeoQueries {
       |       round(n_nationkey * 0.5 - 6.0, 6) AS c_lat
       |FROM nation ORDER BY zone_id""".stripMargin
 
-  /** F6 — H3_FROMGEOGPOINT(ST_CENTROID(geom), 9) (ref
-    * `enrichment_query.py:10,17`): centroid → res-9 hex cell id, the full
-    * enrichment geo path. The oracle is generated from the Scala mirror
-    * of the same cell function ([[GeoF.hexCellScala]]) — a genuine
-    * cross-check of the codegen'd Column math against an independent
-    * implementation (DuckDB has no offline H3; see GeoF scaladoc for the
-    * carto-H3 numbering divergence). */
+  /** F6 — the reference's `H3_FROMGEOGPOINT(ST_CENTROID(geom), 9)` slot
+    * (`enrichment_query.py:10,17`): centroid → res-9 hex cell id, the
+    * full enrichment geo path. The cell ids are [[GeoF.hexCell]]'s own
+    * lattice, NOT carto-H3 numbering (claim withdrawn; see GeoF
+    * scaladoc), hence the `hex_9` column name. The oracle is generated
+    * from the independent Scala mirror ([[GeoF.hexCellScala]]) — a
+    * cross-check of the codegen'd Column math against a second
+    * implementation path (it caught a HALF_UP rounding divergence), but
+    * not an external ground truth, since DuckDB has no offline H3. */
   private def hexIndex(s: SparkSession, dir: String): DataFrame =
     zonesWkt(s, dir)
       .select(col("zone_id"),
         GeoF.hexCell(
           GeoF.centroidLat(col("zone_geom")),
-          GeoF.centroidLng(col("zone_geom")), 9).as("h3_9"))
+          GeoF.centroidLng(col("zone_geom")), 9).as("hex_9"))
       .orderBy("zone_id")
 
   private val hexIndexSql = {
     val rows = (0 until 25)
       .map(k => s"($k, '${GeoF.hexCellScala(latOf(k), lngOf(k), 9)}')")
       .mkString(", ")
-    s"""SELECT t.zone_id, t.h3_9
-       |FROM (VALUES $rows) AS t(zone_id, h3_9)
+    s"""SELECT t.zone_id, t.hex_9
+       |FROM (VALUES $rows) AS t(zone_id, hex_9)
        |JOIN nation ON t.zone_id = n_nationkey
        |ORDER BY zone_id""".stripMargin
   }

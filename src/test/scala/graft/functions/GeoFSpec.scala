@@ -37,7 +37,7 @@ class GeoFSpec extends SparkSpec {
   test("hex cell ids: stable, local, resolution-scheduled") {
     val a = GeoF.hexCellScala(40.7128, -74.0060, 9)
     assert(a === GeoF.hexCellScala(40.7128, -74.0060, 9)) // deterministic
-    assert(a.length === 15 && a.startsWith("909"))
+    assert(a.length === 19 && a.startsWith("909"))
     // ~15 m apart at res 7 (edge ≈ 1.2 km) → same cell (cell-center start)
     val b7 = GeoF.hexCellScala(0.0, 0.0, 7)
     val c7 = GeoF.hexCellScala(0.0001, 0.0001, 7)

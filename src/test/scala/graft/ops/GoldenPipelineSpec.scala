@@ -81,7 +81,7 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(parts.count(_.isEmpty) === 1) // exactly the 23:59:59.5 pickup
     assert(Set("Night", "Morning", "Noon", "Evening")
       .subsetOf(parts.flatten.toSet))
-    assert(enriched.filter($"h3_pickup".isNull || $"h3_dropoff".isNull)
+    assert(enriched.filter($"hex_pickup".isNull || $"hex_dropoff".isNull)
       .count() === 0)
   }
 

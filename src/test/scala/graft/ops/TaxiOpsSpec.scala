@@ -52,7 +52,7 @@ class TaxiOpsSpec extends SparkSpec {
     val parts = e.select("daypart").as[String].collect().sorted.toSeq
     assert(parts === Seq("Evening", "Morning", "Noon"))
     // both hex columns resolved (no NULL-extended rows survive rank=1)
-    assert(e.filter($"h3_pickup".isNull || $"h3_dropoff".isNull).count() === 0)
+    assert(e.filter($"hex_pickup".isNull || $"hex_dropoff".isNull).count() === 0)
   }
 
   test("mostPopulars ranks the 1→2 route first with the STRUCT route") {
