@@ -25,7 +25,7 @@ object Bench {
 
     var failed = List.empty[String]
     val results = SparkEntry.benchNames.flatMap { name =>
-      SparkEntry.queries.get(name).flatMap { fn =>
+      SparkEntry.benchQueries.get(name).flatMap { fn =>
         // Warm the plan at the smallest SF first: JIT + whole-stage
         // codegen compile are one-time JVM costs (measured 22 s cold vs
         // 2.4 s warm on identical plans). A warm-up failure (e.g. the

@@ -35,4 +35,9 @@ object SparkEntry {
   /** Headline subset timed by Bench (full set runs through Verify). */
   def benchNames: Seq[String] =
     defs.filter(_._2.bench).keys.toSeq.sorted
+
+  /** The plan Bench times per headline query: the canonical `fn` unless
+    * a bench variant strips oracle-only canonicalization artifacts. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.filter(_._2.bench).map { case (k, d) => k -> d.benched }
 }

@@ -16,4 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    benchFn: Option[(SparkSession, String) => DataFrame] = None) {
+
+  /** What the bench times: `benchFn` when the canonical `fn` carries
+    * oracle-only artifacts (a total ORDER BY that exists solely so the
+    * hash compare is deterministic, or one-time setup writes), else `fn`
+    * itself. Correctness always runs `fn`. */
+  def benched: (SparkSession, String) => DataFrame = benchFn.getOrElse(fn)
+}
