@@ -66,6 +66,104 @@ object IngestQueries {
       .orderBy("n_nationkey")
   }
 
+  /** S4b — CSV load with an EXPLICIT schema (ref `taxi_trips_etl.py:52-59,
+    * 68-74`: the SCHEMA-supplied branch of the generic loader, vs the
+    * autodetect branch s4 exercises): the same header CSV as s4, read
+    * with a typed StructType instead of `inferSchema`. Scale: inference
+    * is an extra pass over the data before the real read — a 100 TB
+    * ingest always supplies the schema, so this is the branch that
+    * actually runs at scale. */
+  private def csvExplicitSchema(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = qtmp("csv_explicit/nation")
+    tbl(s, dir, "nation").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.option("header", "true").schema(schema).csv(path)
+      .orderBy("n_nationkey")
+  }
+
+  /** S10/S11 as the reference's ACTUAL dbt model DAG (the SQL files under
+    * `models/`,
+    * materializations per `dbt_project.yml:44-48`): `tripss` (table; raw
+    * projection — date(), timestamp_diff MINUTE, amount, zone id) →
+    * `stg_taxi_trips__tripss` (table; staging rename pass-through) +
+    * `trips_view` (VIEW materialization — registered, never written) +
+    * `daily_trip_metrics` (table; avg/sum×2 FROM ref('tripss')). Every
+    * table model materializes through the [[Catalog]] and is re-read BY
+    * NAME via `spark.table`/SQL — dbt's source()/ref() resolution over
+    * the catalog namespace. The result reads the DAG head back through
+    * the catalog and rides existence probes of every model along as
+    * `dag_ok` (same pattern as s5's `probe_ok`). */
+  private def dbtModels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.DateTimeF
+    val cat = new Catalog(s, qtmp("dbt_wh"))
+    // model `tripss` (+materialized: table; ref models/tripss.sql:1-7)
+    val tripss = tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .select(
+        DateTimeF.toDateCol(col("o_orderdate")).cast("string")
+          .as("pickup_date"),
+        DateTimeF.timestampDiffMinutes(col("l_shipdate"), col("o_orderdate"))
+          .as("drive_time"),
+        col("l_extendedprice").as("total_amount"),
+        col("l_suppkey").as("pickup_location_id"))
+    cat.save("tripss", tripss)
+    cat.view("tripss") // ref('tripss') ≡ source('taxi_trips','tripss')
+    // model `stg_taxi_trips__tripss` (table; models/staging/.../*.sql)
+    cat.save("stg_taxi_trips__tripss", s.table("tripss")
+      .select("pickup_date", "drive_time", "total_amount",
+        "pickup_location_id"))
+    cat.view("stg_taxi_trips__tripss")
+    // model `trips_view` (+materialized: view; models/trips_view.sql:1)
+    s.sql("SELECT count(1) AS trip_count FROM tripss")
+      .createOrReplaceTempView("trips_view")
+    // model `daily_trip_metrics` (table; models/daily_trip_metrics.sql:1-3)
+    val sumAmt = sum(col("total_amount").cast(DecimalType(18, 2)))
+      .cast("double")
+    cat.save("daily_trip_metrics", s.table("tripss")
+      .groupBy("pickup_date")
+      .agg(
+        (sum("drive_time").cast("double") / count(lit(1)))
+          .as("avg_drive_time"),
+        sum("drive_time").as("total_drive_time"),
+        (sumAmt / count(lit(1))).as("avg_amount"),
+        sumAmt.as("sum_amount")))
+    cat.view("daily_trip_metrics")
+    val dagOk = Seq("tripss", "stg_taxi_trips__tripss", "daily_trip_metrics")
+      .forall(cat.exists)
+    s.sql("""SELECT m.*, v.trip_count
+             FROM daily_trip_metrics m CROSS JOIN trips_view v""")
+      .withColumn("dag_ok", lit(dagOk))
+      .orderBy(col("pickup_date").desc)
+  }
+
+  private val dbtModelsSql =
+    """WITH tripss AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS pickup_date,
+      |         CAST(trunc((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+      |                    / 60000000.0) AS BIGINT) AS drive_time,
+      |         l_extendedprice AS total_amount,
+      |         l_suppkey AS pickup_location_id
+      |  FROM lineitem INNER JOIN orders ON l_orderkey = o_orderkey
+      |), tv AS (SELECT count(*) AS trip_count FROM tripss)
+      |SELECT pickup_date,
+      |       CAST(SUM(drive_time) AS DOUBLE) / COUNT(*) AS avg_drive_time,
+      |       CAST(SUM(drive_time) AS BIGINT) AS total_drive_time,
+      |       CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*) AS avg_amount,
+      |       CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_amount,
+      |       (SELECT trip_count FROM tv) AS trip_count,
+      |       true AS dag_ok
+      |FROM tripss GROUP BY pickup_date
+      |ORDER BY pickup_date DESC""".stripMargin
+
   /** S5–S8 + S10/S11 — catalog lifecycle: truncate-then-append load,
     * existence probes, drop, temp-view registration (ref
     * `taxi_trips_etl.py:32-40,77-80,88-93,112`). The probe outcomes ride
@@ -177,6 +275,9 @@ object IngestQueries {
     "s1_s2_datepath_glob" -> QueryDef(datepathGlob, Some(datepathGlobSql)),
     "s4_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(
       "SELECT * FROM nation ORDER BY n_nationkey")),
+    "s4b_csv_explicit_schema" -> QueryDef(csvExplicitSchema, Some(
+      "SELECT * FROM nation ORDER BY n_nationkey")),
+    "dbt_models" -> QueryDef(dbtModels, Some(dbtModelsSql)),
     "s5_catalog_lifecycle" -> QueryDef(catalogLifecycle,
       Some(catalogLifecycleSql)),
     "c_pipeline_e2e" -> QueryDef(pipelineE2E, Some(pipelineE2ESql),

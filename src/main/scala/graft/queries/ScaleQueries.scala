@@ -81,18 +81,19 @@ object ScaleQueries {
     * is exactly what the oracle checks (plain unsalted join). AQE's
     * skew-join handles moderate skew automatically; explicit salting is
     * the deterministic variant that also works for aggregations. */
-  private val SaltF = 4
+  val SaltF = 4
 
-  private def saltedJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = graft.eventsTbl(s, dir)
-      .select(col("event_id"), (col("user_id") % 25).as("zone_id"),
-        col("value"))
-      .withColumn("salt", pmod(col("event_id"), lit(SaltF)))
-    val dim = tbl(s, dir, "nation")
-      .select(col("n_nationkey"), col("n_name"))
+  /** The salted fact⋈dim aggregate on supplied inputs: `ev` must carry
+    * (event_id, zone_id, value); the dim is replicated SaltF× and the
+    * join key becomes (zone_id, salt) — identical semantics to the plain
+    * join, hot keys spread across SaltF reducers. Public so the skew
+    * spec can drive it with a deliberately hot-keyed fixture. */
+  def saltedZoneJoin(ev: DataFrame, dim: DataFrame): DataFrame = {
+    val evS = ev.withColumn("salt", pmod(col("event_id"), lit(SaltF)))
+    val dimS = dim.select(col("n_nationkey"), col("n_name"))
       .withColumn("salt", explode(sequence(lit(0), lit(SaltF - 1))))
-    ev.join(dim,
-      ev("zone_id") === dim("n_nationkey") && ev("salt") === dim("salt"),
+    evS.join(dimS,
+      evS("zone_id") === dimS("n_nationkey") && evS("salt") === dimS("salt"),
       "inner")
       .groupBy("n_name")
       .agg(count(lit(1)).as("n"),
@@ -100,6 +101,13 @@ object ScaleQueries {
           .as("sum_value"))
       .orderBy("n_name")
   }
+
+  private def saltedJoin(s: SparkSession, dir: String): DataFrame =
+    saltedZoneJoin(
+      graft.eventsTbl(s, dir)
+        .select(col("event_id"), (col("user_id") % 25).as("zone_id"),
+          col("value")),
+      tbl(s, dir, "nation"))
 
   private val saltedJoinSql =
     """SELECT n_name, count(*) AS n,

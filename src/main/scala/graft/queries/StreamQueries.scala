@@ -72,9 +72,55 @@ object StreamQueries {
       |       event_type, count(*) AS cnt
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** Stateful streaming via mapGroupsWithState, drained synchronously:
+    * per-user event count + value at the latest event time. The stream is
+    * split across ≥2 microbatches (maxFilesPerTrigger < file count) so
+    * state genuinely carries across batch boundaries; update-mode memory
+    * sink keeps every per-batch state version, and the final state per
+    * user is the row with the highest n_events (monotone per user).
+    * Oracle: the equivalent batch answer — count + argmax-by-(ts,value). */
+  private def streamUserState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = freshDir(qtmp("state"))
+    eventsTbl(s, dir).select("user_id", "ts", "value").repartition(4)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = s.read.parquet(s"$base/src").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$base/src")
+      .as[graft.streaming.UserEvent]
+    val q = StreamIngest.userRunningStats(stream)
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_state")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    s.table("graft_stream_state")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy("user_id")
+  }
+
+  private val streamUserStateSql =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+      |), l AS (
+      |  SELECT user_id, epoch_us(ts) AS last_epoch_us, value AS last_value
+      |  FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |                             ORDER BY ts DESC, value DESC) = 1
+      |)
+      |SELECT c.user_id, c.n_events, l.last_epoch_us, l.last_value
+      |FROM c JOIN l USING (user_id) ORDER BY user_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "st_stream_ingest" -> QueryDef(streamIngest, Some(streamIngestSql)),
     "st_stream_window" -> QueryDef(streamWindowCounts,
-      Some(streamWindowCountsSql))
+      Some(streamWindowCountsSql)),
+    "st_stream_state" -> QueryDef(streamUserState, Some(streamUserStateSql))
   )
 }

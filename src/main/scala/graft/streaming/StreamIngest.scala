@@ -54,10 +54,14 @@ object StreamIngest {
       .select(col("w.start").cast("date").cast("string").as("day"),
         col("event_type"), col("cnt"))
 
-  /** Per-user running state via mapGroupsWithState: event count + last
-    * seen value per user (the `KeyValueGroupedDataset` custom-state
-    * surface). ProcessingTimeTimeout keeps state finite in production;
-    * with AvailableNow the state simply drains once. */
+  /** Per-user running state via mapGroupsWithState: event count + the
+    * value at the latest EVENT time per user (the
+    * `KeyValueGroupedDataset` custom-state surface). "Latest" is defined
+    * by (event ts, value) — event-time order with a value tie-break —
+    * NOT by processing order: microbatch boundaries and partition order
+    * are nondeterministic, so processing-order "last" would give a
+    * different answer per run. ProcessingTimeTimeout keeps state finite
+    * in production; with AvailableNow the state simply drains once. */
   def userRunningStats(events: Dataset[UserEvent]): Dataset[UserStat] = {
     import events.sparkSession.implicits._
     events
@@ -65,17 +69,29 @@ object StreamIngest {
       .mapGroupsWithState[UserStat, UserStat](
         GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[UserEvent], st: GroupState[UserStat]) =>
-          val prev = st.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          val prev = st.getOption.getOrElse(UserStat(uid, 0L, Long.MinValue, 0.0))
           var n = prev.n_events
+          var lastUs = prev.last_epoch_us
           var last = prev.last_value
-          evs.foreach { e => n += 1; last = e.value }
-          val next = UserStat(uid, n, last)
+          evs.foreach { e =>
+            n += 1
+            val us = epochMicros(e.ts)
+            if (us > lastUs || (us == lastUs && e.value > last)) {
+              lastUs = us; last = e.value
+            }
+          }
+          val next = UserStat(uid, n, lastUs, last)
           st.update(next)
           next
       }
   }
+
+  /** Full-precision epoch µs from a Timestamp (getTime alone is ms). */
+  def epochMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 }
 
 final case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
                            value: Double)
-final case class UserStat(user_id: Long, n_events: Long, last_value: Double)
+final case class UserStat(user_id: Long, n_events: Long, last_epoch_us: Long,
+                          last_value: Double)

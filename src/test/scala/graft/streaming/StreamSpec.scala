@@ -10,14 +10,23 @@ class StreamSpec extends SparkSpec {
     import spark.implicits._
     // mapGroupsWithState also runs on batch Datasets (state spans the group)
     val evs = Seq(
-      UserEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      // user 1's latest-by-ts event arrives FIRST: processing-order
+      // "last" would answer 1.0; event-time argmax must answer 2.0
       UserEvent(1L, Timestamp.valueOf("2024-01-01 00:01:00"), 2.0),
-      UserEvent(2L, Timestamp.valueOf("2024-01-01 00:02:00"), 7.0)).toDS()
+      UserEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      UserEvent(2L, Timestamp.valueOf("2024-01-01 00:02:00"), 7.0),
+      // ts tie for user 3 → value tie-break picks 9.0
+      UserEvent(3L, Timestamp.valueOf("2024-01-01 00:03:00"), 9.0),
+      UserEvent(3L, Timestamp.valueOf("2024-01-01 00:03:00"), 4.0)).toDS()
     val out = StreamIngest.userRunningStats(evs).collect()
       .map(s => s.user_id -> s).toMap
     assert(out(1L).n_events === 2L)
+    assert(out(1L).last_value === 2.0)
+    assert(out(1L).last_epoch_us ===
+      StreamIngest.epochMicros(Timestamp.valueOf("2024-01-01 00:01:00")))
     assert(out(2L).n_events === 1L)
     assert(out(2L).last_value === 7.0)
+    assert(out(3L).last_value === 9.0)
   }
 
   test("streaming file ingest equals the batch read (AvailableNow drains)") {
