@@ -324,21 +324,42 @@ object ExtQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Hot-shingle cap: shingles occurring in more than this many documents
+    * are excluded from candidate generation. At sf0.01 the max df is 7, so
+    * the cap is inert on the fixture — but at 100 TB it is THE guard that
+    * keeps the inverted-index self-join's Σ_shingle n_docs² term bounded:
+    * a boilerplate shingle ("all rights reserved") shared by 10⁸ docs
+    * would otherwise alone generate 10¹⁶ candidate pairs. Mirrored in the
+    * oracle; documented divergence: a pair whose ONLY shared shingles are
+    * ultra-common is no longer reported (by construction such pairs have
+    * near-zero true Jaccard). */
+  private val MaxShingleDf = 100
+
   /** True n-gram Jaccard near-dup pairs (≥ 0.1 over distinct k=3 word
     * shingles): candidates from an inverted-index join on the shingle —
     * only docs sharing ≥1 shingle are ever paired (25 pairs at sf0.01).
-    * Jaccard = |∩| / (|A|+|B|−|∩|), exact int math + one division. */
+    * Jaccard = |∩| / (|A|+|B|−|∩|), exact int math + one division.
+    * Candidate generation drops stopword-grade hot shingles (df >
+    * [[MaxShingleDf]]); denominators still use full distinct-shingle
+    * counts. */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // Materialized once (both sides of the inverted-index self-join);
     // the join's cost is Σ_shingle n_docs² — data-dependent, so don't
     // also pay recompute per side.
-    val sh = tbl(s, dir, "documents")
+    val shAll = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(
         TextF.shinglesFromTokens(col("toks"), K)).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
-      .localCheckpoint()
+    // df-per-shingle is aggregated on the same `shingle` key the
+    // candidate join shuffles on — one extra map-side-combined pass, and
+    // the join back is co-partitioned (AQE plans it exchange-free).
+    val cold = shAll.groupBy("shingle")
+      .agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= MaxShingleDf)
+      .select("shingle")
+    val sh = shAll.join(cold, "shingle").localCheckpoint()
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("na"),
       col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n").as("nb"),
@@ -356,11 +377,16 @@ object ExtQueries {
   }
 
   private val ngramJaccardPairsSql =
-    s"""WITH sh AS (
+    s"""WITH sh_all AS (
        |  SELECT doc_id, len(shl) AS n, unnest(shl) AS shingle FROM (
        |    SELECT doc_id, $sqlShingles AS shl
        |    FROM (SELECT doc_id, $sqlLowerToks AS t FROM documents)
        |    WHERE len(t) >= $K)
+       |), cold AS (
+       |  SELECT shingle FROM sh_all GROUP BY shingle
+       |  HAVING count(*) <= $MaxShingleDf
+       |), sh AS (
+       |  SELECT sh_all.* FROM sh_all JOIN cold USING (shingle)
        |), pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
        |         any_value(a.n) AS na, any_value(b.n) AS nb

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.eventsTbl
+
+/** Event-time operators over the `events` stream table: sessionization
+  * (gaps-and-islands), bucketed range self-join, and as-of (point-in-time)
+  * join — the temporal primitives a training-data pipeline needs for
+  * behavioral features (session stats, co-occurrence windows, latest-state
+  * joins) that the reference's daily-batch surface has no answer for.
+  *
+  * Scale design:
+  *  - everything partitions by `user_id` — the natural high-cardinality
+  *    key — so the plans are one (or two) hash shuffles and no global
+  *    ordering anywhere;
+  *  - the range join never expands beyond real candidates: coarse
+  *    time-bucket equality keys (the standard bucket-then-refine interval
+  *    join) make join fan-out track true pair density, not n²;
+  *  - the as-of join is the union+window trick: one shuffle, no range
+  *    predicate, state = one running value per partition-order scan. The
+  *    custom Catalyst operator variant lives in `graft.plans.AsOfJoinExec`.
+  */
+object TemporalQueries {
+
+  /** Session gap: a new session starts after > 6 h of user inactivity
+    * (sized to the fixture's ~9 h mean inter-event gap so sessions are a
+    * mix of singletons and multi-event runs). */
+  private val SessionGapUs = 6L * 3600 * 1000000
+
+  /** Gaps-and-islands sessionization: per-user sessions delimited by
+    * inactivity gaps, with per-session stats. The lag/running-sum windows
+    * and the final aggregation all cluster on `user_id` — at 100 TB this
+    * is the canonical one-key-shuffle sessionizer (no global sort; window
+    * state is O(1) per row).
+    *
+    * Cross-engine determinism: window order is (ts, event_id) — event_id
+    * breaks any equal-timestamp tie; epoch-µs integer arithmetic; the
+    * value sum is decimal-exact with one final double cast. */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val byTime = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev
+      .withColumn("prev_us", lag("us", 1).over(byTime))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("brk").over(byTime.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("us").as("start_us"),
+        max("us").as("end_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val sessionizeSql =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                 ORDER BY epoch_us(ts), event_id)
+       |           AS prev_us
+       |  FROM events
+       |), y AS (
+       |  SELECT user_id, event_id, value, us,
+       |         CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM x
+       |), z AS (
+       |  SELECT user_id, value, us,
+       |         CAST(SUM(brk) OVER (PARTITION BY user_id
+       |                             ORDER BY us, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           AS session_seq
+       |  FROM y
+       |)
+       |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+       |       min(us) AS start_us, max(us) AS end_us,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM z GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Range-join window: ordered same-user event pairs ≤ 30 min apart. */
+  private val RangeWindowUs = 30L * 60 * 1000000
+
+  /** Bucketed range self-join: same-user event pairs within a 30-minute
+    * window. The naive form is an inequality join (O(n²) nested loop or a
+    * cross-partition range shuffle); the scale form here buckets event
+    * time into window-width epochs and joins on the EQUALITY key
+    * (user_id, bucket) — the earlier event fans out to (bucket, bucket+1)
+    * so every qualifying pair lands in exactly one bucket pairing (no
+    * distinct needed), then the exact µs predicate refines. Shuffle cost
+    * tracks true pair density; a 1000-executor run shuffles each event
+    * twice, never n². */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("us").as("us_a"),
+        explode(array(expr(s"us div $RangeWindowUs"),
+          expr(s"us div $RangeWindowUs") + 1)).as("bucket"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+      col("us").as("us_b"), expr(s"us div $RangeWindowUs").as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("us_b") > col("us_a") &&
+        col("us_b") <= col("us_a") + RangeWindowUs)
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        (col("us_b") - col("us_a")).as("gap_us"))
+      .orderBy("user_id", "id_a", "id_b")
+  }
+
+  private val rangeJoinSql =
+    s"""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+       |FROM events a JOIN events b
+       |  ON a.user_id = b.user_id
+       | AND b.ts > a.ts
+       | AND epoch_us(b.ts) <= epoch_us(a.ts) + $RangeWindowUs
+       |ORDER BY a.user_id, id_a, id_b""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "x_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
+    "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true)
+  )
+}

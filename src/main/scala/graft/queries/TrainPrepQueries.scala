@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tbl
+import graft.functions.{HashF, TextF}
+
+/** Training-corpus preparation operators over `documents`: deterministic
+  * stratified train/val/test splitting, TF-IDF salient-term extraction,
+  * and text cleaning (URL/e-mail masking + whitespace canonicalization).
+  *
+  * Scale design: splitting and cleaning are pure scan-side map work (zero
+  * shuffles, whole-stage codegen, no UDFs); TF-IDF is two map-side-combined
+  * aggregations on high-cardinality keys. All randomness is content-hash
+  * derived — reruns, retries, and cross-engine replays land every document
+  * in the same split, which is what makes a 100 TB corpus split auditable
+  * (no RNG state, no sampling seed to lose).
+  */
+object TrainPrepQueries {
+
+  // ------------------------- deterministic split --------------------------
+
+  /** Deterministic stratified train/val/test split: each doc's bucket is
+    * an md5-prefix hash of its id mod 100 → 80/10/10. Stratified REPORT
+    * per (lang, split) proves per-stratum proportions; the assignment
+    * itself is a pure per-row function — at 100 TB the split adds zero
+    * shuffles to whatever pipeline consumes it (the single shuffle here
+    * is the small report aggregation). */
+  private def splitTrainVal(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(HashF.tokenHash(col("doc_id").cast("string")), lit(100))
+    tbl(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang", "split")
+  }
+
+  private val splitTrainValSql =
+    """WITH b AS (
+      |  SELECT lang, doc_id,
+      |         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100
+      |           AS bucket
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |       CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, min(doc_id) AS min_doc,
+      |       max(doc_id) AS max_doc
+      |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  // ------------------------------ TF-IDF ----------------------------------
+
+  /** IDF quantization: idf_q = floor(1e6·(N+1)/(df+1)) keeps scoring in
+    * exact integer arithmetic — a float log() differs in the last ulp
+    * between libm implementations, which can flip a rank at a near-tie;
+    * floor-div of exact integers cannot. Monotone in 1/(df+1), so ranking
+    * behavior matches log-idf wherever df differs. */
+  private val IdfScale = 1000000L
+
+  /** TF-IDF top-3 salient terms per document. Two aggregations — tf over
+    * (doc_id, term), df over term — then a per-document top-k window.
+    * Scale: both groupBys are map-side-combined shuffles on
+    * high-cardinality keys; df is NOT broadcast (vocabulary at corpus
+    * scale is itself huge) — the tf⋈df join shuffles on `term`, which the
+    * df aggregation already clustered, so AQE plans it exchange-free on
+    * the df side. The top-k window partitions by doc_id (no global
+    * sort). */
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("lt"))
+      .select(col("doc_id"), explode(col("lt")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tok.select(countDistinct("doc_id").as("n"))
+    val rn = row_number().over(Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term")))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n)) // single-row corpus size, never shuffled
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * expr(s"($IdfScale * (n + 1)) div (df + 1)"))
+          .as("score"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= 3)
+      .orderBy("doc_id", "rn")
+  }
+
+  private val tfidfTopTermsSql = {
+    val lowerToks =
+      """CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |     ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+        .stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($lowerToks) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |         tf.tf * (($IdfScale * (n.n + 1)) // (df.df + 1)) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |)
+       |SELECT doc_id, term, tf, score, rn FROM (
+       |  SELECT doc_id, term, tf, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, term) AS rn
+       |  FROM scored
+       |) WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+  }
+
+  // ---------------------------- text cleaning -----------------------------
+
+  /** RE2-compatible patterns (identical semantics under Java regex and
+    * DuckDB's RE2): keep in lockstep with the oracle SQL below. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** Text cleaning for corpus prep: mask e-mails and URLs (PII/dedup
+    * poison), canonicalize whitespace, and report per-doc before/after
+    * stats + an 80-char preview. Pure scan-side codegen'd regex work —
+    * the 100 TB shape is "one pass, no shuffle, no UDF" and this is
+    * exactly that (the only exchange is the output ordering the oracle
+    * hash needs). */
+  private def textClean(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>").as("masked"),
+        length(col("text")).as("n_chars_raw"))
+      .select(col("doc_id"),
+        regexp_replace(trim(col("masked")), "\\s+", " ").as("clean"),
+        col("n_chars_raw"))
+      .select(col("doc_id"),
+        substring(col("clean"), 1, 80).as("head"),
+        length(col("clean")).as("n_chars_clean"),
+        col("n_chars_raw"))
+      .orderBy("doc_id")
+
+  private val textCleanSql =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>',
+       |                                       'g'),
+       |                        '$UrlRe', '<URL>', 'g') AS masked,
+       |         length(text) AS n_chars_raw
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |         regexp_replace(trim(masked), '\\s+', ' ', 'g') AS clean,
+       |         n_chars_raw
+       |  FROM m
+       |)
+       |SELECT doc_id, substring(clean, 1, 80) AS head,
+       |       length(clean) AS n_chars_clean, n_chars_raw
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "x_split_train_val" -> QueryDef(splitTrainVal, Some(splitTrainValSql)),
+    "x_tfidf_topterms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql),
+      bench = true),
+    "x_text_clean" -> QueryDef(textClean, Some(textCleanSql))
+  )
+}
