@@ -128,8 +128,83 @@ object TemporalQueries {
        | AND epoch_us(b.ts) <= epoch_us(a.ts) + $RangeWindowUs
        |ORDER BY a.user_id, id_a, id_b""".stripMargin
 
+  // ------------------------------ as-of join -----------------------------
+
+  /** Left side: clicks. Right side: purchases (bounded columns, renamed to
+    * avoid output collisions). Shared by both as-of variants. */
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = eventsTbl(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("value").as("purchase_value"))
+    (clicks, purchases)
+  }
+
+  /** As-of join via the custom Catalyst operator (graft.plans.AsOfJoin →
+    * AsOfJoinExec, planned through an injected SparkStrategy): each click
+    * gains the user's most recent purchase at-or-before it. One hash
+    * shuffle per side + in-partition sort + O(1)-state merge — the plan a
+    * feature-store point-in-time join needs at 100 TB. Oracle: DuckDB's
+    * native ASOF LEFT JOIN, a fully independent implementation. */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = asofSides(s, dir)
+    graft.ops.AsOf.join(clicks, purchases,
+      leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+      leftTime = "click_us", rightTime = "purchase_us")
+      .select(col("event_id"), col("user_id"), col("click_us"),
+        col("purchase_us"), col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** The same as-of semantics composed from BUILT-IN operators (SURVEY.md
+    * §7.3 ladder step (a), the cross-check for the custom plan): union
+    * both sides with a side tag, one window partitioned by user ordered by
+    * (time, side) — right rows sort before the left rows they may match
+    * (as-of is ≤) — and `last(value, ignoreNulls)` carries the newest
+    * purchase forward. Same single-shuffle scale shape; the cost is schema
+    * contortion (padded null columns), which is exactly why the dedicated
+    * operator exists. */
+  private def asofUnionWindow(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = asofSides(s, dir)
+    val l = clicks.select(col("user_id"), col("event_id"),
+      col("click_us").as("us"), lit(1).as("is_l"),
+      lit(null).cast("long").as("r_us"),
+      lit(null).cast("double").as("r_value"))
+    val r = purchases.select(col("p_user_id").as("user_id"),
+      lit(null).cast("long").as("event_id"),
+      col("purchase_us").as("us"), lit(0).as("is_l"),
+      col("purchase_us").as("r_us"), col("purchase_value").as("r_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("is_l"), col("r_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("purchase_us", last("r_us", ignoreNulls = true).over(w))
+      .withColumn("purchase_value",
+        last("r_value", ignoreNulls = true).over(w))
+      .filter(col("is_l") === 1)
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+        col("purchase_us"), col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofSql =
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+      |       epoch_us(r.ts) AS purchase_us, r.value AS purchase_value
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+      |                WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "x_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
-    "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true)
+    "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true),
+    "x_asof_join" -> QueryDef(asofJoin, Some(asofSql), bench = true),
+    "x_asof_union_window" -> QueryDef(asofUnionWindow, Some(asofSql))
   )
 }
