@@ -117,10 +117,126 @@ object StreamQueries {
       |SELECT c.user_id, c.n_events, l.last_epoch_us, l.last_value
       |FROM c JOIN l USING (user_id) ORDER BY user_id""".stripMargin
 
+  /** Streaming exactly-once dedup: the source delivers every event TWICE
+    * (an at-least-once redelivery, written as a second file batch);
+    * `dropDuplicates(event_id)` keys streaming state on the event id so
+    * replays collapse, and the per-type aggregate over the sink equals
+    * the single-delivery batch answer. maxFilesPerTrigger forces the
+    * duplicate copies into DIFFERENT microbatches, so the dedup state
+    * genuinely carries across batch boundaries. Scale note: unbounded
+    * key state is the exact-dedup cost; production bounds it with
+    * `dropDuplicatesWithinWatermark` once event-time skew is bounded. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("dedup"))
+    val ev = eventsTbl(s, dir).select("event_id", "event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    ev.repartition(3).write.mode("append").parquet(s"$base/src") // replay
+    val schema = s.read.parquet(s"$base/src").schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$base/src")
+      .dropDuplicates("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/dest")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/dest")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // the dedup stream must reproduce the single-delivery batch answer
+  private val streamDedupSql = streamIngestSql
+
+  /** Session gap shared with the oracle; mirrors TemporalQueries' batch
+    * sessionizer (6 h). */
+  private val SessGapUs = 6L * 3600 * 1000000
+
+  /** Streaming sessionization via `session_window`: per-user sessions with
+    * a 6 h inactivity gap, aggregated as the stream drains. Session
+    * windows only support append/update output, and append only emits a
+    * session once the watermark passes its close (end + gap) — so the
+    * source is augmented with one far-future SENTINEL event per user
+    * (beyond every real session's close); the final no-data microbatch
+    * advances the watermark past every real session and flushes them,
+    * while the sentinel sessions themselves stay unemitted in state.
+    * That is the production-honest pattern for draining session state
+    * deterministically, and the result provably equals the batch
+    * gaps-and-islands answer (the oracle).
+    *
+    * Boundary convention: session_window closes STRICTLY before
+    * start+gap, i.e. a gap of exactly 6 h splits — the oracle uses
+    * `>= gap` for the break accordingly (the batch x_sessionize keeps
+    * `> gap`; at µs precision the fixture has no exact-gap pair, but the
+    * SQL states each operator's true semantics). */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("session"))
+    val ev = eventsTbl(s, dir).select("user_id", "ts", "value")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0) // bounded scalar
+    val sentinelTs = new java.sql.Timestamp(
+      maxTs.getTime + (SessGapUs / 1000) + 2L * 86400 * 1000)
+    val sentinels = ev.select("user_id").distinct()
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("value", lit(0.0))
+    ev.unionByName(sentinels).repartition(4)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = s.read.parquet(s"$base/src").schema
+    val q = s.readStream.schema(schema).parquet(s"$base/src")
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        (unix_micros(col("w.end")) - SessGapUs).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_session")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_session")
+      .filter(col("start_us") < unix_micros(lit(sentinelTs))) // belt+braces
+      .orderBy("user_id", "start_us")
+  }
+
+  private val streamSessionsSql =
+    s"""WITH x AS (
+       |  SELECT user_id, value, epoch_us(ts) AS us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                 ORDER BY epoch_us(ts)) AS prev_us
+       |  FROM events
+       |), y AS (
+       |  SELECT user_id, value, us,
+       |         CASE WHEN prev_us IS NULL OR us - prev_us >= $SessGapUs
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM x
+       |), z AS (
+       |  SELECT user_id, value, us,
+       |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+       |                        ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM y
+       |)
+       |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM z GROUP BY user_id, session_seq
+       |ORDER BY user_id, start_us""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "st_stream_ingest" -> QueryDef(streamIngest, Some(streamIngestSql)),
     "st_stream_window" -> QueryDef(streamWindowCounts,
       Some(streamWindowCountsSql)),
-    "st_stream_state" -> QueryDef(streamUserState, Some(streamUserStateSql))
+    "st_stream_state" -> QueryDef(streamUserState, Some(streamUserStateSql)),
+    "st_stream_dedup" -> QueryDef(streamDedup, Some(streamDedupSql)),
+    "st_stream_session" -> QueryDef(streamSessions, Some(streamSessionsSql))
   )
 }

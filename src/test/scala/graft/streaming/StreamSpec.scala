@@ -29,6 +29,26 @@ class StreamSpec extends SparkSpec {
     assert(out(3L).last_value === 9.0)
   }
 
+  test("streaming session_window equals the batch gaps-and-islands answer") {
+    // the two sessionizers share the 6h gap; at µs precision no fixture
+    // pair sits exactly ON the gap, so strict-vs-inclusive boundary
+    // conventions coincide and the answers must be identical
+    val streamed = graft.SparkEntry.queries("st_stream_session")(spark, sf)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().toSeq
+    val batch = graft.SparkEntry.queries("x_sessionize")(spark, sf)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("streaming dedup collapses a double delivery to the batch answer") {
+    import org.apache.spark.sql.functions._
+    val deduped = graft.SparkEntry.queries("st_stream_dedup")(spark, sf)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(deduped === graft.eventsTbl(spark, sf).count())
+  }
+
   test("streaming file ingest equals the batch read (AvailableNow drains)") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory(
