@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{eventsTbl, tbl}
+import graft.functions.HashF
+
+/** Warehouse-grade analytics operators: multi-level aggregation (ROLLUP),
+  * exact grouped quantiles, a deterministic distinct-count sketch (KMV),
+  * MERGE-style upsert, and a hive-partitioned sink with partition-pruned
+  * reads. These round out the OLAP surface a reference user grows into
+  * once daily metrics exist.
+  *
+  * Scale notes: rollup is one shuffle with map-side partials (Spark
+  * expands grouping sets before the exchange); quantiles shuffle once per
+  * group key; the KMV sketch reduces each group to k=16 hash minima —
+  * the mergeable-sketch pattern that replaces exact COUNT(DISTINCT) at
+  * 100 TB; upsert is one full-outer shuffle join on the key; the
+  * partitioned sink turns date predicates into directory pruning
+  * (PartitionFilters, zero data I/O outside the day).
+  */
+object WarehouseQueries {
+
+  private def day(c: org.apache.spark.sql.Column) =
+    c.cast("date").cast("string")
+
+  // ------------------------------- rollup ---------------------------------
+
+  /** ROLLUP (event_type, day): per-type-per-day, per-type subtotal, and
+    * grand total in one pass. Grouped-out levels surface as '(all)' —
+    * coalesced identically in the oracle so the NULL markers are
+    * unambiguous under the hash compare. */
+  private def rollupCounts(s: SparkSession, dir: String): DataFrame =
+    eventsTbl(s, dir)
+      .select(col("event_type"), day(col("ts")).as("day"), col("value"))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit("(all)")).as("day"),
+        col("cnt"), col("sum_value"))
+      .orderBy("event_type", "day")
+
+  private val rollupCountsSql =
+    """SELECT coalesce(event_type, '(all)') AS event_type,
+      |       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+      |       count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+      |ORDER BY event_type, day""".stripMargin
+
+  // ----------------------------- quantiles --------------------------------
+
+  /** Exact grouped quantiles (p50/p90/p99 of event value per type), linear
+    * interpolation. Both engines compute rank = p·(n−1) over the sorted
+    * group and interpolate; results are rounded 6 dp to absorb last-ulp
+    * interpolation-formula differences. At 100 TB the exact form is one
+    * sort-based shuffle per group; the approximate path for wider groups
+    * is the KMV/t-digest family ([[kmvDistinct]] is the distinct-count
+    * member implemented here). */
+  private def quantiles(s: SparkSession, dir: String): DataFrame =
+    eventsTbl(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val quantilesSql =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.9), 6) AS p90,
+      |       round(quantile_cont(value, 0.99), 6) AS p99,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------- KMV distinct sketch --------------------------
+
+  private val KmvK = 16
+
+  /** Deterministic distinct-count sketch: K-minimum-values over the
+    * md5-prefix uint32 hash. est = (k−1)·2³² / h₍ₖ₎ where h₍ₖ₎ is the
+    * k-th smallest DISTINCT hash in the group; groups with < k distinct
+    * values report exactly. Unlike HLL (whose registers are
+    * engine-specific), KMV over a shared hash is bit-reproducible in any
+    * engine — which is why it can be oracle-checked at all — and sketches
+    * merge by keeping the k smallest of a union, so partial aggregation
+    * works at 100 TB. Exact distinct runs alongside as the error
+    * witness. */
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val hashed = eventsTbl(s, dir)
+      .select(col("event_type"),
+        HashF.tokenHash(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val rn = row_number().over(
+      Window.partitionBy("event_type").orderBy("h"))
+    val kth = hashed.withColumn("rn", rn)
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === KmvK, col("h"))).as("hk"),
+        count(lit(1)).as("n_distinct"))
+    kth.select(col("event_type"),
+      when(col("n_distinct") < KmvK, col("n_distinct").cast("double"))
+        .otherwise(round(lit((KmvK - 1) * 4294967296.0) / col("hk"), 6))
+        .as("est_distinct"),
+      col("n_distinct"))
+      .orderBy("event_type")
+  }
+
+  private val kmvDistinctSql =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT event_type,
+       |         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+       |  FROM events
+       |), ranked AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM hashed
+       |), kth AS (
+       |  SELECT event_type, max(CASE WHEN rn = $KmvK THEN h END) AS hk,
+       |         count(*) AS n_distinct
+       |  FROM ranked GROUP BY event_type
+       |)
+       |SELECT event_type,
+       |       CASE WHEN n_distinct < $KmvK THEN CAST(n_distinct AS DOUBLE)
+       |            ELSE round(${(KmvK - 1) * 4294967296.0} / hk, 6) END
+       |         AS est_distinct,
+       |       n_distinct
+       |FROM kth ORDER BY event_type""".stripMargin
+
+  // ------------------------------- upsert ---------------------------------
+
+  /** MERGE-style upsert: apply a changeset (update / delete / insert) to
+    * the orders snapshot in one full-outer join on the key — the
+    * relational encoding of `MERGE INTO` for engines without a mutable
+    * table format. The changeset is derived deterministically from the
+    * fixture (keys ≡ 0 mod 10 update, ≡ 1 delete, ≡ 2 re-insert under a
+    * shifted key). Scale: one shuffle join on the primary key; with a
+    * bucketed/sorted snapshot layout the same plan runs exchange-free on
+    * the snapshot side (see b_bucketed_join). */
+  private def upsert(s: SparkSession, dir: String): DataFrame = {
+    val snap = tbl(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val changes = snap
+      .filter(col("o_orderkey") % 10 <= 2)
+      .select(
+        when(col("o_orderkey") % 10 === 2, col("o_orderkey") + 10000000L)
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        when(col("o_orderkey") % 10 === 1, "D")
+          .when(col("o_orderkey") % 10 === 0, "U").otherwise("I").as("op"),
+        lit("X").as("new_status"),
+        round(col("o_totalprice") + 1.0, 2).as("new_price"))
+    snap.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        when(col("op").isNotNull, col("new_status"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("op").isNotNull, col("new_price"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val upsertSql =
+    """WITH snap AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |), changes AS (
+      |  SELECT CASE WHEN src_key % 10 = 2 THEN src_key + 10000000
+      |              ELSE src_key END AS o_orderkey,
+      |         CASE WHEN src_key % 10 = 1 THEN 'D'
+      |              WHEN src_key % 10 = 0 THEN 'U' ELSE 'I' END AS op,
+      |         'X' AS new_status,
+      |         round(o_totalprice + 1.0, 2) AS new_price
+      |  FROM (SELECT o_orderkey AS src_key, o_totalprice FROM snap
+      |        WHERE o_orderkey % 10 <= 2)
+      |)
+      |SELECT coalesce(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |       CASE WHEN c.op IS NOT NULL THEN c.new_status
+      |            ELSE s.o_orderstatus END AS o_orderstatus,
+      |       CASE WHEN c.op IS NOT NULL THEN c.new_price
+      |            ELSE s.o_totalprice END AS o_totalprice
+      |FROM snap s FULL OUTER JOIN changes c USING (o_orderkey)
+      |WHERE c.op IS NULL OR c.op != 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------- partitioned sink ----------------------------
+
+  /** Hive-partitioned sink + pruned read: write events partitioned by UTC
+    * day, read back ONE day through a partition-column predicate. The
+    * predicate resolves at file listing time (PartitionFilters — asserted
+    * in `WarehouseSpec`), so a 100 TB history scan touches exactly one
+    * day's files. This is the `partitionBy` twin of the reference's
+    * date-PATH layout (S1/S9, `s1_s2_datepath_glob`). */
+  private def partitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("user.dir")}/target/qtmp/warehouse/psink"
+    eventsTbl(s, dir)
+      .withColumn("ds", day(col("ts")))
+      .write.mode("overwrite").partitionBy("ds").parquet(base)
+    s.read.parquet(base)
+      .filter(col("ds") === "2024-01-05")
+      .groupBy("ds", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("ds", "event_type")
+  }
+
+  private val partitionedSinkSql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ds, event_type,
+      |       count(*) AS cnt
+      |FROM events
+      |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) = '2024-01-05'
+      |GROUP BY 1, 2 ORDER BY ds, event_type""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "w_rollup" -> QueryDef(rollupCounts, Some(rollupCountsSql)),
+    "w_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),
+    "w_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),
+    "w_upsert" -> QueryDef(upsert, Some(upsertSql)),
+    "s_partitioned_sink" -> QueryDef(partitionedSink,
+      Some(partitionedSinkSql))
+  )
+}
