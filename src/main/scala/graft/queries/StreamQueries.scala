@@ -231,7 +231,47 @@ object StreamQueries {
        |FROM z GROUP BY user_id, session_seq
        |ORDER BY user_id, start_us""".stripMargin
 
+  /** The `flatMapGroupsWithState` sessionizer (multi-row custom state) run
+    * in batch mode over the events table — same 6 h gap and `> gap`
+    * boundary as `x_sessionize`, so the oracle is the gaps-and-islands
+    * SQL. Third sessionizer, third execution strategy: window shuffle
+    * (x_sessionize), session_window streaming state (st_stream_session),
+    * and per-key custom state (this). */
+  private def sessionsCustomState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = eventsTbl(s, dir).select("user_id", "ts", "value")
+      .as[graft.streaming.UserEvent]
+    StreamIngest.sessionsViaCustomState(evs, SessGapUs)
+      .toDF().orderBy("user_id", "start_us")
+  }
+
+  private val sessionsCustomStateSql =
+    s"""WITH x AS (
+       |  SELECT user_id, value, epoch_us(ts) AS us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                 ORDER BY epoch_us(ts), value)
+       |           AS prev_us
+       |  FROM events
+       |), y AS (
+       |  SELECT user_id, value, us,
+       |         CASE WHEN prev_us IS NULL OR us - prev_us > $SessGapUs
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM x
+       |), z AS (
+       |  SELECT user_id, value, us,
+       |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, value
+       |                        ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM y
+       |)
+       |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM z GROUP BY user_id, session_seq
+       |ORDER BY user_id, start_us""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "st_sessions_custom_state" -> QueryDef(sessionsCustomState,
+      Some(sessionsCustomStateSql)),
     "st_stream_ingest" -> QueryDef(streamIngest, Some(streamIngestSql)),
     "st_stream_window" -> QueryDef(streamWindowCounts,
       Some(streamWindowCountsSql)),

@@ -215,7 +215,81 @@ object WarehouseQueries {
       |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) = '2024-01-05'
       |GROUP BY 1, 2 ORDER BY ds, event_type""".stripMargin
 
+  // --------------------------- window functions ---------------------------
+
+  /** Navigation + distribution window functions per user: lag/lead over
+    * event time, ntile/percent_rank/cume_dist over the value ordering.
+    * All windows partition by user_id (one shuffle, no global windows);
+    * orderings carry event_id tie-breaks so every function is
+    * deterministic cross-engine. */
+  private def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val byValue = Window.partitionBy("user_id").orderBy("value", "event_id")
+    eventsTbl(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        lag("value", 1).over(byTime).as("prev_value"),
+        lead("value", 1).over(byTime).as("next_value"),
+        ntile(4).over(byValue).as("value_quartile"),
+        round(percent_rank().over(byValue), 6).as("value_prank"),
+        round(cume_dist().over(byValue), 6).as("value_cdist"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val windowFuncsSql =
+    """SELECT user_id, event_id,
+      |       lag(value) OVER (PARTITION BY user_id
+      |                        ORDER BY epoch_us(ts), event_id) AS prev_value,
+      |       lead(value) OVER (PARTITION BY user_id
+      |                         ORDER BY epoch_us(ts), event_id) AS next_value,
+      |       ntile(4) OVER (PARTITION BY user_id
+      |                      ORDER BY value, event_id) AS value_quartile,
+      |       round(percent_rank() OVER (PARTITION BY user_id
+      |                                  ORDER BY value, event_id), 6)
+      |         AS value_prank,
+      |       round(cume_dist() OVER (PARTITION BY user_id
+      |                               ORDER BY value, event_id), 6)
+      |         AS value_cdist
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // --------------------------- semi / anti joins --------------------------
+
+  /** LEFT SEMI + LEFT ANTI joins as audience selection: purchasers who
+    * also clicked (semi) and clickers who never purchased (anti), tagged
+    * in one output. Semi/anti are the scale-right encodings of
+    * EXISTS / NOT EXISTS — the probe side streams, the build side carries
+    * only keys, nothing is duplicated by the join (unlike an inner join +
+    * distinct). */
+  private def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val semi = users("purchase")
+      .join(users("click"), Seq("user_id"), "left_semi")
+      .withColumn("kind", lit("purchased_and_clicked"))
+    val anti = users("click")
+      .join(users("purchase"), Seq("user_id"), "left_anti")
+      .withColumn("kind", lit("clicked_never_purchased"))
+    semi.unionByName(anti).select("kind", "user_id")
+      .orderBy("kind", "user_id")
+  }
+
+  private val semiAntiSql =
+    """WITH c AS (SELECT DISTINCT user_id FROM events
+      |           WHERE event_type = 'click'),
+      |     p AS (SELECT DISTINCT user_id FROM events
+      |           WHERE event_type = 'purchase')
+      |SELECT 'purchased_and_clicked' AS kind, user_id FROM p
+      |WHERE EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id)
+      |UNION ALL
+      |SELECT 'clicked_never_purchased' AS kind, user_id FROM c
+      |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id)
+      |ORDER BY kind, user_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_window_funcs" -> QueryDef(windowFuncs, Some(windowFuncsSql)),
+    "w_semi_anti" -> QueryDef(semiAnti, Some(semiAntiSql)),
     "w_rollup" -> QueryDef(rollupCounts, Some(rollupCountsSql)),
     "w_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),
     "w_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY.md §2.9).
   *
@@ -89,7 +89,66 @@ object StreamIngest {
   /** Full-precision epoch µs from a Timestamp (getTime alone is ms). */
   def epochMicros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Sessionization via `flatMapGroupsWithState` — the multi-row-output
+    * custom-state surface (`mapGroupsWithState` above is the single-row
+    * one). State carries the OPEN session across invocations; each call
+    * folds the group's events in event-time order, emitting every session
+    * closed by a gap > `gapUs` and keeping the still-open tail in state.
+    * In batch mode the function runs once per key with the complete
+    * group, so the final open session is emitted too (input is complete
+    * by definition) — which is what makes the result oracle-checkable.
+    *
+    * Scale note: this sorts each user's events in executor memory — the
+    * right tool when per-key volume is bounded (true for user sessions);
+    * unbounded keys should use the one-shuffle window sessionizer
+    * (`x_sessionize`) or streaming `session_window`
+    * (`st_stream_session`). Value sums accumulate as 2-dp BigDecimal so
+    * they are exact and order-independent, matching the oracle's
+    * decimal-exact SUM. */
+  def sessionsViaCustomState(events: Dataset[UserEvent],
+                             gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[UserEvent],
+         st: GroupState[OpenSession]) =>
+          val sorted = evs.toArray.sortBy(e => (epochMicros(e.ts), e.value))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var open = st.getOption.orNull
+          sorted.foreach { e =>
+            val us = epochMicros(e.ts)
+            if (open == null) {
+              open = OpenSession(uid, us, us, 1L, scaled(e.value))
+            } else if (us - open.end_us > gapUs) {
+              out += closed(open)
+              open = OpenSession(uid, us, us, 1L, scaled(e.value))
+            } else {
+              open = open.copy(end_us = us, n_events = open.n_events + 1,
+                sum_scaled = open.sum_scaled + scaled(e.value))
+            }
+          }
+          if (open != null) {
+            st.update(open) // streaming would hold this for the next batch
+            out += closed(open) // batch: input complete → emit the tail
+          }
+          out.iterator
+      }
+  }
+
+  /** 2-dp fixed-point cents: exact, order-independent accumulation. */
+  private def scaled(v: Double): Long = math.round(v * 100.0)
+  private def closed(o: OpenSession): SessionOut =
+    SessionOut(o.user_id, o.start_us, o.end_us, o.n_events,
+      o.sum_scaled / 100.0)
 }
+
+/** Open-session state for [[StreamIngest.sessionsViaCustomState]]. */
+final case class OpenSession(user_id: Long, start_us: Long, end_us: Long,
+                             n_events: Long, sum_scaled: Long)
+final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                            n_events: Long, sum_value: Double)
 
 final case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
                            value: Double)

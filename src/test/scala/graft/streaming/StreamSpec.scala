@@ -42,6 +42,17 @@ class StreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("custom-state sessionizer agrees with the window sessionizer") {
+    val viaState =
+      graft.SparkEntry.queries("st_sessions_custom_state")(spark, sf)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().toSeq
+    val viaWindow = graft.SparkEntry.queries("x_sessionize")(spark, sf)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().toSeq
+    assert(viaState.nonEmpty && viaState === viaWindow)
+  }
+
   test("streaming dedup collapses a double delivery to the batch answer") {
     import org.apache.spark.sql.functions._
     val deduped = graft.SparkEntry.queries("st_stream_dedup")(spark, sf)
