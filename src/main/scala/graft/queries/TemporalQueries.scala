@@ -201,7 +201,44 @@ object TemporalQueries {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY event_id""".stripMargin
 
+  /** F1 on the NATIVE `TIME` type (Spark 4.1's TimeType): the reference's
+    * `EXTRACT(TIME FROM pickup_datetime)` (`enrichment_query.py:10`)
+    * lands on a first-class TIME value here — `f_daypart_time` keeps the
+    * µs-of-day representation that predates the type (both stay
+    * registered: representation choice vs native type). Output compares
+    * integer time FIELDS (hour/minute/second/µs-of-day) — integer-robust
+    * across engines where TIME→string formatting is not. */
+  private def timeTypeExtract(s: SparkSession, dir: String): DataFrame = {
+    // TIME is feature-flagged in Spark 4.1; runtime-settable conf
+    s.conf.set("spark.sql.timeType.enabled", "true")
+    eventsTbl(s, dir)
+      // 4.1 has the TIME type + make_time but not yet TIMESTAMP→TIME
+      // casts; construct the TIME value from extracted fields (exact:
+      // µs-of-minute → DECIMAL(16,6) seconds)
+      .select(col("event_id"), col("ts"),
+        expr("make_time(hour(ts), minute(ts), " +
+          "CAST((unix_micros(ts) % 60000000) / 1000000.0 " +
+          "AS DECIMAL(16,6)))").as("t"))
+      .select(col("event_id"),
+        expr("CAST(EXTRACT(HOUR FROM t) AS BIGINT)").as("th"),
+        expr("CAST(EXTRACT(MINUTE FROM t) AS BIGINT)").as("tm"),
+        expr("CAST(FLOOR(EXTRACT(SECOND FROM t)) AS BIGINT)").as("tsec"),
+        (unix_micros(col("ts")) % 1000000L).as("us_frac"),
+        (unix_micros(col("ts")) % 86400000000L).as("us_of_day"))
+      .orderBy("event_id")
+  }
+
+  private val timeTypeExtractSql =
+    """SELECT event_id,
+      |       CAST(hour(CAST(ts AS TIME)) AS BIGINT) AS th,
+      |       CAST(minute(CAST(ts AS TIME)) AS BIGINT) AS tm,
+      |       CAST(second(CAST(ts AS TIME)) AS BIGINT) AS tsec,
+      |       epoch_us(ts) % 1000000 AS us_frac,
+      |       epoch_us(ts) % 86400000000 AS us_of_day
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "f1_time_type" -> QueryDef(timeTypeExtract, Some(timeTypeExtractSql)),
     "x_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
     "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true),
     "x_asof_join" -> QueryDef(asofJoin, Some(asofSql), bench = true),

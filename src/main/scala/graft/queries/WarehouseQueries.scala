@@ -287,8 +287,95 @@ object WarehouseQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id)
       |ORDER BY kind, user_id""".stripMargin
 
+  // ----------------------------- data quality -----------------------------
+
+  /** Data-quality audit — the validation gate a training pipeline runs
+    * before consuming a drop: null keys, out-of-range measures,
+    * referential orphans (lineitem → orders anti join), duplicate
+    * primary keys. One row per check with violation counts. Scale: the
+    * null/range checks ride a single scan; the orphan check is one
+    * key join (broadcast- or shuffle-planned by size); dup detection is
+    * one map-side-combined groupBy. */
+  private def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val ord = tbl(s, dir, "orders")
+    val scanChecks = li.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+        .as("null_order_key"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+        .as("nonpositive_quantity"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("discount_out_of_range"),
+      sum(when(col("l_shipdate") > lit("2030-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("shipdate_beyond_horizon"))
+    val orphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+      "left_anti").agg(count(lit(1)).as("n")).select(
+      lit("orphan_lineitems").as("check_name"), col("n").as("n_bad"))
+    val dupKeys = ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("n"))
+      .select(lit("duplicate_order_keys").as("check_name"), col("n").as("n_bad"))
+    val unpivoted = Seq("null_order_key", "nonpositive_quantity",
+      "discount_out_of_range", "shipdate_beyond_horizon").map { c =>
+      scanChecks.select(lit(c).as("check_name"), col(c).as("n_bad"))
+    }.reduce(_ unionAll _)
+    unpivoted.unionAll(orphans).unionAll(dupKeys).orderBy("check_name")
+  }
+
+  private val dqChecksSql =
+    """SELECT 'null_order_key' AS check_name,
+      |       count(*) FILTER (l_orderkey IS NULL) AS n_bad FROM lineitem
+      |UNION ALL
+      |SELECT 'nonpositive_quantity',
+      |       count(*) FILTER (l_quantity <= 0) FROM lineitem
+      |UNION ALL
+      |SELECT 'discount_out_of_range',
+      |       count(*) FILTER (l_discount < 0 OR l_discount > 1)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'shipdate_beyond_horizon',
+      |       count(*) FILTER (l_shipdate > TIMESTAMP '2030-01-01')
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orphan_lineitems', count(*) FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'duplicate_order_keys', count(*) FROM (
+      |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |ORDER BY check_name""".stripMargin
+
+  // ------------------------- incremental aggregation ----------------------
+
+  /** Mergeable-aggregate proof: DAILY partials (the materialization a
+    * pipeline persists per run) re-aggregate to MONTHLY totals — sums of
+    * decimal-exact sums, sums of counts — and the result must equal the
+    * direct monthly aggregation (the oracle computes it directly). This
+    * is THE pattern that makes 100 TB reporting incremental: each day is
+    * aggregated once, ever; months/years fold partials, never raw
+    * events. */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTbl(s, dir)
+      .groupBy(day(col("ts")).as("ds"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+    daily
+      .groupBy(substring(col("ds"), 1, 7).as("month"), col("event_type"))
+      .agg(sum("cnt").as("cnt"),
+        sum("sv").cast("double").as("sum_value"))
+      .orderBy("month", "event_type")
+  }
+
+  private val incrementalAggSql =
+    """SELECT substring(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS month,
+      |       event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
-    "w_window_funcs" -> QueryDef(windowFuncs, Some(windowFuncsSql)),
+    "w_dq_checks" -> QueryDef(dqChecks, Some(dqChecksSql)),
+    "w_incremental_agg" -> QueryDef(incrementalAgg, Some(incrementalAggSql)),
+    "w_window_funcs" -> QueryDef(windowFuncs, Some(windowFuncsSql),
+      bench = true),
     "w_semi_anti" -> QueryDef(semiAnti, Some(semiAntiSql)),
     "w_rollup" -> QueryDef(rollupCounts, Some(rollupCountsSql)),
     "w_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),
