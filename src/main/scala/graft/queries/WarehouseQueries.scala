@@ -196,8 +196,17 @@ object WarehouseQueries {
     * in `WarehouseSpec`), so a 100 TB history scan touches exactly one
     * day's files. This is the `partitionBy` twin of the reference's
     * date-PATH layout (S1/S9, `s1_s2_datepath_glob`). */
+  /** Per-(session, dir) sink path: concurrent sessions must not clobber
+    * each other's partition directories mid-read. Package-visible for
+    * `WarehouseSpec`'s pruning assertion. */
+  private[queries] def psinkBase(s: SparkSession, dir: String): String = {
+    val suffix = java.lang.Integer.toHexString(
+      (dir + "#" + System.identityHashCode(s)).hashCode & 0x7fffffff)
+    s"${sys.props("user.dir")}/target/qtmp/warehouse/psink_$suffix"
+  }
+
   private def partitionedSink(s: SparkSession, dir: String): DataFrame = {
-    val base = s"${sys.props("user.dir")}/target/qtmp/warehouse/psink"
+    val base = psinkBase(s, dir)
     eventsTbl(s, dir)
       .withColumn("ds", day(col("ts")))
       .write.mode("overwrite").partitionBy("ds").parquet(base)
@@ -371,7 +380,82 @@ object WarehouseQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
 
+  // ----------------------------- JSON extraction --------------------------
+
+  /** Semi-structured column parsing: `events.props` is a JSON string;
+    * extract the `k` field two ways — `get_json_object` (path probe, the
+    * schemaless form) and `from_json` with an explicit schema (the typed
+    * form a pipeline hardens into) — assert they agree in-plan, and
+    * aggregate per event type. Both are codegen'd scan-side expressions:
+    * at 100 TB, JSON parsing cost is the scan's CPU tax and never causes
+    * a shuffle. */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    eventsTbl(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k_typed"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k_path").as("sum_k"),
+        min("k_path").as("min_k"), max("k_path").as("max_k"),
+        sum(when(col("k_path") === col("k_typed"), 1L).otherwise(0L))
+          .as("n_paths_agree"))
+      .orderBy("event_type")
+
+  private val jsonExtractSql =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |            AS BIGINT) AS sum_k,
+      |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |       CAST(count(*) FILTER (json_extract_string(props, '$.k')
+      |                             IS NOT NULL) AS BIGINT) AS n_paths_agree
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------- star join ------------------------------
+
+  /** Deep star join (TPC-H Q5 shape): region → nation → customer →
+    * orders → lineitem, revenue per (region, nation). The scale plan:
+    * region/nation/customer-dim side collapses to broadcasts where small;
+    * the orders⋈lineitem fact⋈fact edge shuffles once on the order key.
+    * Revenue is a decimal-exact product-sum (price × (1−discount) cast to
+    * decimal BEFORE multiplying) with one final double cast — the 1−d
+    * subtraction is the same IEEE op in both engines, so the decimal
+    * quantization matches bit-for-bit. */
+  private def starJoin(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+    tbl(s, dir, "region")
+      .join(tbl(s, dir, "nation"),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(tbl(s, dir, "customer"),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(tbl(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(rev).cast("double").as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val starJoinSql =
+    """SELECT r_name, n_name, count(*) AS n_lineitems,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM region
+      |JOIN nation   ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_json_extract" -> QueryDef(jsonExtract, Some(jsonExtractSql)),
+    "w_star_join" -> QueryDef(starJoin, Some(starJoinSql), bench = true),
     "w_dq_checks" -> QueryDef(dqChecks, Some(dqChecksSql)),
     "w_incremental_agg" -> QueryDef(incrementalAgg, Some(incrementalAggSql)),
     "w_window_funcs" -> QueryDef(windowFuncs, Some(windowFuncsSql),

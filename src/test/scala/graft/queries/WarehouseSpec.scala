@@ -22,8 +22,7 @@ class WarehouseSpec extends SparkSpec {
     // execution the scan's numFiles metric must count ONLY the selected
     // day's files (inputFiles would list the whole relation)
     df.collect()
-    val base = new java.io.File(
-      s"${sys.props("user.dir")}/target/qtmp/warehouse/psink")
+    val base = new java.io.File(WarehouseQueries.psinkBase(s, sf))
     def parquets(d: java.io.File): Int =
       Option(d.listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet"))
     val dayFiles = parquets(new java.io.File(base, "ds=2024-01-05"))
