@@ -269,7 +269,63 @@ object StreamQueries {
        |FROM z GROUP BY user_id, session_seq
        |ORDER BY user_id, start_us""".stripMargin
 
+  /** Stream-stream INNER join with a time-range condition: the click
+    * stream joins the purchase stream on user within [click, click+30m] —
+    * attribution, as two live streams. Both sides carry watermarks and
+    * the range rides in the join condition, so Spark bounds each side's
+    * buffered state to the watermark window (the unbounded-state
+    * stream-join trap, avoided); matches emit as they form (append
+    * mode), and AvailableNow drains every match of the bounded fixture.
+    * Oracle: the equivalent batch range join. */
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("ssjoin"))
+    val ev = eventsTbl(s, dir)
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .repartition(2).write.mode("overwrite").parquet(s"$base/clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("value"))
+      .repartition(2).write.mode("overwrite").parquet(s"$base/purchases")
+    def stream(p: String) =
+      s.readStream.schema(s.read.parquet(p).schema).parquet(p)
+    val clicks = stream(s"$base/clicks").withWatermark("ts", "1 hour")
+    val purchases = stream(s"$base/purchases")
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("ts") &&
+        col("p_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        col("p_event_id"), unix_micros(col("p_ts")).as("purchase_us"),
+        col("value"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_ssjoin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_ssjoin")
+      .orderBy("event_id", "p_event_id")
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+      |       p.event_id AS p_event_id, epoch_us(p.ts) AS purchase_us,
+      |       p.value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+      |ORDER BY c.event_id, p_event_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "st_stream_join" -> QueryDef(streamStreamJoin,
+      Some(streamStreamJoinSql)),
     "st_sessions_custom_state" -> QueryDef(sessionsCustomState,
       Some(sessionsCustomStateSql)),
     "st_stream_ingest" -> QueryDef(streamIngest, Some(streamIngestSql)),
