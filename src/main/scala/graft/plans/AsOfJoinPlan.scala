@@ -82,6 +82,11 @@ final case class AsOfJoinExec(
   require(timeOk(leftTime) && timeOk(rightTime),
     s"as-of time columns must be timestamp/long, " +
       s"got ${leftTime.dataType}/${rightTime.dataType}")
+  // the merge ordering is built from LEFT key types; a width mismatch
+  // (int vs bigint) would compare garbage bytes silently, not error
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types must match pairwise: " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -44,17 +44,17 @@ object ExtQueries {
 
   // ---- shared SQL fragments (keep in lockstep with TextF/HashF/VectorF) --
 
-  /** DuckDB: lowercase whitespace tokens of `text` (empty doc → []). */
-  private val sqlLowerToks =
-    """CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
-      |     ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+  /** DuckDB: lowercase whitespace tokens of `text` (shared fragment —
+    * see [[OracleSql.lowerToks]]). */
+  private val sqlLowerToks = OracleSql.lowerToks
 
   /** DuckDB: distinct k=3 word shingles from a `t` token-list column. */
   private val sqlShingles =
     "list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
 
-  /** DuckDB: md5-prefix uint32 hash of column `c` (≡ HashF.tokenHash). */
-  private def sqlHash(c: String) = s"('0x'||substr(md5($c),1,8))::BIGINT"
+  /** DuckDB: md5-prefix uint32 hash of column `c` (≡ HashF.tokenHash;
+    * shared fragment [[OracleSql.hash]]). */
+  private def sqlHash(c: String) = OracleSql.hash(c)
 
   private def sqlMinhash(i: Int): String = {
     val (a, b) = HashF.MinhashSeeds(i)
@@ -346,15 +346,20 @@ object ExtQueries {
     // Materialized once (both sides of the inverted-index self-join);
     // the join's cost is Σ_shingle n_docs² — data-dependent, so don't
     // also pay recompute per side.
+    // checkpoint BEFORE deriving the df filter: the cold aggregation and
+    // the join's left side would otherwise each re-run the full
+    // tokenize→shingle→explode subtree (the exact per-side recompute this
+    // comment block exists to prevent)
     val shAll = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(
         TextF.shinglesFromTokens(col("toks"), K)).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
+      .localCheckpoint()
     // df-per-shingle is aggregated on the same `shingle` key the
-    // candidate join shuffles on — one extra map-side-combined pass, and
-    // the join back is co-partitioned (AQE plans it exchange-free).
+    // candidate join shuffles on — one extra map-side-combined pass over
+    // the checkpointed rows, and the join back is co-partitioned.
     val cold = shAll.groupBy("shingle")
       .agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") <= MaxShingleDf)

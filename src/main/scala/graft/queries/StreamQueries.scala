@@ -208,28 +208,10 @@ object StreamQueries {
       .orderBy("user_id", "start_us")
   }
 
-  private val streamSessionsSql =
-    s"""WITH x AS (
-       |  SELECT user_id, value, epoch_us(ts) AS us,
-       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
-       |                                 ORDER BY epoch_us(ts)) AS prev_us
-       |  FROM events
-       |), y AS (
-       |  SELECT user_id, value, us,
-       |         CASE WHEN prev_us IS NULL OR us - prev_us >= $SessGapUs
-       |              THEN 1 ELSE 0 END AS brk
-       |  FROM x
-       |), z AS (
-       |  SELECT user_id, value, us,
-       |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
-       |                        ROWS UNBOUNDED PRECEDING) AS session_seq
-       |  FROM y
-       |)
-       |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
-       |       CAST(count(*) AS BIGINT) AS n_events,
-       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       |FROM z GROUP BY user_id, session_seq
-       |ORDER BY user_id, start_us""".stripMargin
+  // session_window's half-open interval ⇒ a gap of EXACTLY the window
+  // splits, hence >= where the batch sessionizer uses >
+  private val streamSessionsSql = OracleSql.gapsAndIslands(
+    SessGapUs, breakOp = ">=", tieBreak = None, withSeq = false)
 
   /** The `flatMapGroupsWithState` sessionizer (multi-row custom state) run
     * in batch mode over the events table — same 6 h gap and `> gap`
@@ -245,29 +227,8 @@ object StreamQueries {
       .toDF().orderBy("user_id", "start_us")
   }
 
-  private val sessionsCustomStateSql =
-    s"""WITH x AS (
-       |  SELECT user_id, value, epoch_us(ts) AS us,
-       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
-       |                                 ORDER BY epoch_us(ts), value)
-       |           AS prev_us
-       |  FROM events
-       |), y AS (
-       |  SELECT user_id, value, us,
-       |         CASE WHEN prev_us IS NULL OR us - prev_us > $SessGapUs
-       |              THEN 1 ELSE 0 END AS brk
-       |  FROM x
-       |), z AS (
-       |  SELECT user_id, value, us,
-       |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, value
-       |                        ROWS UNBOUNDED PRECEDING) AS session_seq
-       |  FROM y
-       |)
-       |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
-       |       CAST(count(*) AS BIGINT) AS n_events,
-       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       |FROM z GROUP BY user_id, session_seq
-       |ORDER BY user_id, start_us""".stripMargin
+  private val sessionsCustomStateSql = OracleSql.gapsAndIslands(
+    SessGapUs, breakOp = ">", tieBreak = Some("value"), withSeq = false)
 
   /** Stream-stream INNER join with a time-range condition: the click
     * stream joins the purchase stream on user within [click, click+30m] —

@@ -63,31 +63,9 @@ object TemporalQueries {
       .orderBy("user_id", "session_seq")
   }
 
-  private val sessionizeSql =
-    s"""WITH x AS (
-       |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
-       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
-       |                                 ORDER BY epoch_us(ts), event_id)
-       |           AS prev_us
-       |  FROM events
-       |), y AS (
-       |  SELECT user_id, event_id, value, us,
-       |         CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
-       |              THEN 1 ELSE 0 END AS brk
-       |  FROM x
-       |), z AS (
-       |  SELECT user_id, value, us,
-       |         CAST(SUM(brk) OVER (PARTITION BY user_id
-       |                             ORDER BY us, event_id
-       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
-       |           AS session_seq
-       |  FROM y
-       |)
-       |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
-       |       min(us) AS start_us, max(us) AS end_us,
-       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       |FROM z GROUP BY user_id, session_seq
-       |ORDER BY user_id, session_seq""".stripMargin
+  private val sessionizeSql = OracleSql.gapsAndIslands(
+    SessionGapUs, breakOp = ">", tieBreak = Some("event_id"),
+    withSeq = true)
 
   /** Range-join window: ordered same-user event pairs ≤ 30 min apart. */
   private val RangeWindowUs = 30L * 60 * 1000000

@@ -40,10 +40,9 @@ object TrainPrepQueries {
   }
 
   private val splitTrainValSql =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT lang, doc_id,
-      |         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100
-      |           AS bucket
+      |         ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
       |  FROM documents
       |)
       |SELECT lang,
@@ -90,10 +89,7 @@ object TrainPrepQueries {
   }
 
   private val tfidfTopTermsSql = {
-    val lowerToks =
-      """CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
-        |     ELSE string_split_regex(trim(lower(text)), '\s+') END"""
-        .stripMargin
+    val lowerToks = OracleSql.lowerToks
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($lowerToks) AS term FROM documents
        |), tf AS (

@@ -116,7 +116,7 @@ object WarehouseQueries {
   private val kmvDistinctSql =
     s"""WITH hashed AS (
        |  SELECT DISTINCT event_type,
-       |         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+       |         ${OracleSql.hash("CAST(user_id AS VARCHAR)")} AS h
        |  FROM events
        |), ranked AS (
        |  SELECT event_type, h,
@@ -212,7 +212,10 @@ object WarehouseQueries {
       .write.mode("overwrite").partitionBy("ds").parquet(base)
     s.read.parquet(base)
       .filter(col("ds") === "2024-01-05")
-      .groupBy("ds", "event_type")
+      // partition-column inference re-types ds as DATE on read; cast back
+      // to string so the output honors the "never emit raw DATE" oracle
+      // rule rather than passing on a rendering coincidence
+      .groupBy(col("ds").cast("string").as("ds"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("ds", "event_type")
   }

@@ -108,6 +108,12 @@ object StreamIngest {
     * decimal-exact SUM. */
   def sessionsViaCustomState(events: Dataset[UserEvent],
                              gapUs: Long): Dataset[SessionOut] = {
+    // batch-only: emitting the open tail AND storing it would duplicate
+    // sessions across microbatches on a real stream — there, use
+    // session_window (st_stream_session) instead
+    require(!events.isStreaming,
+      "sessionsViaCustomState is the batch custom-state surface; " +
+        "streaming sessionization is StreamIngest via session_window")
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
