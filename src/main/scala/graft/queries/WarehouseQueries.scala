@@ -459,7 +459,84 @@ object WarehouseQueries {
       |JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** KMV via the custom typed [[graft.functions.KmvAggregator]] — the
+    * mergeable partial-aggregate form of `w_kmv_distinct` (each partition
+    * ships ≤ k longs; partials merge associatively). Same estimator,
+    * SAME oracle SQL — the window/rank form and the Aggregator form must
+    * agree bit-for-bit, and both must match DuckDB. */
+  private def kmvAggregator(s: SparkSession, dir: String): DataFrame = {
+    val kmvEst = udaf(new graft.functions.KmvAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    eventsTbl(s, dir)
+      .select(col("event_type"),
+        HashF.tokenHash(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(kmvEst(col("h")).as("est_distinct"),
+        countDistinct(col("h")).as("n_distinct"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------ compaction ------------------------------
+
+  /** Small-file compaction: a 64-file drop (the many-small-files shape
+    * streaming ingest and over-parallel writers produce) is rewritten
+    * into ≤ 4 target files via `coalesce` — a shuffle-free rewrite (file
+    * count asserted in `WarehouseSpec`). The aggregate over the compacted
+    * table must equal the pre-compaction batch answer: compaction is a
+    * LAYOUT operation, never a semantic one. At 100 TB this is the
+    * nightly job that keeps scan task counts (and namenode/listing
+    * pressure) sane. */
+  private def compact(s: SparkSession, dir: String): DataFrame = {
+    val base = compactBase(s, dir)
+    eventsTbl(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(s"$base/small")
+    s.read.parquet(s"$base/small").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/compacted")
+    s.read.parquet(s"$base/compacted")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val compactSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private[queries] def compactBase(s: SparkSession, dir: String): String = {
+    val suffix = java.lang.Integer.toHexString(
+      (dir + "#" + System.identityHashCode(s)).hashCode & 0x7fffffff)
+    s"${sys.props("user.dir")}/target/qtmp/warehouse/cmp_$suffix"
+  }
+
+  // --------------------------------- cube ---------------------------------
+
+  /** CUBE (event_type, day): every grouping-set combination — the rollup's
+    * lattice completion (adds the per-day-all-types slice ROLLUP lacks).
+    * Same '(all)' coalescing convention as `w_rollup`. */
+  private def cubeCounts(s: SparkSession, dir: String): DataFrame =
+    eventsTbl(s, dir)
+      .select(col("event_type"), day(col("ts")).as("day"), col("value"))
+      .cube("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit("(all)")).as("day"), col("cnt"))
+      .orderBy("event_type", "day")
+
+  private val cubeCountsSql =
+    """SELECT coalesce(event_type, '(all)') AS event_type,
+      |       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+      |       count(*) AS cnt
+      |FROM events
+      |GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_kmv_aggregator" -> QueryDef(kmvAggregator, Some(kmvDistinctSql)),
+    "s_compact" -> QueryDef(compact, Some(compactSql)),
+    "w_cube" -> QueryDef(cubeCounts, Some(cubeCountsSql)),
     "w_json_extract" -> QueryDef(jsonExtract, Some(jsonExtractSql)),
     "w_star_join" -> QueryDef(starJoin, Some(starJoinSql), bench = true),
     "w_dq_checks" -> QueryDef(dqChecks, Some(dqChecksSql)),

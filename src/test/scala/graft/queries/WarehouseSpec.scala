@@ -47,6 +47,35 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("KMV Aggregator agrees with the window/rank formulation") {
+    val viaAgg = graft.SparkEntry.queries("w_kmv_aggregator")(spark, sf)
+      .collect().toSeq
+    val viaWindow = graft.SparkEntry.queries("w_kmv_distinct")(spark, sf)
+      .collect().toSeq
+    assert(viaAgg.nonEmpty && viaAgg === viaWindow)
+  }
+
+  test("KMV Aggregator reduce/merge keep the k smallest distinct") {
+    val agg = new graft.functions.KmvAggregator(4)
+    val buf = Seq(50L, 10L, 30L, 10L, 70L, 20L, 5L)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf.toSeq === Seq(5L, 10L, 20L, 30L)) // sorted, distinct, k=4
+    val merged = agg.merge(buf, Array(1L, 10L, 25L, 90L))
+    assert(merged.toSeq === Seq(1L, 5L, 10L, 20L))
+    assert(agg.finish(Array(1L, 2L)) === 2.0) // below k → exact count
+  }
+
+  test("compaction rewrites 64 small files into at most 4") {
+    val s = spark.newSession()
+    graft.SparkEntry.queries("s_compact")(s, sf).collect()
+    val base = WarehouseQueries.compactBase(s, sf)
+    def nParquet(p: String) =
+      Option(new java.io.File(base, p).listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    assert(nParquet("small") === 64)
+    assert(nParquet("compacted") <= 4 && nParquet("compacted") > 0)
+  }
+
   test("upsert applies updates, drops deletes, adds inserts") {
     val snap = graft.tbl(spark, sf, "orders")
     val out = graft.SparkEntry.queries("w_upsert")(spark, sf)
