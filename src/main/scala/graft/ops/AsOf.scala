@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 
-import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+import graft.plans.{AsOfBackward, AsOfDirection, AsOfJoin, AsOfJoinStrategy}
 
 /** Public as-of join API over the custom Catalyst operator
   * (graft.plans.AsOfJoin / AsOfJoinExec).
@@ -31,11 +31,16 @@ object AsOf {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
   }
 
-  /** LEFT OUTER as-of join: each left row gains the right row with equal
-    * keys and the greatest `rightTime` ≤ `leftTime`, or nulls. */
+  /** LEFT OUTER as-of join. `direction = AsOfBackward` (default): each
+    * left row gains the right row with equal keys and the GREATEST
+    * `rightTime` ≤ `leftTime`; `AsOfForward`: the SMALLEST `rightTime` ≥
+    * `leftTime` (next-event attribution). Nulls when no such row.
+    * Column names resolve by exact (case-sensitive) attribute name —
+    * stricter than Spark's conf-aware resolution, by contract. */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           direction: AsOfDirection = AsOfBackward): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -48,6 +53,6 @@ object AsOf {
     GraftBridge.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), direction))
   }
 }

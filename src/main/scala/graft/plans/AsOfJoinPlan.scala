@@ -37,7 +37,8 @@ final case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
@@ -55,11 +56,19 @@ final case class AsOfJoin(
   * idempotently) or globally via [[GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
+
+/** Match direction: BACKWARD = greatest right-time ≤ left-time (DuckDB
+  * ASOF, pandas merge_asof default); FORWARD = smallest right-time ≥
+  * left-time (next-event attribution; DuckDB has no native form — the
+  * oracle uses a windowed QUALIFY). */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
 
 /** Physical sort-merge as-of join. EnsureRequirements satisfies the
   * declared distribution/ordering with one hash exchange + in-partition
@@ -74,6 +83,7 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -116,6 +126,7 @@ final case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val keyTypes = leftKeys.map(_.dataType)
     val outAttrs = output
+    val dir = direction // local capture for the closure
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
@@ -127,9 +138,10 @@ final case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightOutput.length)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIter.buffered
+      val forward = dir == AsOfForward
 
       new Iterator[InternalRow] {
-        // newest right row ≤ current left time, and the key it matched
+        // BACKWARD state: newest right row ≤ current left time + its key
         private var matchKey: UnsafeRow = null
         private var matchRow: InternalRow = null
 
@@ -145,9 +157,14 @@ final case class AsOfJoinExec(
             return outProj(joined(l, nullRight))
           }
           val lt = ltv.asInstanceOf[Long]
-          // advance the right side to the newest row with key == lk and
-          // time ≤ lt; rows with key < lk are permanently stale (both
-          // sides are key-ordered) and get discarded
+          if (forward) nextForward(l, lk, lt) else nextBackward(l, lk, lt)
+        }
+
+        /** Greatest right-time ≤ lt: consume right rows up to lt,
+          * remembering the newest; rows with key < lk are permanently
+          * stale (both sides are key-ordered). */
+        private def nextBackward(l: InternalRow, lk: UnsafeRow,
+                                 lt: Long): InternalRow = {
           var scanning = true
           while (scanning && rBuf.hasNext) {
             val rk = rKeyProj(rBuf.head)
@@ -167,6 +184,31 @@ final case class AsOfJoinExec(
             outProj(joined(l, matchRow))
           else
             outProj(joined(l, nullRight))
+        }
+
+        /** Smallest right-time ≥ lt: discard right rows strictly before
+          * lt (left times only grow, so they can never serve a later
+          * left either) and match the head WITHOUT consuming it — the
+          * same right row may be the next event for several lefts. */
+        private def nextForward(l: InternalRow, lk: UnsafeRow,
+                                lt: Long): InternalRow = {
+          var matched: InternalRow = null
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKeyProj(r)
+            val c = keyOrd.compare(rk, lk)
+            if (c < 0) { rBuf.next() }
+            else if (c > 0) { scanning = false }
+            else {
+              val rtv = rTime.eval(r)
+              if (rtv == null) { rBuf.next() }
+              else if (rtv.asInstanceOf[Long] < lt) { rBuf.next() }
+              else { matched = r; scanning = false }
+            }
+          }
+          // outProj copies the buffered head's values before any advance
+          outProj(joined(l, if (matched != null) matched else nullRight))
         }
       }
     }

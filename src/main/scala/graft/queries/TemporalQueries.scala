@@ -179,6 +179,34 @@ object TemporalQueries {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY event_id""".stripMargin
 
+  /** FORWARD as-of (next purchase at-or-after each click). DuckDB's ASOF
+    * is backward-only, so the oracle states the semantics directly: the
+    * per-click minimum qualifying purchase via a windowed QUALIFY — an
+    * INDEPENDENT formulation of what the custom operator's forward merge
+    * computes. */
+  private def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = asofSides(s, dir)
+    graft.ops.AsOf.join(clicks, purchases,
+      leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+      leftTime = "click_us", rightTime = "purchase_us",
+      direction = graft.plans.AsOfForward)
+      .select(col("event_id"), col("user_id"), col("click_us"),
+        col("purchase_us"), col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofForwardSql =
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+      |       epoch_us(r.ts) AS purchase_us, r.value AS purchase_value
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'click') l
+      |LEFT JOIN (SELECT user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND r.ts >= l.ts
+      |QUALIFY row_number() OVER (PARTITION BY l.event_id
+      |                           ORDER BY r.ts, r.value) = 1
+      |ORDER BY event_id""".stripMargin
+
   /** F1 on the NATIVE `TIME` type (Spark 4.1's TimeType): the reference's
     * `EXTRACT(TIME FROM pickup_datetime)` (`enrichment_query.py:10`)
     * lands on a first-class TIME value here — `f_daypart_time` keeps the
@@ -220,6 +248,7 @@ object TemporalQueries {
     "x_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
     "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true),
     "x_asof_join" -> QueryDef(asofJoin, Some(asofSql), bench = true),
+    "x_asof_forward" -> QueryDef(asofForward, Some(asofForwardSql)),
     "x_asof_union_window" -> QueryDef(asofUnionWindow, Some(asofSql))
   )
 }

@@ -61,6 +61,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Seq(Row("nullt", null, null), Row("ok", 40L, 2.0)))
   }
 
+  test("forward direction picks smallest right row at-or-after left time") {
+    val out = graft.ops.AsOf.join(
+      leftDf((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c")),
+      rightDf((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 5L, 3.0)),
+      Seq("k"), Seq("rk"), "lt", "rt", graft.plans.AsOfForward)
+      .orderBy("k", "lt").select("k", "lt", "tag", "rt", "v")
+      .collect().toSeq
+    assert(out === Seq(
+      Row(1L, 10L, "a", 10L, 1.0),  // inclusive: rt == lt matches
+      Row(1L, 20L, "b", null, null), // no future purchase for key 1
+      Row(2L, 10L, "c", null, null))) // key 2's only row is in the past
+  }
+
+  test("forward shares a right row across several left rows") {
+    val out = graft.ops.AsOf.join(
+      leftDf((1L, 1L, "x"), (1L, 2L, "y"), (1L, 3L, "z")),
+      rightDf((1L, 10L, 7.0)),
+      Seq("k"), Seq("rk"), "lt", "rt", graft.plans.AsOfForward)
+      .orderBy("lt").select("tag", "rt", "v").collect().toSeq
+    assert(out === Seq(Row("x", 10L, 7.0), Row("y", 10L, 7.0),
+      Row("z", 10L, 7.0)))
+  }
+
   test("agrees with the union+window composition on real data") {
     val custom = graft.SparkEntry.queries("x_asof_join")(spark, sf)
       .collect().toSeq
