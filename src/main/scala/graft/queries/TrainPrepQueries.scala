@@ -112,6 +112,79 @@ object TrainPrepQueries {
        |) WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
   }
 
+  // -------------------------------- BM25 ----------------------------------
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 top-3 terms per document — TF-IDF's saturating sibling (the
+    * ranking function retrieval pipelines actually deploy). Same
+    * two-aggregation shape as [[tfidfTopTerms]]; idf uses the quantized
+    * integer form (see [[IdfScale]]) and the tf saturation term is
+    * computed with an IDENTICAL floating expression tree on both engines
+    * (every input an exact integer, one division), rounded 6 dp — so the
+    * scores, and hence the top-k selection with term tie-breaks, are
+    * engine-stable. */
+  private def bm25TopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("lt"))
+      .select(col("doc_id"), explode(col("lt")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum("dl").as("total_len"))
+    val rn = row_number().over(Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term")))
+    // lit() placement mirrors the oracle's parse tree exactly: constant
+    // subexpressions (k1+1, 1-b) fold to the same doubles, and the
+    // b·dl·n/total chain is left-associative in both engines
+    val sat = col("tf").cast("double") * lit(Bm25K1 + 1.0) /
+      (col("tf").cast("double") + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") *
+          col("n").cast("double") / col("total_len").cast("double")))
+    tf.join(df, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        round(expr(s"($IdfScale * (n + 1)) div (df + 1)").cast("double") *
+          sat, 6).as("score"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= 3)
+      .orderBy("doc_id", "rn")
+  }
+
+  private val bm25TopTermsSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${OracleSql.lowerToks}) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+       |), df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS BIGINT) AS total_len FROM dl
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+       |         round(CAST(($IdfScale * (corpus.n + 1)) // (df.df + 1)
+       |                    AS DOUBLE) *
+       |               (CAST(tf.tf AS DOUBLE) * ($Bm25K1 + 1.0) /
+       |                (CAST(tf.tf AS DOUBLE) + $Bm25K1 *
+       |                 ((1.0 - $Bm25B) + $Bm25B * CAST(dl.dl AS DOUBLE) *
+       |                  CAST(corpus.n AS DOUBLE) /
+       |                  CAST(corpus.total_len AS DOUBLE)))), 6) AS score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN corpus
+       |)
+       |SELECT doc_id, term, tf, dl, score, rn FROM (
+       |  SELECT doc_id, term, tf, dl, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, term) AS rn
+       |  FROM scored
+       |) WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   // ---------------------------- text cleaning -----------------------------
 
   /** RE2-compatible patterns (identical semantics under Java regex and
@@ -162,6 +235,7 @@ object TrainPrepQueries {
     "x_split_train_val" -> QueryDef(splitTrainVal, Some(splitTrainValSql)),
     "x_tfidf_topterms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql),
       bench = true),
+    "x_bm25_topterms" -> QueryDef(bm25TopTerms, Some(bm25TopTermsSql)),
     "x_text_clean" -> QueryDef(textClean, Some(textCleanSql))
   )
 }
