@@ -231,7 +231,72 @@ object TrainPrepQueries {
        |       length(clean) AS n_chars_clean, n_chars_raw
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------------- composite pipeline ---------------------------
+
+  /** End-to-end corpus-prep pipeline — the LLM-data counterpart of the
+    * taxi `c_pipeline_e2e`: clean (mask + canonicalize) → exact-dedup on
+    * the CLEANED fingerprint (keep lowest doc_id) → deterministic
+    * split assignment → quality gate (≥ 5 tokens) → per-(lang, split)
+    * corpus stats. Proves the operators COMPOSE: one declarative plan,
+    * no intermediate materialization, shuffles only at the dedup window
+    * and the final small aggregate. Stats stay in exact integer math
+    * (counts, token totals) so the composite is hash-comparable. */
+  private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(
+          trim(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            UrlRe, "<URL>")),
+          "\\s+", " ").as("clean"))
+    val byFp = Window.partitionBy(TextF.fingerprint(col("clean")))
+    val bucket = pmod(HashF.tokenHash(col("doc_id").cast("string")), lit(100))
+    cleaned
+      .withColumn("keep_id", min("doc_id").over(byFp))
+      .filter(col("doc_id") === col("keep_id"))
+      .withColumn("n_tokens", size(TextF.lowerTokens(col("clean"))))
+      .filter(col("n_tokens") >= 5)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang", "split")
+  }
+
+  private val corpusPipelineSql =
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, lang,
+       |         regexp_replace(trim(regexp_replace(
+       |           regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |           '$UrlRe', '<URL>', 'g')), '\\s+', ' ', 'g') AS clean
+       |  FROM documents
+       |), deduped AS (
+       |  SELECT doc_id, lang, clean FROM cleaned
+       |  QUALIFY doc_id = min(doc_id) OVER (
+       |    PARTITION BY md5(regexp_replace(lower(trim(clean)), '\\s+', ' ',
+       |                                    'g')))
+       |), gated AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN length(trim(lower(clean))) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(lower(clean)), '\\s+'))
+       |              END AS n_tokens,
+       |         CASE WHEN ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % 100
+       |                   < 80 THEN 'train'
+       |              WHEN ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % 100
+       |                   < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM deduped
+       |  WHERE clean IS NOT NULL
+       |)
+       |SELECT lang, split, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM gated WHERE n_tokens >= 5
+       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "c_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql),
+      bench = true),
     "x_split_train_val" -> QueryDef(splitTrainVal, Some(splitTrainValSql)),
     "x_tfidf_topterms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql),
       bench = true),

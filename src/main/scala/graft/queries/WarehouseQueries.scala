@@ -511,6 +511,50 @@ object WarehouseQueries {
     s"${sys.props("user.dir")}/target/qtmp/warehouse/cmp_$suffix"
   }
 
+  // --------------------------------- SCD2 ---------------------------------
+
+  /** Type-2 slowly-changing-dimension build: per-key change events become
+    * validity intervals — valid_from = change time, valid_to = next
+    * change (NULL on the current version). Change events derive
+    * deterministically from lineitem: one version per (order, shipdate)
+    * with decimal-exact attribute aggregation. Scale: one shuffle on the
+    * dimension key; the interval assignment is a lead() window on the
+    * same clustering — the standard dimension-history build, incremental
+    * by construction (new changes only touch their key's tail row). */
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val versions = tbl(s, dir, "lineitem")
+      // l_shipdate reads as TIMESTAMP_NTZ; the UTC-session cast makes
+      // unix_micros agree with DuckDB's epoch_us on the naive value
+      .groupBy(col("l_orderkey").as("key"),
+        unix_micros(col("l_shipdate").cast("timestamp"))
+          .as("valid_from_us"))
+      .agg(min("l_linenumber").as("src_line"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("qty"))
+    val byFrom = Window.partitionBy("key").orderBy("valid_from_us")
+    versions
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(byFrom))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("key", "valid_from_us")
+  }
+
+  private val scd2Sql =
+    """WITH versions AS (
+      |  SELECT l_orderkey AS key, epoch_us(l_shipdate) AS valid_from_us,
+      |         CAST(min(l_linenumber) AS BIGINT) AS src_line,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS qty
+      |  FROM lineitem GROUP BY 1, 2
+      |)
+      |SELECT key, valid_from_us, src_line, qty,
+      |       lead(valid_from_us) OVER (PARTITION BY key
+      |                                 ORDER BY valid_from_us)
+      |         AS valid_to_us,
+      |       lead(valid_from_us) OVER (PARTITION BY key
+      |                                 ORDER BY valid_from_us) IS NULL
+      |         AS is_current
+      |FROM versions ORDER BY key, valid_from_us""".stripMargin
+
   // --------------------------------- cube ---------------------------------
 
   /** CUBE (event_type, day): every grouping-set combination — the rollup's
@@ -534,6 +578,7 @@ object WarehouseQueries {
       |ORDER BY event_type, day""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
+    "w_scd2" -> QueryDef(scd2, Some(scd2Sql)),
     "w_kmv_aggregator" -> QueryDef(kmvAggregator, Some(kmvDistinctSql)),
     "s_compact" -> QueryDef(compact, Some(compactSql)),
     "w_cube" -> QueryDef(cubeCounts, Some(cubeCountsSql)),
