@@ -776,6 +776,122 @@ object ExtQueries {
        |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
   }
 
+  // -------------------------- product quantization ------------------------
+
+  private val PqM = 4            // subspaces
+  private val PqSub = Dim / PqM  // dims per subspace
+  private val PqK = 16           // codebook entries per subspace
+
+  /** PQ-ANN — the third standard ANN scale path beside hyperplane LSH
+    * (`x_ann_lsh`) and IVF (`x_ann_ivf*`): vectors compress to M=4
+    * one-byte codes (a 64-dim float vector becomes 4 bytes — the memory
+    * story that makes billion-vector search feasible), queries scan codes
+    * via an asymmetric-distance lookup table instead of raw vectors.
+    *
+    * Codebooks are the held-out init vectors' subvectors (ids [16,32) —
+    * same honest untrained stand-in as `x_ann_ivf`; Lloyd's per subspace
+    * is the `x_ann_ivf_kmeans` upgrade path). Encode = rank over a
+    * 64-row broadcast (M·K codebook entries); search = join the 4-row
+    * per-vector code table against the query's 64-entry LUT and sum —
+    * one shuffle on the code keys, never a scan of raw vectors.
+    *
+    * Determinism: per-subspace distances round 6dp with centroid-id
+    * tie-breaks; the 4 partial distances are QUANTIZED to µ-units
+    * (round(d·10⁶) as BIGINT) before the group-sum, so accumulation is
+    * exact integer math in any order on both engines. */
+  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings").select(col("vec_id"), embDouble.as("v"))
+    // (m, cid, cv): M·K codebook entries, each a PqSub-dim subvector
+    val codebook = emb.filter(col("vec_id") >= IvfK && col("vec_id") < 2 * IvfK)
+      .select((0 until PqM).map(m =>
+        struct(lit(m).as("m"), col("vec_id").as("cid"),
+          slice(col("v"), m * PqSub + 1, PqSub).as("cv")).as(s"s$m")): _*)
+      .select(explode(array((0 until PqM).map(m => col(s"s$m")): _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.cv").as("cv"))
+      .localCheckpoint() // 64 rows; reused by encode + LUT sides
+    val byDist = Window.partitionBy("vec_id", "m")
+      .orderBy(round(l2(col("sv"), col("cv")), 6), col("cid"))
+    // corpus → (vec_id, m, code)
+    val codes = emb
+      .select(col("vec_id"), posexplode(
+        array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "sv")))
+      .join(broadcast(codebook), "m")
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("m"),
+        col("cid").as("code"))
+    // queries → per-(m, cid) quantized partial distances (the ADC LUT)
+    val lut = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), posexplode(
+        array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "qv")))
+      .join(broadcast(codebook), "m")
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        round(l2(col("qv"), col("cv")) * lit(1000000.0))
+          .cast("long").as("dq"))
+    val rn = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("neighbor_id")))
+    codes.join(lut, Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg((sum("dq").cast("double") / lit(1000000.0)).as("approx_dist"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= 3)
+      .orderBy("query_id", "rn")
+  }
+
+  private val pqAnnSql = {
+    def sub(expr: String, m: Int) =
+      s"$expr[${m * PqSub + 1}:${(m + 1) * PqSub}]"
+    val cbUnion = (0 until PqM).map(m =>
+      s"SELECT $m AS m, vec_id AS cid, ${sub("v", m)} AS cv FROM init")
+      .mkString("\n  UNION ALL ")
+    val subUnion = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m AS m, ${sub("v", m)} AS sv FROM emb")
+      .mkString("\n  UNION ALL ")
+    val qUnion = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m AS m, ${sub("v", m)} AS qv FROM emb WHERE vec_id < $NQueries")
+      .mkString("\n  UNION ALL ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), init AS (
+       |  SELECT vec_id, v FROM emb
+       |  WHERE vec_id >= $IvfK AND vec_id < ${2 * IvfK}
+       |), codebook AS (
+       |  $cbUnion
+       |), subs AS (
+       |  $subUnion
+       |), codes AS (
+       |  SELECT vec_id AS neighbor_id, m, cid AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY round(list_distance(s.sv, c.cv), 6), c.cid)
+       |             AS rk
+       |    FROM subs s JOIN codebook c ON s.m = c.m
+       |  ) WHERE rk = 1
+       |), qsubs AS (
+       |  $qUnion
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.cid AS code,
+       |         CAST(round(list_distance(q.qv, c.cv) * 1000000.0, 0)
+       |              AS BIGINT) AS dq
+       |  FROM qsubs q JOIN codebook c ON q.m = c.m
+       |)
+       |SELECT query_id, neighbor_id, approx_dist, rn FROM (
+       |  SELECT query_id, neighbor_id, approx_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY approx_dist, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT l.query_id, c.neighbor_id,
+       |           CAST(SUM(l.dq) AS DOUBLE) / 1000000.0 AS approx_dist
+       |    FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+       |    WHERE l.query_id != c.neighbor_id
+       |    GROUP BY l.query_id, c.neighbor_id
+       |  )
+       |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  }
+
   // ------------------------------ multimodal -----------------------------
 
   /** Multimodal-column plumbing: media as an opaque `binary` column with
@@ -933,6 +1049,7 @@ object ExtQueries {
     "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true),
     "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "x_ann_ivf_kmeans" -> QueryDef(kmeansIvfAnn, Some(kmeansIvfAnnSql)),
+    "x_ann_pq" -> QueryDef(pqAnn, Some(pqAnnSql)),
     "x_multimodal_features" -> QueryDef(multimodalFeatures,
       Some(multimodalFeaturesSql)),
     "x_multimodal_frames" -> QueryDef(multimodalFrames,

@@ -25,6 +25,33 @@ class AnnRecallSpec extends SparkSpec {
     per.sum / per.size
   }
 
+  test("PQ answers every query; recall@3 vs exact-L2 truth is reported") {
+    import org.apache.spark.sql.functions._
+    // PQ ranks by (approximate) L2, so ground truth is exact L2 top-3 —
+    // the cosine truth the other tests use would measure the wrong thing
+    // on unnormalized embeddings
+    val emb = graft.tbl(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val d = sqrt(aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x))
+    val rn = org.apache.spark.sql.functions.row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(round(d, 6), col("neighbor_id")))
+    val exact = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", rn)
+    val truth = top3(exact)
+    val pq = top3(graft.SparkEntry.queries("x_ann_pq")(spark, sf))
+    val r = recallAt3(pq, truth)
+    info(f"PQ (untrained codebooks, 4x16) recall@3 vs exact L2: $r%.3f")
+    assert(pq.size === 10, "PQ must answer every query")
+    assert(r > 0.0, "PQ recall collapsed to zero — codes carry no signal")
+  }
+
   test("k-means-trained IVF recall@3 >= fixed-centroid IVF recall@3") {
     val truth = top3(graft.SparkEntry.queries("x_cosine_topk")(spark, sf))
     val fixed = top3(graft.SparkEntry.queries("x_ann_ivf")(spark, sf))
