@@ -189,12 +189,16 @@ object ExtQueries {
     * signature fraction. Scale: the self-join key is (band, h_i, h_j) —
     * a bucket join whose cost tracks collisions, not n²; the final
     * signature re-join is by doc_id. */
-  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    // Materialize signatures once: the band fan-out + both sides of the
-    // candidate join reuse them, and without a cut Spark would re-derive
-    // the full shingle→hash→min pipeline per branch (6× recompute and a
-    // janino-compiled mega-plan). At scale this is a real table write —
-    // signatures ARE the dedup index.
+  /** Checkpointed signatures + LSH candidate pairs (doc_a < doc_b) —
+    * shared by the near-dup pair scorer below and the connected-components
+    * cluster resolver ([[GraphQueries]]). Signatures are materialized
+    * once: the band fan-out + both sides of the candidate join reuse
+    * them, and without a cut Spark would re-derive the full
+    * shingle→hash→min pipeline per branch (6× recompute and a
+    * janino-compiled mega-plan). At scale this is a real table write —
+    * signatures ARE the dedup index. */
+  private[queries] def lshCandParts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sigs = minhashSignatures(s, dir).localCheckpoint()
     val bands = (0 until 4).map { b =>
       sigs.select(col("doc_id"), lit(b).as("band"),
@@ -207,6 +211,11 @@ object ExtQueries {
     val cand = a.join(b, Seq("band", "x", "y"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    (sigs, cand)
+  }
+
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val (sigs, cand) = lshCandParts(s, dir)
     val sa = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
     val sb = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
     val matches = (0 until 8)
@@ -220,14 +229,13 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val minhashLshPairsSql = {
+  /** DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the SQL half of
+    * [[lshCandParts]], shared with the [[GraphQueries]] oracle. */
+  private[queries] val lshCandCtes: String = {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b} AS x, h${2 * b + 1} AS y FROM sigs")
       .mkString("\n  UNION ALL ")
-    val matches = (0 until 8)
-      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH hv AS ($sqlShingleHashes),
+    s"""hv AS ($sqlShingleHashes),
        |sigs AS (
        |  SELECT doc_id, ${(0 until 8).map(sqlMinhash).mkString(", ")}
        |  FROM hv GROUP BY doc_id
@@ -238,7 +246,14 @@ object ExtQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
        |   AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  private val minhashLshPairsSql = {
+    val matches = (0 until 8)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $lshCandCtes
        |SELECT c.doc_a, c.doc_b, CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
        |FROM cand c
        |JOIN sigs sa ON c.doc_a = sa.doc_id
