@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -294,9 +294,197 @@ object TrainPrepQueries {
        |FROM gated WHERE n_tokens >= 5
        |GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  // ------------------------ sequence packing ------------------------------
+
+  /** Tokens per packed training block. */
+  private val PackCap = 512L
+
+  /** Token-block packing: concatenate each language's documents in
+    * doc_id order and chunk the token stream into fixed 512-token
+    * blocks — the standard LLM-pretraining packing step. Each doc's
+    * block span is a pure function of the exclusive running token count,
+    * so the operator is one window cumsum: no driver state, no UDF.
+    * Scale: partitioned by `lang` — at 100 TB you pack per (lang, shard)
+    * with the same expression and the window never crosses executors'
+    * partition boundaries; the deterministic order key (doc_id) is what
+    * makes the packing reproducible across reruns. */
+  private def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextF.lowerTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before div $PackCap").as("first_block"),
+        when(col("n_tokens") === 0, expr(s"cum_before div $PackCap"))
+          .otherwise(expr(s"(cum_before + n_tokens - 1) div $PackCap"))
+          .as("last_block"))
+      .orderBy("doc_id")
+  }
+
+  private val seqPackSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+       |              END AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (
+       |           PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS cum_before
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, n_tokens,
+       |       CAST(cum_before // $PackCap AS BIGINT) AS first_block,
+       |       CAST(CASE WHEN n_tokens = 0 THEN cum_before // $PackCap
+       |            ELSE (cum_before + n_tokens - 1) // $PackCap END
+       |            AS BIGINT) AS last_block
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------ domain-mix sampling ---------------------------
+
+  /** Target sampling rate (permille) per source domain — the mixing
+    * weights a pretraining recipe assigns per corpus slice. */
+  private def mixPermille(src: Column): Column =
+    when(src.isin("src0", "src1"), 1000L)
+      .when(src.isin("src2", "src3"), 500L)
+      .otherwise(250L)
+
+  /** Domain-mix downsampling: keep each document with its source's
+    * target probability, decided by content hash — not RNG — so the
+    * sample is reproducible, join-stable, and identical across engines
+    * and reruns (the property that makes a 100 TB mix auditable).
+    * Output is the per-source audit: target vs achieved keep counts.
+    * Scale: the keep decision is scan-side map work; the single shuffle
+    * is the tiny per-source aggregate. */
+  private def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val keep = pmod(HashF.tokenHash(col("doc_id").cast("string")),
+      lit(1000)) < mixPermille(col("source"))
+    tbl(s, dir, "documents")
+      .select(col("source"), mixPermille(col("source")).as("target_permille"),
+        keep.cast("long").as("kept"))
+      .groupBy("source", "target_permille")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
+      .orderBy("source")
+  }
+
+  private val domainMixSql =
+    s"""WITH t AS (
+       |  SELECT source,
+       |         CASE WHEN source IN ('src0', 'src1') THEN 1000
+       |              WHEN source IN ('src2', 'src3') THEN 500
+       |              ELSE 250 END AS target_permille,
+       |         CASE WHEN ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % 1000
+       |                   < CASE WHEN source IN ('src0', 'src1') THEN 1000
+       |                          WHEN source IN ('src2', 'src3') THEN 500
+       |                          ELSE 250 END
+       |              THEN 1 ELSE 0 END AS kept
+       |  FROM documents
+       |)
+       |SELECT source, CAST(target_permille AS BIGINT) AS target_permille,
+       |       count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept
+       |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  // --------------------- deterministic group sample -----------------------
+
+  /** Deterministic per-group sample: the 5 docs with the smallest
+    * content hash per language — a "reservoir" whose membership is a
+    * pure function of the data. Scale: a per-key top-k window, which
+    * Spark plans with `WindowGroupLimit` pushdown (partial top-k before
+    * the shuffle), never a global sort. */
+  private def groupSample(s: SparkSession, dir: String): DataFrame = {
+    val h = HashF.tokenHash(col("doc_id").cast("string"))
+    val rn = row_number().over(
+      Window.partitionBy("lang").orderBy(col("h"), col("doc_id")))
+    tbl(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
+  private val groupSampleSql =
+    s"""SELECT lang, rn, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY lang
+       |           ORDER BY ${OracleSql.hash("CAST(doc_id AS VARCHAR)")},
+       |                    doc_id) AS BIGINT) AS rn
+       |  FROM documents
+       |) WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
+  // --------------------- chunk-level repetition removal -------------------
+
+  /** Tokens per dedup chunk. */
+  private val ChunkToks = 10
+
+  /** Within-corpus repetition removal at sub-document granularity:
+    * non-overlapping [[ChunkToks]]-token chunks are fingerprinted and
+    * deduplicated corpus-wide, keeping each chunk only in its lowest
+    * doc_id (the granularity LLM dedup pipelines use for boilerplate /
+    * repeated-passage removal, where document-level dedup is blind).
+    * Output: per-doc total / distinct / kept chunk counts.
+    * Scale: chunking is codegen'd array work on the scan; the shuffles
+    * are two map-side-combined groupBys on the chunk fingerprint —
+    * cost tracks corpus token volume, never n². */
+  private def paraDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = expr(
+      s"""transform(sequence(0, (size(t) + ${ChunkToks - 1}) div $ChunkToks - 1),
+         |  i -> array_join(slice(t, i * $ChunkToks + 1, $ChunkToks), ' '))"""
+        .stripMargin)
+    val segs = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), explode(chunks).as("seg"))
+    val d = segs.select(col("doc_id"), md5(col("seg")).as("fp"))
+      .groupBy("doc_id", "fp").agg(count(lit(1)).as("reps"))
+    val keeper = d.groupBy("fp").agg(min("doc_id").as("keeper_doc"))
+    d.join(keeper, "fp")
+      .groupBy("doc_id")
+      .agg(sum("reps").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("keeper_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  private val paraDedupSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${OracleSql.lowerToks} AS t FROM documents
+       |), segs AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           range(0, (len(t) + ${ChunkToks - 1}) // $ChunkToks),
+       |           i -> array_to_string(
+       |             t[CAST(i * $ChunkToks + 1 AS INT)
+       |               : CAST(i * $ChunkToks + $ChunkToks AS INT)],
+       |             ' '))) AS seg
+       |  FROM tk WHERE len(t) > 0
+       |), d AS (
+       |  SELECT doc_id, md5(seg) AS fp, CAST(count(*) AS BIGINT) AS reps
+       |  FROM segs GROUP BY 1, 2
+       |), k AS (
+       |  SELECT fp, min(doc_id) AS keeper_doc FROM d GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(sum(d.reps) AS BIGINT) AS n_chunks,
+       |       CAST(count(*) AS BIGINT) AS n_distinct,
+       |       CAST(sum(CASE WHEN k.keeper_doc = d.doc_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_kept
+       |FROM d JOIN k USING (fp) GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "c_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql),
       bench = true),
+    "x_seq_pack" -> QueryDef(seqPack, Some(seqPackSql)),
+    "x_domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
+    "x_group_sample" -> QueryDef(groupSample, Some(groupSampleSql)),
+    "x_chunk_dedup" -> QueryDef(paraDedup, Some(paraDedupSql)),
     "x_split_train_val" -> QueryDef(splitTrainVal, Some(splitTrainValSql)),
     "x_tfidf_topterms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql),
       bench = true),

@@ -577,7 +577,150 @@ object WarehouseQueries {
       |GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
       |ORDER BY event_type, day""".stripMargin
 
+  // ------------------------------- pivot ----------------------------------
+
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+  private val PriorityAlias = Map("1-URGENT" -> "n_urgent",
+    "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+    "4-NOT SPECIFIED" -> "n_notspec", "5-LOW" -> "n_low")
+
+  /** Pivot (long→wide): order counts per status × priority, priorities
+    * as columns. The pivot values are passed EXPLICITLY — without them
+    * Spark runs an extra collect-distinct job over the full table to
+    * discover the columns, which at 100 TB is a whole wasted scan; with
+    * them the pivot compiles to one map-side-combined aggregation, same
+    * shape as the conditional-aggregation SQL the oracle runs. */
+  private def pivotCounts(s: SparkSession, dir: String): DataFrame = {
+    val wide = tbl(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+    Priorities.foldLeft(wide) { (d, p) =>
+      d.withColumn(PriorityAlias(p), coalesce(col(s"`$p`"), lit(0L)))
+        .drop(col(s"`$p`"))
+    }.orderBy("o_orderstatus")
+  }
+
+  private val pivotCountsSql = {
+    val cols = Priorities.map(p =>
+      s"""CAST(count(*) FILTER (o_orderpriority = '$p') AS BIGINT)
+         |         AS ${PriorityAlias(p)}""".stripMargin).mkString(",\n       ")
+    s"""SELECT o_orderstatus,
+       |       $cols
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  // ----------------------------- set operations ---------------------------
+
+  /** Set operations (§2.7): the 1995 vs 1996 ordering-customer key sets
+    * combined with UNION / INTERSECT / EXCEPT (both directions), each
+    * row tagged with its operation. Scale: every branch is a shuffle on
+    * the compared key with DISTINCT folded into the aggregation; Spark
+    * plans INTERSECT/EXCEPT as left-semi/left-anti joins — no
+    * materialized intermediate sets. */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    def keys(y: Int) = tbl(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val a = keys(1995)
+    val b = keys(1996)
+    Seq("union" -> a.union(b).distinct(),
+      "intersect" -> a.intersect(b),
+      "except_95_96" -> a.except(b),
+      "except_96_95" -> b.except(a))
+      .map { case (tag, d) => d.select(lit(tag).as("op"), col("o_custkey")) }
+      .reduce(_ unionAll _)
+      .orderBy("op", "o_custkey")
+  }
+
+  private val setOpsSql =
+    """WITH a AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |), b AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |)
+      |SELECT 'union' AS op, o_custkey
+      |FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT 'intersect', o_custkey
+      |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT 'except_95_96', o_custkey
+      |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT 'except_96_95', o_custkey
+      |FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+      |ORDER BY op, o_custkey""".stripMargin
+
+  // ----------------------------- snapshot diff ----------------------------
+
+  /** Snapshot diff (data versioning): classify every order key as
+    * added / removed / changed / unchanged between two table versions,
+    * reporting per-class counts and key ranges. The versions are carved
+    * deterministically from `orders`: "yesterday" lacks keys ≡0 (mod 97),
+    * "today" lacks keys ≡0 (mod 89) and reprices open orders with keys
+    * ≡0 (mod 3). Change detection compares a decimal-exact value
+    * fingerprint, never raw doubles. Scale: ONE full-outer shuffle join
+    * on the key — the canonical CDC diff plan; the per-class aggregate
+    * is map-side combined. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val prev = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), concat_ws("|", col("o_orderstatus"),
+        col("price").cast("string")).as("fp_prev"))
+    val cur = orders.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("price",
+        when(col("o_orderstatus") === "O" && col("o_orderkey") % 3 === 0,
+          col("price") + lit(BigDecimal("1.00"))).otherwise(col("price")))
+      .select(col("o_orderkey"), concat_ws("|", col("o_orderstatus"),
+        col("price").cast("string")).as("fp_cur"))
+    prev.join(cur, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_cur").isNull, "removed")
+          .when(col("fp_prev") =!= col("fp_cur"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("change_type")
+  }
+
+  private val snapshotDiffSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |), prev AS (
+      |  SELECT o_orderkey,
+      |         o_orderstatus || '|' || CAST(price AS VARCHAR) AS fp_prev
+      |  FROM base WHERE o_orderkey % 97 <> 0
+      |), cur AS (
+      |  SELECT o_orderkey,
+      |         o_orderstatus || '|' ||
+      |         CAST(CASE WHEN o_orderstatus = 'O' AND o_orderkey % 3 = 0
+      |                   THEN price + CAST('1.00' AS DECIMAL(18,2))
+      |                   ELSE price END AS VARCHAR) AS fp_cur
+      |  FROM base WHERE o_orderkey % 89 <> 0
+      |), diff AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN fp_prev IS NULL THEN 'added'
+      |              WHEN fp_cur IS NULL THEN 'removed'
+      |              WHEN fp_prev <> fp_cur THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type
+      |  FROM prev FULL OUTER JOIN cur USING (o_orderkey)
+      |)
+      |SELECT change_type, count(*) AS n_rows,
+      |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM diff GROUP BY change_type ORDER BY change_type""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_pivot" -> QueryDef(pivotCounts, Some(pivotCountsSql)),
+    "w_setops" -> QueryDef(setOps, Some(setOpsSql)),
+    "w_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),
     "w_scd2" -> QueryDef(scd2, Some(scd2Sql)),
     "w_kmv_aggregator" -> QueryDef(kmvAggregator, Some(kmvDistinctSql)),
     "s_compact" -> QueryDef(compact, Some(compactSql)),
