@@ -28,6 +28,15 @@ object VectorF {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm2(a) * norm2(b), lit(0.0))
 
+  /** [[cosine]] as a native single-pass codegen expression
+    * ([[graft.plans.CosineSim]]) — same bits, one fused loop, no
+    * intermediate product arrays. Inputs must be `array<double>`. */
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.CosineSim(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   /** Random-hyperplane LSH bucket: sign-bit signature over `nPlanes`
     * deterministic pseudo-hyperplanes derived from the vector itself is NOT
     * valid LSH — planes must be data-independent. We derive plane p's

@@ -430,9 +430,11 @@ object ExtQueries {
 
   /** Rounded cosine: both engines compute the identical sequential double
     * fold; round(…, 6) + vec_id tie-break makes top-k selection robust to
-    * any last-bit divergence. */
+    * any last-bit divergence. Native single-pass expression
+    * ([[graft.plans.CosineSim]]) — same bits as the composed form, no
+    * per-row intermediate arrays. */
   private def simCol(a: Column, b: Column): Column =
-    round(VectorF.cosine(a, b), 6)
+    round(VectorF.cosineNative(a, b), 6)
 
   /** Brute-force cosine top-5 per query vector (vec_id < 10) — the
     * exact-answer baseline. Scale: broadcast the bounded query set against
