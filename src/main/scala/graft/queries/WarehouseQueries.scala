@@ -717,7 +717,74 @@ object WarehouseQueries {
       |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM diff GROUP BY change_type ORDER BY change_type""".stripMargin
 
+  // ------------------------------ histogram -------------------------------
+
+  /** Fixed-width histogram of order value: 10 × 60k buckets, capped at
+    * the top bucket. The bucket id is a pure arithmetic map (`floor` of
+    * one IEEE division — identical bits on both engines), so this is a
+    * single map-side-combined aggregation; the classic first look at a
+    * 100 TB fact's value distribution without any sort. */
+  private def histogram(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(least(floor(col("o_totalprice") / lit(60000.0)), lit(9L))
+        .cast("long").as("bucket"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("p").cast("double").as("sum_price"))
+      .orderBy("bucket")
+
+  private val histogramSql =
+    """SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS BIGINT)
+      |         AS bucket,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // --------------------------- canonical array agg ------------------------
+
+  /** Grouped array aggregation with a canonical serialization: each
+    * nation's top-3 customer balances as one sorted CSV string.
+    * `collect_list` order is nondeterministic under parallel merge —
+    * `sort_array` + `array_join` is the canonicalization that makes an
+    * array-valued result hash-comparable (same trick as f7's struct
+    * serialization). Scale: the window is a bounded per-key top-k
+    * (`WindowGroupLimit`), so the collected arrays are ≤3 elements —
+    * collect_list is safe ONLY because the bound precedes it. */
+  private def arrayAgg(s: SparkSession, dir: String): DataFrame = {
+    val bal = col("c_acctbal").cast(DecimalType(12, 2))
+    val rn = row_number().over(Window.partitionBy("c_nationkey")
+      .orderBy(bal.desc, col("c_custkey")))
+    tbl(s, dir, "customer")
+      .select(col("c_nationkey"), bal.as("bal"), col("c_custkey"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= 3)
+      .groupBy("c_nationkey")
+      .agg(array_join(sort_array(collect_list(col("bal").cast("string"))),
+        ",").as("top3_csv"))
+      .orderBy("c_nationkey")
+  }
+
+  private val arrayAggSql =
+    """WITH r AS (
+      |  SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+      |         c_custkey,
+      |         row_number() OVER (
+      |           PARTITION BY c_nationkey
+      |           ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey)
+      |           AS rn
+      |  FROM customer
+      |)
+      |SELECT c_nationkey,
+      |       array_to_string(list_sort(list(CAST(bal AS VARCHAR))), ',')
+      |         AS top3_csv
+      |FROM r WHERE rn <= 3 GROUP BY c_nationkey ORDER BY c_nationkey"""
+      .stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_histogram" -> QueryDef(histogram, Some(histogramSql)),
+    "w_arrayagg" -> QueryDef(arrayAgg, Some(arrayAggSql)),
     "w_pivot" -> QueryDef(pivotCounts, Some(pivotCountsSql)),
     "w_setops" -> QueryDef(setOps, Some(setOpsSql)),
     "w_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),
