@@ -753,11 +753,12 @@ object WarehouseQueries {
     * (`WindowGroupLimit`), so the collected arrays are ≤3 elements —
     * collect_list is safe ONLY because the bound precedes it. */
   private def arrayAgg(s: SparkSession, dir: String): DataFrame = {
-    val bal = col("c_acctbal").cast(DecimalType(12, 2))
     val rn = row_number().over(Window.partitionBy("c_nationkey")
-      .orderBy(bal.desc, col("c_custkey")))
+      .orderBy(col("bal").desc, col("c_custkey")))
     tbl(s, dir, "customer")
-      .select(col("c_nationkey"), bal.as("bal"), col("c_custkey"))
+      .select(col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("bal"),
+        col("c_custkey"))
       .withColumn("rn", rn)
       .filter(col("rn") <= 3)
       .groupBy("c_nationkey")
