@@ -783,7 +783,212 @@ object WarehouseQueries {
       |FROM r WHERE rn <= 3 GROUP BY c_nationkey ORDER BY c_nationkey"""
       .stripMargin
 
+  // --------------------------- grouping sets ------------------------------
+
+  /** Explicit GROUPING SETS with per-column GROUPING flags: counts and
+    * decimal-exact value sums at (type, user bucket), (type), and grand
+    * total — the sub-lattice CUBE/ROLLUP can't express (reference's
+    * BigQuery SQL supports the same surface). Spark expands the sets
+    * before ONE exchange with map-side partials, so the cost is a single
+    * shuffle regardless of how many sets are requested — the 100 TB plan
+    * is identical to a plain GROUP BY. Grouped-away keys are NULL on both
+    * engines; ordering coalesces them below any real key so the total
+    * ORDER BY is engine-independent. */
+  private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    eventsTbl(s, dir)
+      .select(col("event_type"), (col("user_id") % 5).as("user_mod"),
+        col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("user_mod")), Seq(col("event_type")),
+          Seq.empty),
+        col("event_type"), col("user_mod"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("user_mod")).cast("int").as("g_mod"))
+      .orderBy(col("g_type"), col("g_mod"),
+        coalesce(col("event_type"), lit("")),
+        coalesce(col("user_mod"), lit(-1L)))
+
+  private val groupingSetsAggSql =
+    """SELECT event_type, user_mod, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |       CAST(GROUPING(event_type) AS INT) AS g_type,
+      |       CAST(GROUPING(user_mod) AS INT) AS g_mod
+      |FROM (SELECT event_type, user_id % 5 AS user_mod, value FROM events)
+      |GROUP BY GROUPING SETS ((event_type, user_mod), (event_type), ())
+      |ORDER BY g_type, g_mod, coalesce(event_type, ''),
+      |         coalesce(user_mod, -1)""".stripMargin
+
+  // ----------------------- moving-window frames ---------------------------
+
+  /** Frame-based sliding aggregates: per-user 7-event moving sum/avg
+    * (ROWS frame) and a trailing one-hour sum (RANGE frame over the µs
+    * timestamp) — the time-series smoothing surface. Frames never
+    * re-shuffle: all three windows share one (user_id) partitioning, so
+    * the plan is a single exchange + sort feeding three running
+    * aggregates. Sums are decimal-exact inside the frame; the moving
+    * average is ONE double division of that exact sum, identical IEEE on
+    * both engines. */
+  private def movingAggRaw(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val rows7 = byTime.rowsBetween(-6, Window.currentRow)
+    val hour = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    val dec = col("value").cast(DecimalType(18, 2))
+    eventsTbl(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        sum(dec).over(rows7).cast("double").as("mov7_sum"),
+        (sum(dec).over(rows7).cast("double") /
+          count(lit(1)).over(rows7)).as("mov7_avg"),
+        sum(dec).over(hour).cast("double").as("hour_sum"))
+  }
+
+  private def movingAgg(s: SparkSession, dir: String): DataFrame =
+    movingAggRaw(s, dir).orderBy("user_id", "event_id")
+
+  private val movingAggSql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+      |)
+      |SELECT user_id, event_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+      |         AS mov7_sum,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+      |         / COUNT(*) OVER w7 AS mov7_avg,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wh AS DOUBLE)
+      |         AS hour_sum
+      |FROM x
+      |WINDOW w7 AS (PARTITION BY user_id ORDER BY us, event_id
+      |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |       wh AS (PARTITION BY user_id ORDER BY us
+      |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ----------------------- exact stats aggregates --------------------------
+
+  /** Sample stddev and Pearson correlation per event type — computed from
+    * QUANTIZED integer power sums (value in cents, k as-is), so the five
+    * sums are exact order-independent BIGINTs and the final stddev/corr
+    * are reconstructed in one identical IEEE expression tree on both
+    * engines. Never `stddev()`/`corr()` directly: their float
+    * accumulation order differs across engines AND across Spark's own
+    * partition merges. One shuffle with map-side partials; the power-sum
+    * trick is also the mergeable form (partials add), which is what makes
+    * it the 100 TB pattern. */
+  private def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    val vq = round(col("value") * 100).cast("long")
+    val kq = get_json_object(col("props"), "$.k").cast("long")
+    eventsTbl(s, dir)
+      .select(col("event_type"), vq.as("vq"), kq.as("kq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vq").as("sv"),
+        sum(col("vq") * col("vq")).as("svv"), sum("kq").as("sk"),
+        sum(col("kq") * col("kq")).as("skk"),
+        sum(col("vq") * col("kq")).as("svk"))
+      .select(col("event_type"), col("n"),
+        round(sqrt((col("n") * col("svv") - col("sv") * col("sv"))
+          .cast("double") / (col("n") * (col("n") - 1))) / 100, 6)
+          .as("stddev_value"),
+        round((col("n") * col("svk") - col("sv") * col("sk")).cast("double") /
+          (sqrt((col("n") * col("svv") - col("sv") * col("sv"))
+            .cast("double")) *
+           sqrt((col("n") * col("skk") - col("sk") * col("sk"))
+             .cast("double"))), 6).as("corr_value_k"))
+      .orderBy("event_type")
+  }
+
+  private val statsAggSql =
+    """WITH q AS (
+      |  SELECT event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS vq,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kq
+      |  FROM events
+      |), p AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(SUM(vq) AS BIGINT) AS sv,
+      |         CAST(SUM(vq * vq) AS BIGINT) AS svv,
+      |         CAST(SUM(kq) AS BIGINT) AS sk,
+      |         CAST(SUM(kq * kq) AS BIGINT) AS skk,
+      |         CAST(SUM(vq * kq) AS BIGINT) AS svk
+      |  FROM q GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |       round(sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+      |                  / (n * (n - 1))) / 100, 6) AS stddev_value,
+      |       round(CAST(n * svk - sv * sk AS DOUBLE)
+      |             / (sqrt(CAST(n * svv - sv * sv AS DOUBLE))
+      |                * sqrt(CAST(n * skk - sk * sk AS DOUBLE))), 6)
+      |         AS corr_value_k
+      |FROM p ORDER BY event_type""".stripMargin
+
+  // ----------------------- calendar gap-fill + LOCF ------------------------
+
+  /** Time-series gap fill: every (user, day) over the global span, with
+    * missing days zero-filled and a last-observation-carried-forward
+    * column — the resampling step before any per-entity time-series
+    * model. The calendar is sequence()+explode against the distinct-user
+    * dim (never a driver loop); at 100 TB the cross join is
+    * |users|×|days| rows of three columns, dwarfed by the event scan,
+    * and the LOCF window is the same (user) partitioning as the daily
+    * rollup — one shuffle total. */
+  private def gapfillLocf(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        col("value").cast(DecimalType(18, 2)).as("dec"))
+    val daily = ev.groupBy("user_id", "d")
+      .agg(sum("dec").as("s"))
+    val span = ev.agg(min("d").as("lo"), max("d").as("hi"))
+    val cal = ev.select("user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("d"))
+    val locfW = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d").cast("string").as("day"),
+        coalesce(col("s"), lit(0)).cast("double").as("day_sum"),
+        col("s").isNull.as("is_gap"),
+        last("s", ignoreNulls = true).over(locfW).cast("double")
+          .as("locf_sum"))
+      .orderBy("user_id", "day")
+  }
+
+  private val gapfillLocfSql =
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS s
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      |  FROM events
+      |), cal AS (
+      |  SELECT u.user_id, CAST(gs.day AS DATE) AS day
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+      |                AS day FROM span) gs
+      |), f AS (
+      |  SELECT c.user_id, c.day, d.s
+      |  FROM cal c LEFT JOIN d ON d.user_id = c.user_id AND d.day = c.day
+      |)
+      |SELECT user_id, CAST(day AS VARCHAR) AS day,
+      |       CAST(coalesce(s, 0) AS DOUBLE) AS day_sum,
+      |       (s IS NULL) AS is_gap,
+      |       CAST(last_value(s IGNORE NULLS)
+      |              OVER (PARTITION BY user_id ORDER BY day
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS DOUBLE) AS locf_sum
+      |FROM f ORDER BY user_id, day""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_grouping_sets" -> QueryDef(groupingSetsAgg, Some(groupingSetsAggSql)),
+    "w_moving_agg" -> QueryDef(movingAgg, Some(movingAggSql),
+      bench = true, benchFn = Some(movingAggRaw)),
+    "w_stats_agg" -> QueryDef(statsAgg, Some(statsAggSql)),
+    "w_gapfill_locf" -> QueryDef(gapfillLocf, Some(gapfillLocfSql)),
     "w_histogram" -> QueryDef(histogram, Some(histogramSql)),
     "w_arrayagg" -> QueryDef(arrayAgg, Some(arrayAggSql)),
     "w_pivot" -> QueryDef(pivotCounts, Some(pivotCountsSql)),
