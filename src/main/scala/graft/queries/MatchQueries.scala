@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tbl
+
+/** Record-linkage / entity-resolution operators: fuzzy matching of dirty
+  * strings back to a clean reference set via the canonical two-phase
+  * plan — a cheap equality BLOCKING join that bounds the candidate set,
+  * then an edit-distance REFINE over candidates only. The all-pairs
+  * levenshtein cross join is never materialized; at 100 TB the cost is
+  * one shuffle on the block key and a codegen'd scalar pass per
+  * candidate, which is the production shape of dedup-by-name, address
+  * matching, and catalog reconciliation pipelines.
+  *
+  * Reference scope (`/root/reference`): the taxi ETL joins zone lookups
+  * on exact keys only; fuzzy linkage is part of the training-data
+  * extension surface (near-duplicate entity strings), same family as
+  * `x_minhash_lsh_pairs` but for short strings where edit distance, not
+  * shingle overlap, is the right metric.
+  */
+object MatchQueries {
+
+  /** Deterministic "dirty" variant of a clean two-word name: delete ONE
+    * character of the second word at position (len(name) mod len(word2)).
+    * Derived, not random — both engines rebuild the identical corruption,
+    * so the oracle is independent of any RNG. */
+  private def dirtyOf(name: Column): (Column, Column) = {
+    val w1 = element_at(split(name, " "), 1)
+    val w2 = element_at(split(name, " "), 2)
+    val pos = (length(name) % length(w2)) + 1
+    val corrupted = concat(w2.substr(lit(1), pos - 1),
+      w2.substr(pos + 1, length(w2)))
+    (w1, concat(w1, lit(" "), corrupted))
+  }
+
+  /** Fuzzy entity resolution over the part-name vocabulary: each dirty
+    * variant is matched back to the clean name set, blocked on the first
+    * token and refined with levenshtein ≤ 2; the best candidate per dirty
+    * string is the (distance, name)-minimal one. `self_match` flags
+    * whether the winner is the name the variant was derived from — false
+    * rows are genuine near-collisions in the vocabulary (e.g. one-letter
+    * noun pairs), exactly what a resolution pipeline must adjudicate. */
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val clean = tbl(s, dir, "part").select(col("p_name")).distinct()
+      .select(col("p_name").as("clean_name"),
+        element_at(split(col("p_name"), " "), 1).as("block"))
+    val dirty = tbl(s, dir, "part").select(col("p_name")).distinct()
+      .select(col("p_name").as("src_name"), dirtyOf(col("p_name"))._2
+        .as("dirty_name"))
+      .withColumn("block", element_at(split(col("src_name"), " "), 1))
+    val best = Window.partitionBy("dirty_name", "src_name")
+      .orderBy(col("lev"), col("clean_name"))
+    dirty.join(clean, "block")
+      .withColumn("lev", levenshtein(col("dirty_name"), col("clean_name")))
+      .filter(col("lev") <= 2)
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("dirty_name"), col("src_name"), col("clean_name"),
+        col("lev"), (col("clean_name") === col("src_name")).as("self_match"))
+      .orderBy("dirty_name", "src_name")
+  }
+
+  private val fuzzyJoinSql =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name FROM part
+      |), dirty AS (
+      |  SELECT p_name AS src_name,
+      |         split_part(p_name, ' ', 1) || ' ' ||
+      |         substr(split_part(p_name, ' ', 2), 1,
+      |                (length(p_name) % length(split_part(p_name, ' ', 2))))
+      |           || substr(split_part(p_name, ' ', 2),
+      |                (length(p_name) % length(split_part(p_name, ' ', 2)))
+      |                  + 2, length(split_part(p_name, ' ', 2)))
+      |           AS dirty_name,
+      |         split_part(p_name, ' ', 1) AS block
+      |  FROM names
+      |), clean AS (
+      |  SELECT p_name AS clean_name, split_part(p_name, ' ', 1) AS block
+      |  FROM names
+      |), cand AS (
+      |  SELECT d.dirty_name, d.src_name, c.clean_name,
+      |         levenshtein(d.dirty_name, c.clean_name) AS lev
+      |  FROM dirty d JOIN clean c USING (block)
+      |)
+      |SELECT dirty_name, src_name, clean_name, lev,
+      |       clean_name = src_name AS self_match
+      |FROM cand
+      |WHERE lev <= 2
+      |QUALIFY row_number() OVER (PARTITION BY dirty_name, src_name
+      |                           ORDER BY lev, clean_name) = 1
+      |ORDER BY dirty_name, src_name""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "x_fuzzy_join" -> QueryDef(fuzzyJoin, Some(fuzzyJoinSql))
+  )
+}
