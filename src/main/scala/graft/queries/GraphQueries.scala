@@ -68,8 +68,158 @@ object GraphQueries {
        |FROM comp c JOIN sizes s USING (component)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------ BFS shortest path -----------------------------
+
+  /** Multi-source BFS over the customer–order–supplier entity graph
+    * (undirected; nodes namespaced `c…`/`o…`/`s…`): hop distance from the
+    * seed customers (custkey ≡ 0 mod 500) out to 3 hops. The Spark side
+    * is frontier iteration — each level joins the frontier against the
+    * edge list (one shuffle on the node key), anti-joins everything
+    * already labeled, and checkpoints, which is the Pregel pattern that
+    * holds at 100 TB: per-level cost tracks |frontier|·degree, never
+    * |V|². The oracle recomputes the same closure with a recursive CTE
+    * and takes min(dist) — an independent algorithm (path enumeration
+    * with dedup) arriving at the same BFS labeling. */
+  private val MaxHops = 3
+
+  private def shortestPath(s: SparkSession, dir: String): DataFrame = {
+    def node(prefix: String, c: org.apache.spark.sql.Column) =
+      concat(lit(prefix), c.cast("string"))
+    val co = tbl(s, dir, "orders")
+      .select(node("c", col("o_custkey")).as("a"),
+        node("o", col("o_orderkey")).as("b"))
+    val os = tbl(s, dir, "lineitem")
+      .select(node("o", col("l_orderkey")).as("a"),
+        node("s", col("l_suppkey")).as("b"))
+      .distinct()
+    val fwd = co.union(os)
+    val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // scanned once per BFS level
+    var dist = tbl(s, dir, "customer")
+      .filter(col("c_custkey") % 500 === 0)
+      .select(node("c", col("c_custkey")).as("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = dist.select("node")
+    for (i <- 1 to MaxHops) {
+      val next = frontier.join(und, frontier("node") === und("a"))
+        .select(und("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+        .localCheckpoint() // first discovery == BFS level; cut lineage
+      dist = dist.union(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    dist.orderBy("node")
+  }
+
+  private val shortestPathSql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |         'o' || CAST(o_orderkey AS VARCHAR) AS b
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR),
+       |                  's' || CAST(l_suppkey AS VARCHAR)
+       |  FROM lineitem
+       |), und AS (
+       |  SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+       |), walk(node, dist) AS (
+       |  SELECT 'c' || CAST(c_custkey AS VARCHAR), 0
+       |  FROM customer WHERE c_custkey % 500 = 0
+       |  UNION
+       |  SELECT u.b, w.dist + 1
+       |  FROM walk w JOIN und u ON u.a = w.node
+       |  WHERE w.dist < $MaxHops
+       |)
+       |SELECT node, CAST(min(dist) AS INT) AS dist
+       |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  // ------------------------ PageRank (quantized) --------------------------
+
+  /** PageRank over the nation-level trade graph (distinct customer-nation
+    * → supplier-nation edges through orders⋈lineitem), `PrIters` power
+    * iterations, damping 0.85. All rank arithmetic is INTEGER in
+    * µ-units — contributions are `rank div outdeg`, damping is
+    * `(85·Σ) div 100` — so both engines iterate bit-identical BIGINTs
+    * with no float accumulation anywhere (the same cross-engine
+    * determinism trick as the k-means centroids, but for an iterative
+    * graph algorithm; divisions are all on non-negatives, where Spark's
+    * `div` and DuckDB's `//` agree). Dangling-node mass is dropped (the
+    * standard simplified variant). At scale: ranks⋈edges shuffles on
+    * src, the contribution sum on dst — the canonical Pregel/GraphX
+    * plan; here the 25-row rank vector broadcasts. */
+  private val PrIters = 3
+
+  private def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(tbl(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("src"))
+      .join(tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey").as("dst")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("src", "dst").filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint() // small edge dim, reused every iteration
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contribs = edges.join(outdeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+      ranks = nodes.join(contribs.withColumnRenamed("dst", "node"),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + coalesce(expr("85 * cs div 100"), lit(0L))).as("r"))
+        .localCheckpoint() // 25 rows; replan small each iteration
+    }
+    ranks.select(col("node").as("n_nationkey"), col("r").as("rank_q"),
+        (col("r").cast("double") / 1000000.0).as("rank"))
+      .orderBy("n_nationkey")
+  }
+
+  private val pageRankSql = {
+    def iter(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.node,
+         |         CAST(150000 + coalesce((85 * c.cs) // 100, 0) AS BIGINT)
+         |           AS r
+         |  FROM (SELECT node FROM r0) n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM($prev.r // d.outdeg) AS BIGINT)
+         |             AS cs
+         |    FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src
+         |    GROUP BY e.dst) c USING (node)
+         |)""".stripMargin
+    val iters = (1 to PrIters)
+      .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey != s.s_nationkey
+       |), d AS (
+       |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+       |), r0 AS (
+       |  SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS r
+       |  FROM nation
+       |),
+       |$iters
+       |SELECT node AS n_nationkey, r AS rank_q,
+       |       CAST(r AS DOUBLE) / 1000000.0 AS rank
+       |FROM r$PrIters ORDER BY n_nationkey""".stripMargin
+  }
+
   val all: Map[String, QueryDef] = Map(
     "x_dedup_components" -> QueryDef(dedupComponents, Some(dedupComponentsSql),
-      bench = true)
+      bench = true),
+    "x_shortest_path" -> QueryDef(shortestPath, Some(shortestPathSql),
+      bench = true),
+    "x_pagerank" -> QueryDef(pageRank, Some(pageRankSql))
   )
 }
