@@ -783,6 +783,46 @@ object WarehouseQueries {
       |FROM r WHERE rn <= 3 GROUP BY c_nationkey ORDER BY c_nationkey"""
       .stripMargin
 
+  // ----------------------- sort-clustered layout --------------------------
+
+  /** Per-(session, dir) layout path — see [[psinkBase]] for why. */
+  private[queries] def slayBase(s: SparkSession, dir: String): String = {
+    val suffix = java.lang.Integer.toHexString(
+      (dir + "#" + System.identityHashCode(s)).hashCode & 0x7fffffff)
+    s"${sys.props("user.dir")}/target/qtmp/warehouse/slay_$suffix"
+  }
+
+  /** Value-clustered storage layout: `repartitionByRange` + in-partition
+    * sort before the parquet write gives every file a tight, disjoint
+    * min/max envelope on the cluster column, so a range predicate on the
+    * read side prunes whole row groups from the footer stats — the
+    * single-column form of Z-order data skipping, and the difference
+    * between scanning 100 TB and scanning one range's files.
+    * `ScaleSpec` asserts the skip (scan outputs a fraction of the rows
+    * an unclustered layout reads); this query checks the semantics are
+    * unchanged by layout. */
+  private def sortedLayout(s: SparkSession, dir: String): DataFrame = {
+    val base = slayBase(s, dir)
+    eventsTbl(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(8, col("value"))
+      .sortWithinPartitions("value")
+      .write.mode("overwrite").parquet(s"$base/sorted")
+    s.read.parquet(s"$base/sorted")
+      .filter(col("value") >= 5.0 && col("value") < 6.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val sortedLayoutSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE value >= 5.0 AND value < 6.0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------- grouping sets ------------------------------
 
   /** Explicit GROUPING SETS with per-column GROUPING flags: counts and
@@ -984,6 +1024,7 @@ object WarehouseQueries {
       |FROM f ORDER BY user_id, day""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
+    "s_sorted_layout" -> QueryDef(sortedLayout, Some(sortedLayoutSql)),
     "w_grouping_sets" -> QueryDef(groupingSetsAgg, Some(groupingSetsAggSql)),
     "w_moving_agg" -> QueryDef(movingAgg, Some(movingAggSql),
       bench = true, benchFn = Some(movingAggRaw)),

@@ -35,6 +35,45 @@ class ScaleSpec extends SparkSpec {
     assert(viaBuckets === expected)
   }
 
+  test("value-sorted layout prunes row groups under a range predicate") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = WarehouseQueries.slayBase(spark, sf)
+    val ev = graft.eventsTbl(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.repartitionByRange(8, col("value")).sortWithinPartitions("value")
+      .write.mode("overwrite").parquet(s"$base/spec_sorted")
+    ev.repartition(8)
+      .write.mode("overwrite").parquet(s"$base/spec_unsorted")
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("value") >= 5.0 && col("value") < 6.0)
+      // execute THIS dataset's plan (count() would plan a separate
+      // execution and leave these metrics untouched)
+      df.collect()
+      // AQE wraps the final plan; collect() does not descend into it
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }
+      assert(scans.nonEmpty)
+      scans.sum
+    }
+    val sorted = scanRows(s"$base/spec_sorted")
+    val unsorted = scanRows(s"$base/spec_unsorted")
+    val total = ev.count()
+    // the unclustered layout has the full value range in every file, so
+    // no row group is skippable and the scan emits every row; the
+    // clustered layout's footer stats confine the scan to the 1-2 files
+    // whose [min,max] intersects the predicate
+    assert(unsorted === total)
+    assert(sorted < total / 2,
+      s"sorted-layout scan read $sorted of $total rows — no row-group skip")
+  }
+
   test("GraftExtensions registers wkt_centroid_* for SQL use") {
     val r = spark.sql(
       "SELECT wkt_centroid_lng('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))') AS x," +
