@@ -1023,7 +1023,79 @@ object WarehouseQueries {
       |            AS DOUBLE) AS locf_sum
       |FROM f ORDER BY user_id, day""".stripMargin
 
+  // --------------------------- argmax / argmin ----------------------------
+
+  /** Grouped argmax/argmin: per nation, the customer holding the max and
+    * min account balance (`max_by`/`min_by` — BigQuery's
+    * `MAX_BY`/`ANY_VALUE(... HAVING MAX ...)` surface). Ties on the raw
+    * balance exist in the fixture, so the ordering key is the cent-exact
+    * balance packed with the customer key
+    * (`balq*100000 + custkey`, custkey < 10^5) — one BIGINT whose order
+    * equals the (balance, custkey) lexicographic order, making the
+    * winner deterministic and identical across engines. Scale: map-side
+    * partial max_by reduces each partition to one row per group before
+    * the single exchange — same plan shape as any plain aggregate. */
+  private def argMinMax(s: SparkSession, dir: String): DataFrame = {
+    val key = (round(col("c_acctbal") * 100).cast("long") * 100000L +
+      col("c_custkey")).as("k")
+    tbl(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"), key)
+      .groupBy("c_nationkey")
+      .agg(
+        max_by(col("c_name"), col("k")).as("richest_name"),
+        max(col("c_acctbal")).as("max_bal"),
+        min_by(col("c_name"), col("k")).as("poorest_name"),
+        min(col("c_acctbal")).as("min_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  private val argMinMaxSql =
+    """WITH c AS (
+      |  SELECT c_nationkey, c_name, c_acctbal,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey
+      |           AS k
+      |  FROM customer
+      |)
+      |SELECT c_nationkey,
+      |       arg_max(c_name, k) AS richest_name,
+      |       max(c_acctbal) AS max_bal,
+      |       arg_min(c_name, k) AS poorest_name,
+      |       min(c_acctbal) AS min_bal
+      |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ------------------------------- unpivot --------------------------------
+
+  /** Wide-to-long reshape via the native `Dataset.unpivot` (melt): the
+    * four lineitem measures become (measure, val) rows keyed by the trip
+    * identity — the shape feature stores and long-format training
+    * exports want. Unpivot is a zero-shuffle Expand node (each input row
+    * emits 4 output rows in the scan stage); at 100 TB the cost is the
+    * 4× row fan-out itself, never an exchange. */
+  private def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  private val unpivotMeasuresSql =
+    """SELECT l_orderkey, l_linenumber, measure, val
+      |FROM (
+      |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+      |                  l_extendedprice, l_discount, l_tax FROM lineitem)
+      |  ON l_quantity, l_extendedprice, l_discount, l_tax
+      |  INTO NAME measure VALUE val
+      |)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_argminmax" -> QueryDef(argMinMax, Some(argMinMaxSql)),
+    "w_unpivot" -> QueryDef(unpivotMeasures, Some(unpivotMeasuresSql)),
     "s_sorted_layout" -> QueryDef(sortedLayout, Some(sortedLayoutSql)),
     "w_grouping_sets" -> QueryDef(groupingSetsAgg, Some(groupingSetsAggSql)),
     "w_moving_agg" -> QueryDef(movingAgg, Some(movingAggSql),
