@@ -115,9 +115,69 @@ object ScaleQueries {
       |FROM events JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Bloom bits for [[bloomPrunedJoin]]: 2^16 bits (8 KB) for the
+    * fixture's ~3k urgent orders → FPR under 1e-3. At 100 TB this is a
+    * per-executor broadcast of a few MB for hundreds of millions of dim
+    * keys — the standard semi-join-reduction budget. */
+  private val BloomLogBits = 16
+
+  /** Distributed bloom build: per-partition 8 KB word arrays OR-merged
+    * up a tree — each partition ships the fixed-size array, never its
+    * key set ([[graft.plans.BloomF]] holds the shared mix/probe math). */
+  private def bloomWords(keys: DataFrame, logBits: Int): Array[Long] = {
+    import keys.sparkSession.implicits._
+    keys.as[Long].rdd.treeAggregate(
+      graft.plans.BloomF.emptyWords(logBits))(
+      seqOp = (w, k) => { graft.plans.BloomF.insert(w, k, logBits); w },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      })
+  }
+
+  /** Bloom-pruned join (semi-join reduction): the fact scan is filtered
+    * through a [[graft.plans.BloomMightContain]] probe of the dim-side
+    * key set BEFORE the join, so at scale the join exchange moves only
+    * the ~matching fraction of the fact table (plus a sub-1e-3 false
+    * positive tail the exact join then removes). This is the explicit,
+    * deterministic form of Spark's own `InjectRuntimeFilter` rewrite;
+    * `ScaleSpec` asserts the probe sits under the fact-side scan stage
+    * and that no-false-negatives holds, and the oracle checks the
+    * result equals the plain join — bloom pruning is a physical
+    * optimization with identical semantics. */
+  private def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = tbl(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val words = bloomWords(urgent.select("o_orderkey"), BloomLogBits)
+    val probe = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.BloomMightContain(
+        org.apache.spark.sql.GraftBridge.expression(col("l_orderkey")),
+        words, BloomLogBits))
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .filter(probe)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val bloomPrunedJoinSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "b_bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql),
       bench = true),
-    "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql))
+    "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql)),
+    "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql))
   )
 }
