@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.tbl
+import graft.{eventsTbl, tbl}
 
 /** At-scale physical-layout operators: bucketed co-located joins.
   *
@@ -174,10 +174,73 @@ object ScaleQueries {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Per-(session, dir) z-order layout path (same collision rationale as
+    * [[ensureBucketed]]). */
+  private[queries] def zorderBase(s: SparkSession, dir: String): String = {
+    val suffix = java.lang.Integer.toHexString(
+      (dir + "#" + System.identityHashCode(s)).hashCode & 0x7fffffff)
+    s"${sys.props("user.dir")}/target/qtmp/zorder_$suffix"
+  }
+
+  /** The z-order clustering key for events: quantized (user_id, value)
+    * interleaved — both dimensions get file-level locality. */
+  private[queries] def eventsZkey =
+    graft.functions.ZOrderF.morton2(
+      col("user_id"), floor(col("value")).cast("long"))
+
+  private[queries] val eventsZkeySql =
+    graft.functions.ZOrderF.morton2Sql(
+      "user_id", "CAST(floor(value) AS BIGINT)")
+
+  /** Z-order-clustered storage layout: events rewritten sorted by the
+    * Morton key of (user_id, value), then read back under a TWO-dimension
+    * predicate. Each file's footer min/max is tight on both source
+    * columns (the curve's locality), so the scan skips row groups for
+    * predicates on either dimension — where the single-column sorted
+    * layout (`s_sorted_layout`) only ever prunes its one sort column.
+    * `ZorderSpec` asserts the skip on each dimension independently; this
+    * query checks layout-invariance of the answer (plus the zkey
+    * arithmetic itself, mirrored bit-for-bit in the oracle). At 100 TB
+    * this is the nightly OPTIMIZE ZORDER rewrite that makes ad-hoc
+    * two-column slices read ~the matching files only. */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val base = zorderBase(s, dir)
+    eventsTbl(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), eventsZkey.as("zkey"))
+      .repartitionByRange(8, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(s"$base/zsorted")
+    s.read.parquet(s"$base/zsorted")
+      .filter(col("user_id").between(100, 299) &&
+        col("value") >= 50.0 && col("value") < 150.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"),
+        min(col("zkey")).as("min_zkey"),
+        max(col("zkey")).as("max_zkey"))
+      .orderBy("event_type")
+  }
+
+  private val zorderLayoutSql =
+    s"""WITH z AS (
+       |  SELECT event_type, value, $eventsZkeySql AS zkey
+       |  FROM events
+       |  WHERE user_id BETWEEN 100 AND 299
+       |    AND value >= 50.0 AND value < 150.0
+       |)
+       |SELECT event_type, count(*) AS cnt,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS sum_value,
+       |       min(zkey) AS min_zkey, max(zkey) AS max_zkey
+       |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "b_bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql),
       bench = true),
     "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql)),
-    "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql))
+    "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql)),
+    "b_zorder_layout" -> QueryDef(zorderLayout, Some(zorderLayoutSql))
   )
 }
