@@ -284,7 +284,84 @@ object StreamQueries {
       | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
       |ORDER BY c.event_id, p_event_id""".stripMargin
 
+  /** Streaming MERGE via `foreachBatch`: each microbatch is upserted
+    * into a keyed parquet target — new users insert, existing users
+    * update (count accumulates, the latest (ts, event_id)-ordered value
+    * wins). The target is VERSIONED BY BATCH ID (`v<batchId>` derived
+    * from `v<batchId-1>`), which is what makes the sink exactly-once
+    * under retries: replaying batch b deterministically rewrites v_b
+    * from v_{b-1} — the idempotent-foreachBatch contract Spark's docs
+    * prescribe for non-transactional stores. maxFilesPerTrigger splits
+    * the drain into ≥3 microbatches so the merge genuinely iterates.
+    * Scale: each merge is one full-outer join keyed on user_id between
+    * the bounded per-user state and the batch aggregate — the same
+    * shape as `w_upsert`, shuffling state once per batch; a production
+    * target (Delta/Iceberg MERGE) replaces the version-directory dance,
+    * not the plan. */
+  private def foreachUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("upsert"))
+    eventsTbl(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = s.read.parquet(s"$base/src").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "3")
+      .parquet(s"$base/src")
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+      val sess = batch.sparkSession
+      // (us, event_id) is unique per user → lexicographic struct max IS
+      // "latest event wins" with a deterministic tie-break
+      val bAgg = batch.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("us"), col("event_id"), col("value"))).as("m"))
+      val prev = new java.io.File(s"$base/target/v${batchId - 1}")
+      val merged =
+        if (!prev.exists()) bAgg
+        else {
+          val old = sess.read.parquet(prev.getPath)
+            .withColumnsRenamed(Map("n_events" -> "o_n", "m" -> "o_m"))
+          old.join(bAgg, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("o_n"), lit(0L)) +
+                coalesce(col("n_events"), lit(0L))).as("n_events"),
+              greatest(col("o_m"), col("m")).as("m"))
+        }
+      merged.write.mode("overwrite").parquet(s"$base/target/v$batchId")
+    }
+
+    val q = stream.writeStream
+      .foreachBatch(mergeBatch _)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val latest = new java.io.File(s"$base/target").listFiles()
+      .map(_.getName.stripPrefix("v").toLong).max
+    s.read.parquet(s"$base/target/v$latest")
+      .select(col("user_id"), col("n_events"),
+        col("m.us").as("last_us"), col("m.value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  private val foreachUpsertSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+      |), c AS (
+      |  SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id
+      |), l AS (
+      |  SELECT user_id, us AS last_us, value AS last_value FROM e
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |                             ORDER BY us DESC, event_id DESC) = 1
+      |)
+      |SELECT c.user_id, c.n_events, l.last_us, l.last_value
+      |FROM c JOIN l USING (user_id) ORDER BY user_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "st_foreach_upsert" -> QueryDef(foreachUpsert, Some(foreachUpsertSql)),
     "st_stream_join" -> QueryDef(streamStreamJoin,
       Some(streamStreamJoinSql)),
     "st_sessions_custom_state" -> QueryDef(sessionsCustomState,

@@ -60,6 +60,23 @@ class StreamSpec extends SparkSpec {
     assert(deduped === graft.eventsTbl(spark, sf).count())
   }
 
+  test("foreachBatch upsert merges across MULTIPLE microbatches") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("st_foreach_upsert")(spark, sf)
+      .collect()
+    // the versioned target must show a real merge chain, not one batch
+    val versions = new java.io.File(
+      s"${sys.props("user.dir")}/target/qtmp/stream/upsert/target")
+      .listFiles().map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length >= 2,
+      s"expected >=2 microbatch versions, got ${versions.toSeq}")
+    // and the merged counts must equal the batch per-user counts
+    val expected = graft.eventsTbl(spark, sf)
+      .groupBy("user_id").count().orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === expected)
+  }
+
   test("streaming file ingest equals the batch read (AvailableNow drains)") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory(
