@@ -168,7 +168,7 @@ object ExtQueries {
   /** MinHash signatures: 8 universal-hash minima over distinct k=3 word
     * shingles. Scale: explode is scan-side (map-only); the single shuffle
     * is the groupBy(doc_id) min-aggregation with map-side partials. */
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+  private def minhashSignaturesRaw(s: SparkSession, dir: String): DataFrame =
     shingleHashes(s, dir)
       .groupBy("doc_id")
       .agg(
@@ -177,7 +177,12 @@ object ExtQueries {
         HashF.MinhashSeeds.zipWithIndex.tail.map { case ((a, b), i) =>
           min(HashF.minhashHash(col("h"), a, b)).as(s"h$i")
         }: _*)
-      .orderBy("doc_id")
+
+  // Canonicalization sort for the oracle only; the shared dedup-index
+  // path below checkpoints the UNSORTED aggregate (a global sort before
+  // a hash-keyed reuse would be pure waste at scale).
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesRaw(s, dir).orderBy("doc_id")
 
   private val minhashSignaturesSql =
     s"""WITH hv AS ($sqlShingleHashes)
@@ -199,7 +204,7 @@ object ExtQueries {
     * signatures ARE the dedup index. */
   private[queries] def lshCandParts(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sigs = minhashSignatures(s, dir).localCheckpoint()
+    val sigs = minhashSignaturesRaw(s, dir).localCheckpoint()
     val bands = (0 until 4).map { b =>
       sigs.select(col("doc_id"), lit(b).as("band"),
         col(s"h${2 * b}").as("x"), col(s"h${2 * b + 1}").as("y"))
