@@ -215,11 +215,158 @@ object GraphQueries {
        |FROM r$PrIters ORDER BY n_nationkey""".stripMargin
   }
 
+  // ------------------- mutual-kNN graph + triangles -----------------------
+
+  private val Dim = 64      // embeddings fixture dimension
+  private val GPlanes = 6   // 64 buckets → mean occupancy ~8 at sf0.01
+  private val KNN = 3
+
+  /** Directed kNN edges within LSH buckets: each vector's top-3 cosine
+    * neighbors among its bucket peers (deterministic rank tie-break by
+    * neighbor id). Scale: bucket join, cost tracks occupancy — the same
+    * candidate-bounding as `x_ann_lsh`, applied to EVERY node. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorF
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", VectorF.lshBucket(col("v"), GPlanes, Dim))
+    val a = emb.select(col("vec_id").as("src"), col("v").as("sv"),
+      col("bucket"))
+    val b = emb.select(col("vec_id").as("dst"), col("v").as("dv"),
+      col("bucket"))
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("src")
+        .orderBy(col("sim").desc, col("dst")))
+    a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.functions.VectorF.cosineNative(col("sv"), col("dv")), 6)
+          .as("sim"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= KNN)
+      .select("src", "dst", "sim")
+  }
+
+  /** Mutual-kNN graph: keep the edge only when BOTH endpoints rank each
+    * other in their top-3 — the symmetric, noise-robust edge rule used
+    * for dedup clustering and diversity sampling over embedding spaces.
+    * One self-join of the directed kNN list on the reversed pair. */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val k = knnEdges(s, dir)
+    val rev = k.select(col("src").as("r_src"), col("dst").as("r_dst"))
+    k.join(rev, col("src") === col("r_dst") && col("dst") === col("r_src"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("node_a"), col("dst").as("node_b"), col("sim"))
+      .orderBy("node_a", "node_b")
+  }
+
+  /** The DuckDB mirror of bucket + directed-kNN + mutual CTEs. */
+  private def knnCtes: String = {
+    import graft.functions.VectorF
+    def planeLit(p: Int) =
+      VectorF.plane(p, Dim).map(d => s"$d").mkString("[", ",", "]")
+    val bucket = (0 until GPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeLit(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""b AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+       |), knn AS (
+       |  SELECT src, dst, sim FROM (
+       |    SELECT a.vec_id AS src, c.vec_id AS dst,
+       |           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                        CAST(c.embedding AS DOUBLE[])),
+       |                 6) AS sim,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY round(list_cosine_similarity(
+       |               CAST(a.embedding AS DOUBLE[]),
+       |               CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id)
+       |             AS rn
+       |    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+       |  ) WHERE rn <= $KNN
+       |), mutual AS (
+       |  SELECT x.src AS node_a, x.dst AS node_b, x.sim
+       |  FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src
+       |  WHERE x.src < x.dst
+       |)""".stripMargin
+  }
+
+  private def knnGraphSql: String =
+    s"""WITH $knnCtes
+       |SELECT node_a, node_b, sim FROM mutual
+       |ORDER BY node_a, node_b""".stripMargin
+
+  /** Exact triangle count over the mutual-kNN graph via degree-ordered
+    * orientation: every edge points from its (degree, id)-smaller
+    * endpoint to the larger, so each triangle {x,y,z} is enumerated
+    * exactly once as x→y, x→z joined against the closing edge y→z. The
+    * orientation bounds the per-node join fan-out by the max ORIENTED
+    * out-degree (≈ √m on real graphs) — the standard trick that keeps
+    * distributed triangle counting from exploding on hub nodes; the
+    * wedge join shuffles on the wedge apex, the closing probe on the
+    * (v, w) pair. Output also carries node/edge counts so the oracle
+    * cross-checks the whole pipeline, not just the final count. */
+  private def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = knnGraph(s, dir).select("node_a", "node_b")
+    val deg = e.select(explode(array(col("node_a"), col("node_b")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total order key: degree then id (ids < 100000 in every fixture)
+    val key = col("deg") * 100000L + col("node")
+    val keyed = deg.select(col("node"), key.as("k"))
+    val ka = keyed.select(col("node").as("node_a"), col("k").as("ka"))
+    val kb = keyed.select(col("node").as("node_b"), col("k").as("kb"))
+    val oriented = e.join(ka, "node_a").join(kb, "node_b")
+      .select(
+        when(col("ka") < col("kb"), col("node_a")).otherwise(col("node_b"))
+          .as("u"),
+        when(col("ka") < col("kb"), col("node_b")).otherwise(col("node_a"))
+          .as("v"),
+        greatest(col("ka"), col("kb")).as("kv"))
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("kv").as("kx"))
+    val w2 = oriented.select(col("u"), col("v").as("y"), col("kv").as("ky"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("kx") < col("ky"))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"), "left_semi")
+    val nNodes = deg.count()
+    val nEdges = e.count()
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_triangles"))
+  }
+
+  private def triangleCountSql: String =
+    s"""WITH $knnCtes,
+       |e AS (SELECT node_a, node_b FROM mutual),
+       |deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT node_a AS node FROM e
+       |    UNION ALL SELECT node_b AS node FROM e
+       |  ) GROUP BY node
+       |), keyed AS (
+       |  SELECT node, deg * 100000 + node AS k FROM deg
+       |), oriented AS (
+       |  SELECT CASE WHEN ka.k < kb.k THEN e.node_a ELSE e.node_b END AS u,
+       |         CASE WHEN ka.k < kb.k THEN e.node_b ELSE e.node_a END AS v,
+       |         greatest(ka.k, kb.k) AS kv
+       |  FROM e JOIN keyed ka ON e.node_a = ka.node
+       |         JOIN keyed kb ON e.node_b = kb.node
+       |)
+       |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       |       (SELECT count(*) FROM e) AS n_edges,
+       |       (SELECT count(*)
+       |        FROM oriented w1
+       |        JOIN oriented w2 ON w1.u = w2.u AND w1.kv < w2.kv
+       |        WHERE EXISTS (SELECT 1 FROM oriented c
+       |                      WHERE c.u = w1.v AND c.v = w2.v))
+       |         AS n_triangles""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "x_dedup_components" -> QueryDef(dedupComponents, Some(dedupComponentsSql),
       bench = true),
     "x_shortest_path" -> QueryDef(shortestPath, Some(shortestPathSql),
       bench = true),
-    "x_pagerank" -> QueryDef(pageRank, Some(pageRankSql))
+    "x_pagerank" -> QueryDef(pageRank, Some(pageRankSql)),
+    "x_knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
+    "x_triangle_count" -> QueryDef(triangleCount, Some(triangleCountSql))
   )
 }
