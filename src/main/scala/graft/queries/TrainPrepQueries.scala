@@ -478,7 +478,44 @@ object TrainPrepQueries {
        |            AS BIGINT) AS n_kept
        |FROM d JOIN k USING (fp) GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------- quality-weighted sampling ------------------------
+
+  /** Quality-weighted deterministic Bernoulli sample: each document is
+    * kept with probability equal to its heuristic quality score — the
+    * curation move that up-samples clean text without an RNG. The coin
+    * is the doc's md5-prefix hash compared against quality·2³², so the
+    * decision is a pure per-row function: reruns, retries, and the
+    * DuckDB oracle all keep exactly the same documents (auditable
+    * sampling, like the split). Scale: pure scan-side map work, zero
+    * shuffles; the trailing sort is oracle canonicalization. */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = HashF.tokenHash(col("doc_id").cast("string"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextF.qualityScoreT(TextF.tokens(col("text")), col("text"))
+          .as("quality"),
+        h.as("h"))
+      .filter(col("h") < col("quality") * lit(4294967296.0))
+      .orderBy("doc_id")
+  }
+
+  private val weightedSampleSql =
+    s"""SELECT doc_id, lang, quality, h FROM (
+       |  SELECT doc_id, lang,
+       |         least(1.0, CAST(len(CASE
+       |             WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |             ELSE string_split_regex(trim(text), '\\s+') END)
+       |           AS DOUBLE) / 100.0) *
+       |         (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]',
+       |                                           '', 'g')) AS DOUBLE)
+       |                / CAST(nullif(length(text), 0) AS DOUBLE))
+       |           AS quality,
+       |         ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents
+       |) WHERE h < quality * 4294967296.0 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "x_weighted_sample" -> QueryDef(weightedSample, Some(weightedSampleSql)),
     "c_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql),
       bench = true),
     "x_seq_pack" -> QueryDef(seqPack, Some(seqPackSql)),

@@ -1093,7 +1093,59 @@ object WarehouseQueries {
       |)
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  // ------------------------------ CDC apply -------------------------------
+
+  /** CDC change-log application: a keyed insert/update/delete log folds
+    * into final table state — last op per key wins by the log sequence
+    * number, and a trailing delete removes the key entirely (the piece
+    * `w_upsert` can't express). The log is derived deterministically
+    * from events: entity = user_id mod 50, seq = event_id, op from the
+    * event type (signup→I, click/view→U, purchase→D; errors are not
+    * state changes). Scale: one row_number window partitioned by the
+    * entity key — a single shuffle of the change log, the same plan at
+    * any log length; this is the nightly CDC-compaction job every
+    * warehouse ingest runs. */
+  private def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val log = eventsTbl(s, dir)
+      .select((col("user_id") % 50).as("entity_id"),
+        col("event_id").as("seq"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type").isin("click", "view"), "U")
+          .when(col("event_type") === "purchase", "D").as("op"),
+        col("value"))
+      .filter(col("op").isNotNull)
+    val w = Window.partitionBy("entity_id").orderBy(col("seq").desc)
+    log
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(
+        Window.partitionBy("entity_id")))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("entity_id"), col("op").as("last_op"),
+        col("value").as("last_value"), col("n_changes"))
+      .orderBy("entity_id")
+  }
+
+  private val cdcApplySql =
+    """WITH log AS (
+      |  SELECT user_id % 50 AS entity_id, event_id AS seq,
+      |         CASE WHEN event_type = 'signup' THEN 'I'
+      |              WHEN event_type IN ('click', 'view') THEN 'U'
+      |              WHEN event_type = 'purchase' THEN 'D' END AS op,
+      |         value
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'click', 'view', 'purchase')
+      |)
+      |SELECT entity_id, op AS last_op, value AS last_value, n_changes
+      |FROM (
+      |  SELECT entity_id, op, value,
+      |         row_number() OVER (PARTITION BY entity_id
+      |                            ORDER BY seq DESC) AS rn,
+      |         count(*) OVER (PARTITION BY entity_id) AS n_changes
+      |  FROM log
+      |) WHERE rn = 1 AND op != 'D' ORDER BY entity_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_cdc_apply" -> QueryDef(cdcApply, Some(cdcApplySql)),
     "w_argminmax" -> QueryDef(argMinMax, Some(argMinMaxSql)),
     "w_unpivot" -> QueryDef(unpivotMeasures, Some(unpivotMeasuresSql)),
     "s_sorted_layout" -> QueryDef(sortedLayout, Some(sortedLayoutSql)),
