@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries, FidelityQueries, GeoQueries, GraphQueries, IngestQueries, MatchQueries, QueryDef, ScaleQueries, SketchQueries, StreamQueries, TemporalQueries, TrainPrepQueries, WarehouseQueries}
+import graft.queries.{CoreQueries, CurateQueries, ExtQueries, FidelityQueries, GeoQueries, GraphQueries, IngestQueries, MatchQueries, QueryDef, ScaleQueries, SketchQueries, StreamQueries, TemporalQueries, TrainPrepQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
       GeoQueries.all ++ StreamQueries.all ++ ScaleQueries.all ++
       FidelityQueries.all ++ TemporalQueries.all ++ TrainPrepQueries.all ++
       WarehouseQueries.all ++ GraphQueries.all ++ MatchQueries.all ++
-      SketchQueries.all
+      SketchQueries.all ++ CurateQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tbl
+import graft.functions.TextF
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw ingest and tokenization: benchmark decontamination,
+  * repetition-based quality filtering (the Gopher rules), and vocabulary
+  * construction. All over `documents`, all oracle-checked.
+  *
+  * Scale design (the 100 TB story):
+  *  - decontamination is the canonical SMALL×HUGE asymmetric join — the
+  *    eval-benchmark shingle set is MBs while the corpus is TBs, so the
+  *    probe is a broadcast hash semi-join fused into the corpus scan
+  *    (zero corpus shuffle; at extreme benchmark sizes swap the exact
+  *    broadcast set for `b_bloom_prune`'s bloom filter with an exact
+  *    recheck of survivors);
+  *  - repetition stats are scan-side higher-order array functions per
+  *    document; the only shuffle is the (doc_id, bigram) mode count,
+  *    which map-side combines to ≤1 row per (doc, distinct bigram);
+  *  - vocabulary build is one map-side-combined groupBy(token) then a
+  *    TakeOrderedAndProject top-V — the classic two-phase wordcount; the
+  *    distinct-document frequency is the one expand shuffle (swap for a
+  *    KMV/HLL sketch when exact df is not required at sf1000).
+  */
+object CurateQueries {
+
+  /** Shingle width for contamination tests (13-grams in production-scale
+    * pipelines; 3 here so the ~50-token fixture docs produce overlaps). */
+  private val DK = 3
+
+  /** Held-out "benchmark" slice: doc_id ≡ 7 (mod 50) → 2% of the corpus,
+    * standing in for an eval set (MMLU/GSM-style) that training data must
+    * not contain. */
+  private val BenchMod = 50
+  private val BenchRem = 7
+
+  private val sqlLowerToks = OracleSql.lowerToks
+
+  // ------------------------ benchmark decontamination ---------------------
+
+  /** Benchmark decontamination: flag every training document sharing ANY
+    * [[DK]]-gram with the held-out benchmark slice, and report the overlap
+    * size. Survivors (`keep = true`) are the decontaminated corpus.
+    *
+    * Plan shape: the benchmark shingle set (tiny) is broadcast; the
+    * corpus-side probe is a broadcast hash join inside the scan stage —
+    * the corpus itself never shuffles. The per-doc hit count then
+    * aggregates only the MATCHED rows (contaminated docs × overlapping
+    * shingles), and the final left join back to the corpus id list is
+    * again broadcast-sized (hit rows ≪ corpus). */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val isBench = (col("doc_id") % BenchMod) === BenchRem
+    val sh = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        TextF.shinglesFromTokens(col("toks"), DK))).as("shingle"))
+    val benchSet = sh.filter(isBench).select("shingle").distinct()
+    val hits = sh.filter(!isBench)
+      .join(broadcast(benchSet), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    tbl(s, dir, "documents").filter(!isBench).select("doc_id")
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql = {
+    val shl = s"list_distinct(${OracleSql.shingleList(DK)})"
+    s"""WITH t0 AS (
+       |  SELECT doc_id, $sqlLowerToks AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest($shl) AS shingle FROM t0
+       |), bench AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id % $BenchMod = $BenchRem
+       |), hits AS (
+       |  SELECT sh.doc_id, count(*) AS n_hits
+       |  FROM sh JOIN bench USING (shingle)
+       |  WHERE sh.doc_id % $BenchMod != $BenchRem
+       |  GROUP BY sh.doc_id
+       |)
+       |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       |       coalesce(h.n_hits, 0) = 0 AS keep
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % $BenchMod != $BenchRem
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------- repetition quality filtering ---------------------
+
+  /** Keep-thresholds, fixture-calibrated analogues of the Gopher
+    * repetition rules (duplicate-line / top-2-gram character fractions in
+    * the paper; token-level here since fixture docs are single-line). At
+    * sf0.01 the corpus medians are dup-token 0.54 and top-bigram 0.03, so
+    * these cut real tails rather than everything or nothing. */
+  private val MaxDupTokFrac = 0.6
+  private val MaxTopBigramFrac = 0.1
+
+  /** Gopher-style repetition signals per document: duplicate-token
+    * fraction, most-frequent-bigram fraction, duplicate-trigram fraction,
+    * and the keep verdict. Every fraction is a single IEEE division of
+    * exact integer counts — bit-identical across engines, no rounding
+    * needed.
+    *
+    * Plan shape: token/distinct/trigram stats are pure scan-side array
+    * functions (zero shuffles); the bigram mode needs the one genuine
+    * shuffle — groupBy(doc_id, bigram) count with map-side combine, then
+    * max per doc. The join back to the stats side is on doc_id, and both
+    * sides are already doc-grained. */
+  private def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val stats = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("n_utok"),
+        size(TextF.shinglesFromTokens(col("toks"), 3)).as("n_tri"),
+        size(array_distinct(
+          TextF.shinglesFromTokens(col("toks"), 3))).as("n_utri"))
+    val topBigram = stats
+      .select(col("doc_id"),
+        explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bg"),
+        sum("c").as("n_bg"))
+    val dupTok = when(col("n_tok") === 0, lit(0.0)).otherwise(
+      (col("n_tok") - col("n_utok")).cast("double") /
+        col("n_tok").cast("double"))
+    val topBg = when(coalesce(col("n_bg"), lit(0L)) === 0, lit(0.0))
+      .otherwise(col("top_bg").cast("double") / col("n_bg").cast("double"))
+    val dupTri = when(col("n_tri") === 0, lit(0.0)).otherwise(
+      (col("n_tri") - col("n_utri")).cast("double") /
+        col("n_tri").cast("double"))
+    stats.drop("toks")
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        dupTok.as("dup_tok_frac"), topBg.as("top_bigram_frac"),
+        dupTri.as("dup_trigram_frac"),
+        (dupTok <= MaxDupTokFrac && topBg <= MaxTopBigramFrac).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionFilterSql = {
+    val tri = OracleSql.shingleList(3)
+    val big = OracleSql.shingleList(2)
+    s"""WITH t0 AS (
+       |  SELECT doc_id, $sqlLowerToks AS t FROM documents
+       |), st AS (
+       |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_utok,
+       |         len($tri) AS n_tri, len(list_distinct($tri)) AS n_utri,
+       |         $big AS bgl
+       |  FROM t0
+       |), bg AS (
+       |  SELECT doc_id, unnest(bgl) AS bigram FROM st
+       |), tb AS (
+       |  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM (
+       |    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+       |  ) GROUP BY doc_id
+       |), f AS (
+       |  SELECT st.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |    CASE WHEN n_tok = 0 THEN 0.0
+       |         ELSE CAST(n_tok - n_utok AS DOUBLE) / CAST(n_tok AS DOUBLE)
+       |    END AS dup_tok_frac,
+       |    CASE WHEN coalesce(n_bg, 0) = 0 THEN 0.0
+       |         ELSE CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE)
+       |    END AS top_bigram_frac,
+       |    CASE WHEN n_tri = 0 THEN 0.0
+       |         ELSE CAST(n_tri - n_utri AS DOUBLE) / CAST(n_tri AS DOUBLE)
+       |    END AS dup_trigram_frac
+       |  FROM st LEFT JOIN tb ON st.doc_id = tb.doc_id
+       |)
+       |SELECT doc_id, n_tok, dup_tok_frac, top_bigram_frac,
+       |       dup_trigram_frac,
+       |       dup_tok_frac <= $MaxDupTokFrac
+       |         AND top_bigram_frac <= $MaxTopBigramFrac AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------- vocabulary build ----------------------------
+
+  /** Vocabulary size: small enough that the LIMIT binds on the fixture
+    * (sf0.01 has 31 distinct tokens) — the top-V selection is actually
+    * exercised, not a no-op. */
+  private val VocabV = 20
+
+  /** Corpus vocabulary: top-[[VocabV]] tokens by term frequency (token
+    * tie-break), with contiguous ids, term frequency, and exact document
+    * frequency — the id-assignment step every tokenizer-training pipeline
+    * runs.
+    *
+    * Plan shape: wordcount groupBy(token) with map-side combine; top-V as
+    * `orderBy.limit(V)` → TakeOrderedAndProject (per-partition heaps, no
+    * global sort); ids via rank over the ≤V survivors (bounded window,
+    * same pattern as [[graft.ops.Ranked]]). The exact distinct-doc count
+    * is the one distinct-expand shuffle — at sf1000 swap for the KMV
+    * sketch (`w_kmv_distinct`) when ±1% df suffices. */
+  private def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val counts = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextF.lowerTokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("dfc"))
+    counts.orderBy(col("tf").desc, col("token")).limit(VocabV)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("tf").desc, col("token"))))
+      .select(col("token_id").cast("long").as("token_id"), col("token"),
+        col("tf"), col("dfc"))
+      .orderBy("token_id")
+  }
+
+  private val vocabBuildSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($sqlLowerToks) AS token FROM documents
+       |), counts AS (
+       |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS dfc
+       |  FROM tok GROUP BY token
+       |), top AS (
+       |  SELECT * FROM counts ORDER BY tf DESC, token LIMIT $VocabV
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT)
+       |         AS token_id,
+       |       token, tf, dfc
+       |FROM top ORDER BY token_id""".stripMargin
+
+  val all: Map[String, QueryDef] = Map(
+    "x_decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql)),
+    "x_repetition_filter" -> QueryDef(repetitionFilter,
+      Some(repetitionFilterSql)),
+    "x_vocab_build" -> QueryDef(vocabBuild, Some(vocabBuildSql))
+  )
+}

@@ -21,6 +21,16 @@ object OracleSql {
   /** md5-prefix uint32 hash of SQL expression `c` (≡ HashF.tokenHash). */
   def hash(c: String): String = s"('0x'||substr(md5($c),1,8))::BIGINT"
 
+  /** Word k-shingles (NON-distinct, order-preserving) from a token-list
+    * column `t`; `[]` when the doc is shorter than k tokens
+    * (≡ `TextF.shinglesFromTokens` — same guard, same separator). */
+  def shingleList(k: Int): String = {
+    val cat = (0 until k).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+    s"CASE WHEN len(t) >= $k THEN " +
+      s"list_transform(range(1, len(t) - ${k - 2}), i -> $cat) " +
+      "ELSE []::VARCHAR[] END"
+  }
+
   /** Gaps-and-islands sessionization over `events`, parameterized by the
     * one load-bearing character each sessionizer differs in:
     *  - `breakOp`: ">" (x_sessionize / custom-state: gap strictly greater
