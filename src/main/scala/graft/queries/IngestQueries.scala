@@ -86,6 +86,40 @@ object IngestQueries {
       .orderBy("n_nationkey")
   }
 
+  /** S3-adjacent — ORC load/sink (the third columnar format Spark ships
+    * a vectorized reader for; a BigQuery load job accepts ORC exactly
+    * like Parquet, ref `taxi_trips_etl.py:60-67`'s format switch):
+    * round-trip `supplier` through ORC and read it back with a filter
+    * that must reach the ORC reader as a pushed predicate + min/max
+    * stripe-skipping — same pushdown contract as the parquet scans.
+    * Doubles pass through unaggregated, so bits are preserved. */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = qtmp("orc/supplier")
+    tbl(s, dir, "supplier").coalesce(1)
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .filter(col("s_acctbal") > 0)
+      .orderBy("s_suppkey")
+  }
+
+  /** S4-adjacent — JSON-lines load with schema inference (the
+    * semi-structured landing format every log/event ingest starts from;
+    * BigQuery's NEWLINE_DELIMITED_JSON source, same load-job family as
+    * ref `taxi_trips_etl.py:43-51`): round-trip `nation` through
+    * newline-delimited JSON and infer the schema back. Inferred JSON
+    * numerics widen to BIGINT — the canonical JSON→warehouse type walk —
+    * and inference alphabetizes columns, so the read-back re-projects
+    * the declared order. Scale: like s4b, a 100 TB JSONL ingest supplies
+    * the schema instead of paying the inference pre-pass. */
+  private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = qtmp("jsonl/nation")
+    tbl(s, dir, "nation").coalesce(1)
+      .write.mode("overwrite").json(path)
+    s.read.json(path)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   /** S10/S11 as the reference's ACTUAL dbt model DAG (the SQL files under
     * `models/`,
     * materializations per `dbt_project.yml:44-48`): `tripss` (table; raw
@@ -277,6 +311,11 @@ object IngestQueries {
       "SELECT * FROM nation ORDER BY n_nationkey")),
     "s4b_csv_explicit_schema" -> QueryDef(csvExplicitSchema, Some(
       "SELECT * FROM nation ORDER BY n_nationkey")),
+    "s3b_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(
+      "SELECT * FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey")),
+    "s4c_jsonl_roundtrip" -> QueryDef(jsonlRoundtrip, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "ORDER BY n_nationkey")),
     "dbt_models" -> QueryDef(dbtModels, Some(dbtModelsSql)),
     "s5_catalog_lifecycle" -> QueryDef(catalogLifecycle,
       Some(catalogLifecycleSql)),
