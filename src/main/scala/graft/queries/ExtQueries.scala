@@ -821,35 +821,72 @@ object ExtQueries {
     * tie-breaks; the 4 partial distances are QUANTIZED to µ-units
     * (round(d·10⁶) as BIGINT) before the group-sum, so accumulation is
     * exact integer math in any order on both engines. */
-  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = tbl(s, dir, "embeddings").select(col("vec_id"), embDouble.as("v"))
-    // (m, cid, cv): M·K codebook entries, each a PqSub-dim subvector
-    val codebook = emb.filter(col("vec_id") >= IvfK && col("vec_id") < 2 * IvfK)
+  /** (vec_id, m, sv): every vector decomposed into its PqM subvectors. */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(
+      array((0 until PqM).map(m =>
+        slice(col("v"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "sv")))
+
+  /** Untrained codebook init: the held-out vectors' subvectors
+    * ((m, cid, cv) — M·K entries, each PqSub dims). */
+  private def pqCodebookInit(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") >= IvfK && col("vec_id") < 2 * IvfK)
       .select((0 until PqM).map(m =>
         struct(lit(m).as("m"), col("vec_id").as("cid"),
           slice(col("v"), m * PqSub + 1, PqSub).as("cv")).as(s"s$m")): _*)
       .select(explode(array((0 until PqM).map(m => col(s"s$m")): _*)).as("e"))
       .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.cv").as("cv"))
-      .localCheckpoint() // 64 rows; reused by encode + LUT sides
+
+  /** Per-subspace Lloyd's: assign every subvector to its nearest codeword
+    * (broadcast rank, rounded-L2 + cid tie-break), recompute codewords as
+    * quantized-sum means per (m, cid, pos) — the same exact-integer mean
+    * machinery as [[meanCentroids]], with the subspace id riding along in
+    * every key. A codeword that attracts no subvectors drops out of the
+    * codebook (standard empty-cluster shrink; both engines drop it
+    * identically since the update is a plain GROUP BY over assignments). */
+  private def pqTrainCodebook(sub: DataFrame, init: DataFrame): DataFrame = {
+    val byDist = Window.partitionBy("vec_id", "m")
+      .orderBy(round(l2(col("sv"), col("cv")), 6), col("cid"))
+    var cb = init
+    for (_ <- 0 until KmIters)
+      cb = sub.join(broadcast(cb), "m")
+        .withColumn("rk", row_number().over(byDist))
+        .filter(col("rk") === 1)
+        .select(col("m"), col("cid"), posexplode(col("sv"))
+          .as(Seq("pos", "x")))
+        .withColumn("xq", round(col("x") * lit(1000000.0)).cast("long"))
+        .groupBy("m", "cid", "pos")
+        .agg((sum("xq").cast("double") /
+          (count(lit(1)) * lit(1000000.0))).as("mn"))
+        .groupBy("m", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mn")))),
+          st => st.getField("mn")).as("cv"))
+        .localCheckpoint() // ≤ M·K rows; cut lineage per iteration
+    cb
+  }
+
+  /** PQ encode + ADC search against a given (bounded, broadcastable)
+    * codebook — shared by the untrained and k-means-trained variants.
+    * `sub` is the corpus subvector decomposition (so the trained variant
+    * reuses its checkpointed copy instead of re-deriving it). */
+  private def pqSearch(emb: DataFrame, sub: DataFrame,
+                       codebook: DataFrame): DataFrame = {
     val byDist = Window.partitionBy("vec_id", "m")
       .orderBy(round(l2(col("sv"), col("cv")), 6), col("cid"))
     // corpus → (vec_id, m, code)
-    val codes = emb
-      .select(col("vec_id"), posexplode(
-        array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "sv")))
+    val codes = sub
       .join(broadcast(codebook), "m")
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("m"),
         col("cid").as("code"))
     // queries → per-(m, cid) quantized partial distances (the ADC LUT)
-    val lut = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), posexplode(
-        array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "qv")))
+    val lut = pqSubvectors(emb.filter(col("vec_id") < NQueries))
+      .withColumnRenamed("sv", "qv")
       .join(broadcast(codebook), "m")
-      .select(col("query_id"), col("m"), col("cid").as("code"),
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("cid").as("code"),
         round(l2(col("qv"), col("cv")) * lit(1000000.0))
           .cast("long").as("dq"))
     val rn = row_number().over(Window.partitionBy("query_id")
@@ -863,28 +900,74 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
-  private val pqAnnSql = {
-    def sub(expr: String, m: Int) =
-      s"$expr[${m * PqSub + 1}:${(m + 1) * PqSub}]"
-    val cbUnion = (0 until PqM).map(m =>
-      s"SELECT $m AS m, vec_id AS cid, ${sub("v", m)} AS cv FROM init")
-      .mkString("\n  UNION ALL ")
+  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings").select(col("vec_id"), embDouble.as("v"))
+    // codebook is 64 rows; reused by encode + LUT sides
+    pqSearch(emb, pqSubvectors(emb), pqCodebookInit(emb).localCheckpoint())
+  }
+
+  /** PQ with TRAINED codebooks — [[KmIters]] rounds of per-subspace
+    * Lloyd's over the corpus subvectors (the k-means step `x_ann_pq`'s
+    * scaladoc names as the upgrade path, mirroring what
+    * `x_ann_ivf_kmeans` does for the IVF coarse quantizer). Training
+    * cost at scale: per iteration, one broadcast-assign pass over the
+    * subvector decomposition plus a (m, cid, pos)-keyed partial-sum
+    * shuffle of ≤ M·K·PqSub tiny rows — the corpus itself never
+    * shuffles. Same exact-integer determinism as the IVF trainer. */
+  private def pqKmeansAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), embDouble.as("v"))
+    val sub = pqSubvectors(emb)
+      .localCheckpoint() // scanned once per iteration + by the encode side
+    val trained = pqTrainCodebook(sub, pqCodebookInit(emb))
+    pqSearch(emb, sub, trained)
+  }
+
+  private def pqSqlSlice(expr: String, m: Int) =
+    s"$expr[${m * PqSub + 1}:${(m + 1) * PqSub}]"
+
+  /** The untrained codebook CTE body (held-out subvectors). */
+  private val pqCbInitSql = (0 until PqM).map(m =>
+    s"SELECT $m AS m, vec_id AS cid, ${pqSqlSlice("v", m)} AS cv FROM init")
+    .mkString("\n  UNION ALL ")
+
+  /** One Lloyd assign step over `subs` against codebook CTE `cb`. */
+  private def pqAssignSql(cb: String) =
+    s"""SELECT m, cid, sv FROM (
+       |    SELECT s.vec_id, s.m, c.cid, s.sv,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY round(list_distance(s.sv, c.cv), 6), c.cid)
+       |             AS rk
+       |    FROM subs s JOIN $cb c ON s.m = c.m
+       |  ) WHERE rk = 1""".stripMargin
+
+  /** One Lloyd update step: quantized-sum means per (m, cid, pos). */
+  private def pqUpdateSql(assigned: String) =
+    s"""SELECT m, cid, list(mn ORDER BY pos) AS cv FROM (
+       |    SELECT m, cid, i AS pos,
+       |           CAST(SUM(CAST(round(sv[i] * 1000000.0, 0) AS BIGINT))
+       |                AS DOUBLE) / (count(*) * 1000000.0) AS mn
+       |    FROM $assigned, generate_series(1, $PqSub) AS g(i)
+       |    GROUP BY m, cid, i
+       |  ) GROUP BY m, cid""".stripMargin
+
+  /** Full PQ encode+ADC-search oracle, parameterized by the CTE chain
+    * that produces the final `codebook(m, cid, cv)`. */
+  private def pqSearchSql(codebookChain: String) = {
     val subUnion = (0 until PqM).map(m =>
-      s"SELECT vec_id, $m AS m, ${sub("v", m)} AS sv FROM emb")
+      s"SELECT vec_id, $m AS m, ${pqSqlSlice("v", m)} AS sv FROM emb")
       .mkString("\n  UNION ALL ")
     val qUnion = (0 until PqM).map(m =>
-      s"SELECT vec_id, $m AS m, ${sub("v", m)} AS qv FROM emb WHERE vec_id < $NQueries")
+      s"SELECT vec_id, $m AS m, ${pqSqlSlice("v", m)} AS qv FROM emb WHERE vec_id < $NQueries")
       .mkString("\n  UNION ALL ")
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), init AS (
        |  SELECT vec_id, v FROM emb
        |  WHERE vec_id >= $IvfK AND vec_id < ${2 * IvfK}
-       |), codebook AS (
-       |  $cbUnion
        |), subs AS (
        |  $subUnion
-       |), codes AS (
+       |), $codebookChain, codes AS (
        |  SELECT vec_id AS neighbor_id, m, cid AS code FROM (
        |    SELECT s.vec_id, s.m, c.cid,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -912,6 +995,21 @@ object ExtQueries {
        |    GROUP BY l.query_id, c.neighbor_id
        |  )
        |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  }
+
+  private val pqAnnSql =
+    pqSearchSql(s"codebook AS (\n  $pqCbInitSql\n)")
+
+  private val pqKmeansAnnSql = {
+    val chain = new StringBuilder(s"cb0 AS (\n  $pqCbInitSql\n)")
+    for (i <- 0 until KmIters)
+      chain ++= s""", a$i AS (
+                   |  ${pqAssignSql(s"cb$i")}
+                   |), cb${i + 1} AS (
+                   |  ${pqUpdateSql(s"a$i")}
+                   |)""".stripMargin
+    pqSearchSql(
+      chain.toString + s", codebook AS (SELECT * FROM cb$KmIters)")
   }
 
   // ------------------------------ multimodal -----------------------------
@@ -1072,6 +1170,7 @@ object ExtQueries {
     "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "x_ann_ivf_kmeans" -> QueryDef(kmeansIvfAnn, Some(kmeansIvfAnnSql)),
     "x_ann_pq" -> QueryDef(pqAnn, Some(pqAnnSql)),
+    "x_ann_pq_kmeans" -> QueryDef(pqKmeansAnn, Some(pqKmeansAnnSql)),
     "x_multimodal_features" -> QueryDef(multimodalFeatures,
       Some(multimodalFeaturesSql)),
     "x_multimodal_frames" -> QueryDef(multimodalFrames,

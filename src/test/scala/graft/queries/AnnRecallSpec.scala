@@ -52,6 +52,33 @@ class AnnRecallSpec extends SparkSpec {
     assert(r > 0.0, "PQ recall collapsed to zero — codes carry no signal")
   }
 
+  test("trained-codebook PQ answers every query; recall reported vs untrained") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.tbl(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val d = sqrt(aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x))
+    val rn = org.apache.spark.sql.functions.row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(round(d, 6), col("neighbor_id")))
+    val exact = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", rn)
+    val truth = top3(exact)
+    val untrained = top3(graft.SparkEntry.queries("x_ann_pq")(spark, sf))
+    val trained =
+      top3(graft.SparkEntry.queries("x_ann_pq_kmeans")(spark, sf))
+    val (r0, r1) =
+      (recallAt3(untrained, truth), recallAt3(trained, truth))
+    info(f"PQ recall@3 vs exact L2: untrained=$r0%.3f trained=$r1%.3f")
+    assert(trained.size === 10, "trained PQ must answer every query")
+    assert(r1 > 0.0, "trained PQ recall collapsed to zero")
+  }
+
   test("k-means-trained IVF recall@3 >= fixed-centroid IVF recall@3") {
     val truth = top3(graft.SparkEntry.queries("x_cosine_topk")(spark, sf))
     val fixed = top3(graft.SparkEntry.queries("x_ann_ivf")(spark, sf))
