@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.eventsTbl
+import graft.{eventsTbl, tbl}
 import graft.streaming.StreamIngest
 
 /** Streaming operators registered as synchronous queries: each runs a
@@ -360,7 +360,55 @@ object StreamQueries {
       |SELECT c.user_id, c.n_events, l.last_us, l.last_value
       |FROM c JOIN l USING (user_id) ORDER BY user_id""".stripMargin
 
+  /** Stream-static dimension enrichment — the streaming twin of the
+    * reference's enrich stage (J1/J2's trips×zones joins,
+    * `enrichment_query.py:13,20`): a file-source event stream joins a
+    * STATIC dimension table inside each microbatch, then aggregates per
+    * dimension attribute. The stream is forced across ≥2 microbatches
+    * (`maxFilesPerTrigger`) so the per-batch re-join genuinely repeats.
+    *
+    * Scale: the static side is broadcast into every microbatch — the
+    * canonical streaming-enrichment plan (no stateful join, no
+    * watermark: the dimension is not a stream). A dimension too big to
+    * broadcast becomes a shuffled stream-batch join per microbatch, or
+    * is snapshotted into the stateful stream-stream path
+    * (`st_stream_join`); broadcast is right up to ~GB dims. Counts and
+    * sums are decimal-exact so complete-mode output equals the batch
+    * answer bit-for-bit. */
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("staticjoin"))
+    eventsTbl(s, dir).repartition(4)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = s.read.parquet(s"$base/src").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
+    val dim = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val q = stream
+      .join(broadcast(dim),
+        (col("user_id") % 25).cast("int") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_static")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_static").orderBy("n_name")
+  }
+
+  private val streamStaticJoinSql =
+    """SELECT n_name, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "st_stream_static_join" -> QueryDef(streamStaticJoin,
+      Some(streamStaticJoinSql)),
     "st_foreach_upsert" -> QueryDef(foreachUpsert, Some(foreachUpsertSql)),
     "st_stream_join" -> QueryDef(streamStreamJoin,
       Some(streamStreamJoinSql)),
