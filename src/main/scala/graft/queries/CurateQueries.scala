@@ -228,8 +228,69 @@ object CurateQueries {
        |       token, tf, dfc
        |FROM top ORDER BY token_id""".stripMargin
 
+  // ----------------------- unigram LM quality score -----------------------
+
+  /** Per-document average negative log-likelihood under the corpus's own
+    * unigram language model — the CCNet-style "LM quality score" used to
+    * rank/filter web text (low NLL ≈ typical text, high NLL ≈ rare-token
+    * noise). Token log-probabilities are QUANTIZED to µ-nats
+    * (`round(ln(cnt/N)·10⁶)::long` — the same engine-independence trick
+    * as `x_tfidf_topterms`' idf), so the per-doc sum is exact integer
+    * math and the final score is ONE IEEE division on both engines.
+    *
+    * Plan shape: vocabulary counts are a map-side-combined groupBy(token)
+    * (the wordcount); the corpus total rides in as a broadcast 1-row
+    * cross join; scoring re-joins tokens to the broadcast vocabulary —
+    * at 100 TB the vocab is MBs, so scoring is a scan-side broadcast
+    * join plus one doc_id-keyed aggregation. */
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextF.lowerTokens(col("text"))).as("token"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    val lp = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") /
+          col("n_total").cast("double")) * lit(1000000.0))
+          .cast("long").as("lp_q"))
+    val perDoc = tok.join(broadcast(lp), "token")
+      .groupBy("doc_id")
+      .agg(sum("lp_q").as("sq"), count(lit(1)).as("n_tok"))
+    tbl(s, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        ((-col("sq")).cast("double") /
+          (col("n_tok").cast("double") * lit(1000000.0))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($sqlLowerToks) AS token FROM documents
+       |), tot AS (
+       |  SELECT count(*) AS n_total FROM tok
+       |), lp AS (
+       |  SELECT token,
+       |         CAST(round(ln(CAST(count(*) AS DOUBLE) /
+       |                       CAST(n_total AS DOUBLE)) * 1000000.0, 0)
+       |              AS BIGINT) AS lp_q
+       |  FROM tok, tot GROUP BY token, n_total
+       |), per_doc AS (
+       |  SELECT doc_id, sum(lp_q) AS sq, count(*) AS n_tok
+       |  FROM tok JOIN lp USING (token) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(p.n_tok, 0) AS n_tok,
+       |       CAST(-p.sq AS DOUBLE) /
+       |         (CAST(p.n_tok AS DOUBLE) * 1000000.0) AS avg_nll
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
-    "x_decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql)),
+    "x_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),
+    "x_decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql),
+      bench = true),
     "x_repetition_filter" -> QueryDef(repetitionFilter,
       Some(repetitionFilterSql)),
     "x_vocab_build" -> QueryDef(vocabBuild, Some(vocabBuildSql))

@@ -243,7 +243,110 @@ object TemporalQueries {
       |       epoch_us(ts) % 86400000000 AS us_of_day
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------ funnel ---------------------------------
+
+  /** Ordered conversion funnel view→click→purchase: a user counts at a
+    * stage only if the stage event happened strictly AFTER their first
+    * event of the previous stage (the order-sensitive definition; a mere
+    * per-type EXISTS would overcount). Output is the 3-row summary.
+    *
+    * Plan shape: three filtered per-user min aggregates chained by
+    * user_id joins — every shuffle is on the same user_id key, the
+    * chained sides are already user-grained (≤1 row per user), and at
+    * 100 TB the later stages join progressively SHRINKING sets (the
+    * funnel property itself bounds the work). No windows, no n²
+    * event-pair expansion. */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(s, dir).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    def stage(ord: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_users"))
+    stage(1, "view", v).unionAll(stage(2, "click", c))
+      .unionAll(stage(3, "purchase", p))
+      .orderBy("stage_ord")
+  }
+
+  private val funnelSql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |  GROUP BY e.user_id
+      |)
+      |SELECT 1 AS stage_ord, 'view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT 2, 'click', count(*) FROM c
+      |UNION ALL
+      |SELECT 3, 'purchase', count(*) FROM p
+      |ORDER BY stage_ord""".stripMargin
+
+  // ----------------------------- retention --------------------------------
+
+  /** Day-offset cap: two weeks keeps the matrix compact while covering
+    * the fixture's 30-day span. */
+  private val RetMaxOffset = 13
+
+  /** Cohort retention matrix: users cohorted by first-signup day, counted
+    * on each later day they were active (any event type), as
+    * (cohort_day, day_offset) → distinct users. The standard growth
+    * analytics reshape.
+    *
+    * Plan shape: cohorts and the distinct (user, day) activity set are
+    * both user-keyed aggregates; the join is user_id-to-user_id with the
+    * cohort side ≤1 row per user (broadcastable at dimension scale). The
+    * final matrix is tiny (days × offsets). */
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(s, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .select(col("user_id"), col("d0"),
+        datediff(col("d"), col("d0")).as("day_offset"))
+      .filter(col("day_offset").between(0, RetMaxOffset))
+      .groupBy(col("d0"), col("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val retentionSql =
+    s"""WITH cohort AS (
+       |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id
+       |), active AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+       |)
+       |SELECT CAST(d0 AS VARCHAR) AS cohort_day,
+       |       CAST(date_diff('day', d0, d) AS BIGINT) AS day_offset,
+       |       count(DISTINCT a.user_id) AS n_users
+       |FROM active a JOIN cohort c ON a.user_id = c.user_id
+       |WHERE date_diff('day', d0, d) BETWEEN 0 AND $RetMaxOffset
+       |GROUP BY d0, date_diff('day', d0, d)
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "x_funnel" -> QueryDef(funnel, Some(funnelSql)),
+    "x_retention" -> QueryDef(retention, Some(retentionSql)),
     "f1_time_type" -> QueryDef(timeTypeExtract, Some(timeTypeExtractSql)),
     "x_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
     "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true),
