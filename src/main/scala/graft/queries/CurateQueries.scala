@@ -287,7 +287,55 @@ object CurateQueries {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------- incremental dedup ---------------------------
+
+  /** Where the corpus index ends and the "new batch" begins: doc_id ≥ 400
+    * plays the role of today's crawl increment. */
+  private val IncrSplit = 400
+
+  /** Incremental near-dup dedup — the daily-production shape of MinHash
+    * dedup: today's batch is checked against the EXISTING corpus index
+    * (and earlier docs of its own batch) instead of re-pairing the whole
+    * corpus. A new doc's `dup_of` is its lowest-id LSH band-collision
+    * partner; `keep` marks batch docs that collide with nothing older.
+    *
+    * Plan shape: the band signatures ARE the persistent index
+    * (`x_minhash_signatures` materializes them once); per day only the
+    * new batch's bands join against it — cost tracks the BATCH's
+    * collision volume, not corpus². At 100 TB the new-batch band table
+    * is the broadcast side and the index is only ever probed, never
+    * re-shuffled. Candidate generation is shared verbatim with
+    * `x_minhash_lsh_pairs`/`x_dedup_components`
+    * ([[ExtQueries.lshCandParts]]). */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (_, cand) = ExtQueries.lshCandParts(s, dir)
+    // cand has doc_a < doc_b, so doc_b is always the newer side
+    val hits = cand.filter(col("doc_b") >= IncrSplit)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min("doc_a").as("dup_of"))
+    tbl(s, dir, "documents").filter(col("doc_id") >= IncrSplit)
+      .select("doc_id")
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH ${ExtQueries.lshCandCtes},
+       |hits AS (
+       |  SELECT doc_b AS doc_id, min(doc_a) AS dup_of FROM cand
+       |  WHERE doc_b >= $IncrSplit GROUP BY doc_b
+       |)
+       |SELECT d.doc_id, coalesce(h.dup_of, -1) AS dup_of,
+       |       h.dup_of IS NULL AS keep
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id >= $IncrSplit
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "x_dedup_incremental" -> QueryDef(dedupIncremental,
+      Some(dedupIncrementalSql)),
     "x_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),
     "x_decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql),
       bench = true),

@@ -1144,7 +1144,61 @@ object WarehouseQueries {
       |  FROM log
       |) WHERE rn = 1 AND op != 'D' ORDER BY entity_id""".stripMargin
 
+  // --------------------------- stats collection ---------------------------
+
+  private val AnalyzeCols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+
+  /** ANALYZE-style table statistics — the (rows, nulls, ndv, min, max)
+    * per-column profile a cost-based optimizer (and every data-quality
+    * dashboard) feeds on, as one long-format row per column.
+    *
+    * Plan shape: ONE scan computes every per-column aggregate in a
+    * single wide aggregation row (the multi-aggregate trick — the table
+    * is never re-read per column); the 1-row result is checkpointed and
+    * fanned out to long format driver-side-free. Exact ndv is the one
+    * expand shuffle per distinct-counted column; at sf1000 swap those
+    * for KMV/HLL sketches (`w_kmv_distinct`) — the stats consumers
+    * tolerate ±1%. */
+  private def statsCollection(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val aggs = AnalyzeCols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_cnt"),
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max")))
+    val row = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .localCheckpoint() // 1 row; reused by every per-column projection
+    AnalyzeCols.map(c =>
+      row.select(lit(c).as("column_name"), col("n_rows"),
+        (col("n_rows") - col(s"${c}_cnt")).as("n_null"),
+        col(s"${c}_ndv").as("ndv"),
+        col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v")))
+      .reduce(_ unionAll _)
+      .orderBy("column_name")
+  }
+
+  private val statsCollectionSql = {
+    val aggSel = AnalyzeCols.zipWithIndex.map { case (c, i) =>
+      s"""count($c) AS c$i, count(DISTINCT $c) AS d$i,
+         |       CAST(min($c) AS DOUBLE) AS mn$i,
+         |       CAST(max($c) AS DOUBLE) AS mx$i""".stripMargin
+    }.mkString(",\n       ")
+    val branches = AnalyzeCols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS column_name, n_rows, n_rows - c$i AS n_null,
+         |       d$i AS ndv, mn$i AS min_v, mx$i AS max_v FROM st""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH st AS (
+       |  SELECT count(*) AS n_rows,
+       |       $aggSel
+       |  FROM lineitem
+       |)
+       |$branches
+       |ORDER BY column_name""".stripMargin
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "s_stats_collection" -> QueryDef(statsCollection,
+      Some(statsCollectionSql)),
     "w_cdc_apply" -> QueryDef(cdcApply, Some(cdcApplySql)),
     "w_argminmax" -> QueryDef(argMinMax, Some(argMinMaxSql)),
     "w_unpivot" -> QueryDef(unpivotMeasures, Some(unpivotMeasuresSql)),
