@@ -109,36 +109,44 @@ object CurateQueries {
     * exact integer counts — bit-identical across engines, no rounding
     * needed.
     *
-    * Plan shape: token/distinct/trigram stats are pure scan-side array
-    * functions (zero shuffles); the bigram mode needs the one genuine
-    * shuffle — groupBy(doc_id, bigram) count with map-side combine, then
-    * max per doc. The join back to the stats side is on doc_id, and both
-    * sides are already doc-grained. */
+    * Plan shape: ONE tokenize pass — the scan-side array stats
+    * (token/distinct/trigram counts) ride along the bigram explode and
+    * fold through the two-level aggregation as `first()`s, so the
+    * corpus is scanned and tokenized exactly once. Two shuffles: the
+    * map-side-combined groupBy(doc_id, bigram) mode count, then the
+    * doc_id fold — the second moves only already-combined rows (≤1 per
+    * distinct (doc, bigram)). `explode_outer` keeps token-less docs. */
   private def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
-    val stats = tbl(s, dir, "documents")
+    val perBigram = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"),
         size(col("toks")).as("n_tok"),
         size(array_distinct(col("toks"))).as("n_utok"),
         size(TextF.shinglesFromTokens(col("toks"), 3)).as("n_tri"),
         size(array_distinct(
-          TextF.shinglesFromTokens(col("toks"), 3))).as("n_utri"))
-    val topBigram = stats
-      .select(col("doc_id"),
-        explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bigram"))
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_bg"),
-        sum("c").as("n_bg"))
+          TextF.shinglesFromTokens(col("toks"), 3))).as("n_utri"),
+        explode_outer(TextF.shinglesFromTokens(col("toks"), 2))
+          .as("bigram"))
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("c"), first("n_tok").as("n_tok"),
+        first("n_utok").as("n_utok"), first("n_tri").as("n_tri"),
+        first("n_utri").as("n_utri"))
+    val agg = perBigram.groupBy("doc_id")
+      .agg(max(when(col("bigram").isNotNull, col("c")).otherwise(0L))
+          .as("top_bg"),
+        sum(when(col("bigram").isNotNull, col("c")).otherwise(0L))
+          .as("n_bg"),
+        first("n_tok").as("n_tok"), first("n_utok").as("n_utok"),
+        first("n_tri").as("n_tri"), first("n_utri").as("n_utri"))
     val dupTok = when(col("n_tok") === 0, lit(0.0)).otherwise(
       (col("n_tok") - col("n_utok")).cast("double") /
         col("n_tok").cast("double"))
-    val topBg = when(coalesce(col("n_bg"), lit(0L)) === 0, lit(0.0))
+    val topBg = when(col("n_bg") === 0, lit(0.0))
       .otherwise(col("top_bg").cast("double") / col("n_bg").cast("double"))
     val dupTri = when(col("n_tri") === 0, lit(0.0)).otherwise(
       (col("n_tri") - col("n_utri")).cast("double") /
         col("n_tri").cast("double"))
-    stats.drop("toks")
-      .join(topBigram, Seq("doc_id"), "left")
+    agg
       .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
         dupTok.as("dup_tok_frac"), topBg.as("top_bigram_frac"),
         dupTri.as("dup_trigram_frac"),
@@ -239,16 +247,21 @@ object CurateQueries {
     * math and the final score is ONE IEEE division on both engines.
     *
     * Plan shape: vocabulary counts are a map-side-combined groupBy(token)
-    * (the wordcount); the corpus total rides in as a broadcast 1-row
+    * (the wordcount); the corpus total is Σ of the checkpointed vocab's
+    * counts (NOT a second corpus scan) riding in as a broadcast 1-row
     * cross join; scoring re-joins tokens to the broadcast vocabulary —
-    * at 100 TB the vocab is MBs, so scoring is a scan-side broadcast
-    * join plus one doc_id-keyed aggregation. */
+    * at 100 TB that's two corpus scans total (count pass + score pass),
+    * each a scan-side broadcast join / map-side-combined aggregation. */
   private def lmScore(s: SparkSession, dir: String): DataFrame = {
     val tok = tbl(s, dir, "documents")
       .select(col("doc_id"),
         explode(TextF.lowerTokens(col("text"))).as("token"))
-    val tot = tok.agg(count(lit(1)).as("n_total"))
-    val lp = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // corpus total = Σ vocab counts — derived from the (tiny) vocabulary
+    // aggregate, NOT a second corpus scan
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // vocab-sized; feeds both the total and the lp map
+    val tot = vocab.agg(sum("cnt").as("n_total"))
+    val lp = vocab
       .crossJoin(broadcast(tot))
       .select(col("token"),
         round(log(col("cnt").cast("double") /

@@ -798,6 +798,43 @@ object ExtQueries {
        |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
   }
 
+  // ------------------------- random projection (JL) -----------------------
+
+  /** Projected dimensionality for the JL reduction (64 → 16). */
+  private val ProjDim = 16
+
+  /** Johnson–Lindenstrauss random projection: every embedding is mapped
+    * 64→[[ProjDim]] dims through the same fixed deterministic
+    * pseudo-hyperplanes the LSH bucketing uses
+    * ([[VectorF.plane]] — data-independent, engine-independent, no RNG
+    * state). This is the dimension-reduction stage a billion-vector
+    * pipeline runs BEFORE indexing: 4× fewer bytes per vector for every
+    * downstream ANN structure, distances preserved up to the JL
+    * distortion bound (`JlProjectionSpec` measures the empirical
+    * original↔projected distance correlation).
+    *
+    * Plan shape: pure scan-side map — [[ProjDim]] codegen'd dot products
+    * against single array-literal planes (no per-component `lit`
+    * blowup), zero shuffles, one pass. Projections round 6dp; the
+    * left-to-right fold matches DuckDB's `list_dot_product` exactly. */
+  private def randProjection(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id") +: (0 until ProjDim).map(p =>
+        round(VectorF.dot(embDouble, typedlit(VectorF.plane(p, Dim))), 6)
+          .as(s"proj_$p")): _*)
+      .orderBy("vec_id")
+
+  private val randProjectionSql = {
+    def planeLit(p: Int) =
+      VectorF.plane(p, Dim).map(d => s"$d").mkString("[", ",", "]")
+    val projs = (0 until ProjDim).map(p =>
+      s"round(list_dot_product(CAST(embedding AS DOUBLE[]), ${planeLit(p)}), 6) AS proj_$p")
+      .mkString(",\n       ")
+    s"""SELECT vec_id,
+       |       $projs
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   // -------------------------- product quantization ------------------------
 
   private val PqM = 4            // subspaces
@@ -1167,6 +1204,8 @@ object ExtQueries {
     "x_embed_neardup" -> QueryDef(embedNeardupPairs,
       Some(embedNeardupPairsSql)),
     "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true),
+    "x_rand_projection" -> QueryDef(randProjection,
+      Some(randProjectionSql)),
     "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "x_ann_ivf_kmeans" -> QueryDef(kmeansIvfAnn, Some(kmeansIvfAnnSql)),
     "x_ann_pq" -> QueryDef(pqAnn, Some(pqAnnSql)),
