@@ -142,11 +142,19 @@ object TrainPrepQueries {
       (col("tf").cast("double") + lit(Bm25K1) *
         (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") *
           col("n").cast("double") / col("total_len").cast("double")))
+    // µ-precision TRUNCATION, not round(…, 6): both engines hold the
+    // identical product double (same inputs, same expression shape), and
+    // floor of the same double is the same everywhere — whereas Spark's
+    // Round (BigDecimal HALF_UP on the decimal digits) and DuckDB's
+    // round (binary-double ·10⁶ then nearbyint) disagree when score·10⁶
+    // lands on a .5 boundary, which ~10⁶-magnitude scores make reachable
+    // (one observed at sf0.001). floor(score·10⁶) < 2⁵³ through sf0.1.
     tf.join(df, "term").join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),
-        round(expr(s"($IdfScale * (n + 1)) div (df + 1)").cast("double") *
-          sat, 6).as("score"))
+        (floor(expr(s"($IdfScale * (n + 1)) div (df + 1)").cast("double") *
+          sat * lit(1000000.0)).cast("double") / lit(1000000.0))
+          .as("score"))
       .withColumn("rn", rn)
       .filter(col("rn") <= 3)
       .orderBy("doc_id", "rn")
@@ -168,13 +176,14 @@ object TrainPrepQueries {
        |         CAST(sum(dl) AS BIGINT) AS total_len FROM dl
        |), scored AS (
        |  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
-       |         round(CAST(($IdfScale * (corpus.n + 1)) // (df.df + 1)
+       |         CAST(floor(CAST(($IdfScale * (corpus.n + 1)) // (df.df + 1)
        |                    AS DOUBLE) *
        |               (CAST(tf.tf AS DOUBLE) * ($Bm25K1 + 1.0) /
        |                (CAST(tf.tf AS DOUBLE) + $Bm25K1 *
        |                 ((1.0 - $Bm25B) + $Bm25B * CAST(dl.dl AS DOUBLE) *
        |                  CAST(corpus.n AS DOUBLE) /
-       |                  CAST(corpus.total_len AS DOUBLE)))), 6) AS score
+       |                  CAST(corpus.total_len AS DOUBLE)))) * 1000000.0)
+       |              AS DOUBLE) / 1000000.0 AS score
        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
        |  CROSS JOIN corpus
        |)
