@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{eventsTbl, tbl}
 import graft.core.Catalog
@@ -305,7 +306,53 @@ object IngestQueries {
        |ORDER BY popularity, route_pickup, route_dropoff, top_dropoff,
        |         top_pickup""".stripMargin
 
+  /** Schema-evolution read (S3-adjacent): two ingest "days" land with
+    * DIFFERENT schemas — day 2 adds a `l_discount` column day 1 never
+    * had (the additive column evolution every long-lived landing zone
+    * accumulates) — and `mergeSchema=true` reconciles them into one
+    * superset-schema scan where day-1 rows surface NULL for the new
+    * column. The oracle states the same union-by-name semantics over the
+    * source table directly.
+    *
+    * Scale: schema merge is a FOOTER-only operation (one schema per
+    * file reconciled on the driver, data pages untouched) — but at
+    * 100 TB footer listing itself is a job, which is why production
+    * pins the superset schema in a catalog (`spark.read.schema(...)`)
+    * and mergeSchema stays an ingest-time discovery tool, not a
+    * per-query default. */
+  private def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = qtmp("schema_merge/lineitem")
+    val li = tbl(s, dir, "lineitem")
+    li.filter(col("l_linenumber") <= 2)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .write.mode("overwrite").parquet(s"$base/day=1")
+    li.filter(col("l_linenumber") > 2)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .write.mode("overwrite").parquet(s"$base/day=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy((col("l_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        count(col("l_discount")).as("n_disc"),
+        sum(col("l_discount").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_disc"))
+      .orderBy("bucket")
+  }
+
+  private val schemaMergeSql =
+    """SELECT l_orderkey % 10 AS bucket, count(*) AS cnt,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_qty,
+      |       count(CASE WHEN l_linenumber > 2 THEN l_discount END)
+      |         AS n_disc,
+      |       CAST(SUM(CASE WHEN l_linenumber > 2
+      |                     THEN CAST(l_discount AS DECIMAL(18,2)) END)
+      |            AS DOUBLE) AS sum_disc
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "s_schema_merge" -> QueryDef(schemaMerge, Some(schemaMergeSql)),
     "s1_s2_datepath_glob" -> QueryDef(datepathGlob, Some(datepathGlobSql)),
     "s4_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(
       "SELECT * FROM nation ORDER BY n_nationkey")),

@@ -284,6 +284,77 @@ object StreamQueries {
       | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
       |ORDER BY c.event_id, p_event_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER join — `st_stream_join`'s attribution
+    * query, now also emitting the clicks that NEVER converted. Outer
+    * results cannot emit eagerly (a match might still arrive), so Spark
+    * holds each left row in state until the watermark passes the end of
+    * its join window and only then null-extends it — the semantics that
+    * make outer stream joins require BOTH a watermark and a time-range
+    * bound. A far-future sentinel on each stream (disjoint user −1, as
+    * in `st_stream_session`) lets the final no-data microbatch advance
+    * the watermark past every real click, flushing all unmatched rows
+    * deterministically before AvailableNow stops.
+    *
+    * Scale: identical bounded-state story to the inner join — per-side
+    * state is one watermark-window of rows; the null-extension adds no
+    * state, only delayed emission. */
+  private def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("ssouter"))
+    val ev = eventsTbl(s, dir)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0) // bounded scalar
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7L * 86400 * 1000)
+    val sentinelClick = s.range(1).select(lit(-1L).as("event_id"),
+      lit(-1L).as("user_id"), lit(sentinelTs).as("ts"))
+    val sentinelPurchase = s.range(1).select(lit(-1L).as("p_event_id"),
+      lit(-1L).as("p_user_id"), lit(sentinelTs).as("p_ts"),
+      lit(0.0).as("value"))
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .unionByName(sentinelClick)
+      .repartition(2).write.mode("overwrite").parquet(s"$base/clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("value"))
+      .unionByName(sentinelPurchase)
+      .repartition(2).write.mode("overwrite").parquet(s"$base/purchases")
+    def stream(p: String) =
+      s.readStream.schema(s.read.parquet(p).schema).parquet(p)
+    val clicks = stream(s"$base/clicks").withWatermark("ts", "1 hour")
+    val purchases = stream(s"$base/purchases")
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("ts") &&
+        col("p_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        col("p_event_id"), unix_micros(col("p_ts")).as("purchase_us"),
+        col("value"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_ssouter")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_ssouter")
+      .filter(col("event_id") >= 0) // drop the sentinel click
+      .orderBy(col("event_id"), col("p_event_id"))
+  }
+
+  private val streamOuterJoinSql =
+    """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+      |       p.event_id AS p_event_id, epoch_us(p.ts) AS purchase_us,
+      |       p.value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+      |ORDER BY c.event_id, p_event_id""".stripMargin
+
   /** Streaming MERGE via `foreachBatch`: each microbatch is upserted
     * into a keyed parquet target — new users insert, existing users
     * update (count accumulates, the latest (ts, event_id)-ordered value
@@ -412,6 +483,8 @@ object StreamQueries {
     "st_foreach_upsert" -> QueryDef(foreachUpsert, Some(foreachUpsertSql)),
     "st_stream_join" -> QueryDef(streamStreamJoin,
       Some(streamStreamJoinSql)),
+    "st_stream_outer_join" -> QueryDef(streamOuterJoin,
+      Some(streamOuterJoinSql)),
     "st_sessions_custom_state" -> QueryDef(sessionsCustomState,
       Some(sessionsCustomStateSql)),
     "st_stream_ingest" -> QueryDef(streamIngest, Some(streamIngestSql)),

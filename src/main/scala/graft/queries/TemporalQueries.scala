@@ -344,9 +344,98 @@ object TemporalQueries {
        |GROUP BY d0, date_diff('day', d0, d)
        |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ------------------------------- EWMA -----------------------------------
+
+  /** Truncated-EWMA depth: 8 lags with weights 2^-(k+1) ≈ 99.6% of the
+    * untruncated geometric mass at α = 1/2. */
+  private val EwmaLags = 8
+
+  /** Exponentially-weighted moving average of event value per user —
+    * truncated to [[EwmaLags]] terms so it is expressible as a fixed
+    * lag-window expression instead of a recursive fold (which neither
+    * engine's window frames can state).
+    *
+    * Cross-engine determinism: the weights are negative powers of two, so
+    * each term `value / 2^(k+1)` is EXACT in IEEE doubles (pure exponent
+    * shift, no rounding), and both engines evaluate the identical
+    * left-associated addition chain — same operands, same order, same
+    * bits. This is the same trick as the decimal-exact aggregate rule in
+    * `QueryDef`, applied to a weighted window.
+    *
+    * Scale: one shuffle on user_id; the window state is the last 8 rows
+    * per partition-order scan — O(1) per row, no global sort. */
+  private def ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val terms = (0 until EwmaLags).map { k =>
+      val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      coalesce(v, lit(0.0)) / lit(math.pow(2.0, k + 1))
+    }
+    eventsTbl(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ewma8", terms.reduce(_ + _))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"), col("ewma8"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
+  private val ewmaSql = {
+    val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    val terms = (0 until EwmaLags).map { k =>
+      val v = if (k == 0) "value" else s"lag(value, $k) $over"
+      s"coalesce($v, 0.0) / ${1L << (k + 1)}.0"
+    }
+    s"""SELECT user_id, epoch_us(ts) AS us, event_id, value,
+       |       ${terms.mkString(" + ")} AS ewma8
+       |FROM events
+       |ORDER BY user_id, us, event_id""".stripMargin
+  }
+
+  // --------------------------- sequence match ------------------------------
+
+  /** MATCH_RECOGNIZE-style CONTIGUOUS event-sequence detection: per user,
+    * occurrences of an immediately-adjacent view→click→purchase triple in
+    * event-time order. The complement of `x_funnel`'s eventually-after
+    * semantics — adjacency is what a mere per-stage min-join cannot
+    * express, and what SQL engines bolt MATCH_RECOGNIZE on for.
+    *
+    * Encoding: k-step `lead()` over the per-user event-time window turns
+    * "next k event types" into row-local columns; the pattern is then an
+    * ordinary conjunctive filter. A longer pattern is more leads; a
+    * Kleene pattern (A B+ C) becomes the gaps-and-islands sessionizer
+    * composed with this. One shuffle on user_id, window state = 2 rows. */
+  private def sequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    eventsTbl(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("event_type") === "view" &&
+        col("t1") === "click" && col("t2") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(unix_micros(col("ts"))).as("first_match_us"))
+      .orderBy("user_id")
+  }
+
+  private val sequenceMatchSql =
+    """WITH m AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS t1,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS t2
+      |  FROM events
+      |)
+      |SELECT user_id, count(*) AS n_matches, min(us) AS first_match_us
+      |FROM m
+      |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
     "x_funnel" -> QueryDef(funnel, Some(funnelSql)),
     "x_retention" -> QueryDef(retention, Some(retentionSql)),
+    "w_ewma" -> QueryDef(ewma, Some(ewmaSql)),
+    "w_sequence_match" -> QueryDef(sequenceMatch, Some(sequenceMatchSql)),
     "f1_time_type" -> QueryDef(timeTypeExtract, Some(timeTypeExtractSql)),
     "x_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
     "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true),
