@@ -346,7 +346,74 @@ object CurateQueries {
        |WHERE d.doc_id >= $IncrSplit
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------- PMI collocations ---------------------------
+
+  /** Bigrams rarer than this are too noisy to score. */
+  private val PmiMinCount = 3
+
+  private val PmiTopN = 50
+
+  /** PMI collocation mining — the phrase-detection pass (word2vec's
+    * phrase pass, Mikolov et al.) that decides which adjacent token
+    * pairs ("new york") should fuse into single vocabulary units before
+    * tokenizer training. PMI = log(c_ab·N / (c_a·c_b)); since log is
+    * monotone, ranking by the RAW RATIO in ppm avoids transcendental
+    * functions entirely — `(c_ab·N·10⁶) div (c_a·c_b)` is exact integer
+    * math, bit-identical cross-engine (the same trick as the quantized
+    * idf in `x_tfidf_topterms`). Ties at the top-N boundary break on the
+    * bigram text.
+    *
+    * Scale: two map-side-combined wordcounts (unigram, bigram) and two
+    * joins keyed on the bigram's member words — the unigram table is
+    * vocabulary-sized (Zipf ⇒ MBs at 100 TB, broadcastable); the top-N
+    * is TakeOrderedAndProject, never a global sort. BIGINT headroom:
+    * c_ab·N·10⁶ < 2⁶³ up to ~10¹² total tokens; past that the ratio
+    * computes in decimal(38). */
+  private def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toks
+      .select(explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= PmiMinCount)
+    val n = toks.agg(sum(size(col("toks"))).as("n"))
+    bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.withColumnsRenamed(Map("w" -> "w1", "cw" -> "c1")), "w1")
+      .join(uni.withColumnsRenamed(Map("w" -> "w2", "cw" -> "c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("cab"),
+        expr("(cab * n * 1000000) div (c1 * c2)").as("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("bigram"))
+      .limit(PmiTopN)
+  }
+
+  private val pmiBigramsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $sqlLowerToks AS t FROM documents
+       |), uni AS (
+       |  SELECT w, count(*) AS cw
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+       |), bi AS (
+       |  SELECT bigram, count(*) AS cab
+       |  FROM (SELECT unnest(${OracleSql.shingleList(2)}) AS bigram
+       |        FROM toks)
+       |  GROUP BY bigram HAVING count(*) >= $PmiMinCount
+       |), n AS (
+       |  SELECT CAST(sum(len(t)) AS BIGINT) AS n FROM toks
+       |)
+       |SELECT bigram, cab,
+       |       CAST((cab * n.n * 1000000) //
+       |            (c1.cw * c2.cw) AS BIGINT) AS ratio_ppm
+       |FROM bi CROSS JOIN n
+       |JOIN uni c1 ON c1.w = string_split(bigram, ' ')[1]
+       |JOIN uni c2 ON c2.w = string_split(bigram, ' ')[2]
+       |ORDER BY ratio_ppm DESC, bigram LIMIT $PmiTopN""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "x_pmi_bigrams" -> QueryDef(pmiBigrams, Some(pmiBigramsSql)),
     "x_dedup_incremental" -> QueryDef(dedupIncremental,
       Some(dedupIncrementalSql)),
     "x_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),

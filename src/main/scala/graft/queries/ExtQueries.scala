@@ -425,6 +425,72 @@ object ExtQueries {
        |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.1
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Minimum containment score to report. */
+  private val ContainmentMin = 0.4
+
+  /** ASYMMETRIC near-dup pairs by shingle containment — |A∩B| / |A| over
+    * distinct k=3 word shingles. Jaccard misses subset duplication (a
+    * paragraph quoted inside a much longer doc scores low symmetric
+    * similarity but containment ≈ 1 from the quote's side); this is the
+    * directional complement `x_ngram_jaccard_pairs` cannot express, and
+    * the signal used to drop quote-of-a-kept-doc records. Emits ORDERED
+    * pairs: (a, b) and (b, a) score independently.
+    *
+    * Same inverted-index candidate generation as Jaccard (shared
+    * hot-shingle df cap, shared checkpoint discipline); the denominator
+    * stays the full |A| so the cap only thins candidates, never biases a
+    * reported score. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val shAll = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(
+        TextF.shinglesFromTokens(col("toks"), K)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      .localCheckpoint()
+    val cold = shAll.groupBy("shingle")
+      .agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= MaxShingleDf)
+      .select("shingle")
+    val sh = shAll.join(cold, "shingle").localCheckpoint()
+    val a = sh.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("na").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= ContainmentMin)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val containmentPairsSql =
+    s"""WITH sh_all AS (
+       |  SELECT doc_id, len(shl) AS n, unnest(shl) AS shingle FROM (
+       |    SELECT doc_id, $sqlShingles AS shl
+       |    FROM (SELECT doc_id, $sqlLowerToks AS t FROM documents)
+       |    WHERE len(t) >= $K)
+       |), cold AS (
+       |  SELECT shingle FROM sh_all GROUP BY shingle
+       |  HAVING count(*) <= $MaxShingleDf
+       |), sh AS (
+       |  SELECT sh_all.* FROM sh_all JOIN cold USING (shingle)
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+       |         any_value(a.n) AS na
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= $ContainmentMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------- similarity search -------------------------
 
   private val Dim = 64 // embeddings fixture dimension
@@ -1197,6 +1263,8 @@ object ExtQueries {
       Some(minhashLshPairsSql), bench = true),
     "x_simhash" -> QueryDef(simhash, Some(simhashSql)),
     "x_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql)),
+    "x_containment_pairs" -> QueryDef(containmentPairs,
+      Some(containmentPairsSql)),
     "x_ngram_jaccard_pairs" -> QueryDef(ngramJaccardPairs,
       Some(ngramJaccardPairsSql)),
     "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql),

@@ -306,6 +306,101 @@ object IngestQueries {
        |ORDER BY popularity, route_pickup, route_dropoff, top_dropoff,
        |         top_pickup""".stripMargin
 
+  /** Manifest-pinned snapshot scan — the table-format kernel (what
+    * Delta/Iceberg build their ACID story on) from a plain directory:
+    * commit v1 records the exact file list; a CONCURRENT APPEND lands
+    * more files afterwards; a reader pinned to manifest v1 scans only
+    * v1's files and provably never sees the append. Directory-listing
+    * readers (`spark.read.parquet(dir)`) get whatever is there at plan
+    * time — manifest readers get repeatable reads, time travel (keep
+    * old manifests), and atomic commit (manifest write is the commit
+    * point). The oracle states v1's expected content from the source
+    * table and the split rule.
+    *
+    * Scale: the manifest replaces per-query directory listing (an
+    * O(files) namenode/object-store scan that dominates planning at
+    * 100 TB) with one small file read; real formats shard manifests and
+    * index them by partition values. */
+  private def manifestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val base = qtmp("manifest/events")
+    val ev = eventsTbl(s, dir).select("event_id", "event_type", "value")
+    val dataDir = new java.io.File(s"$base/data")
+    if (dataDir.exists()) {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(dataDir)
+    }
+    ev.filter(col("event_id") % 2 === 1).repartition(4)
+      .write.mode("overwrite").parquet(s"$base/data")
+    val v1Files = dataDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val mPath = java.nio.file.Paths.get(s"$base/v1.manifest")
+    java.nio.file.Files.createDirectories(mPath.getParent)
+    java.nio.file.Files.write(mPath,
+      v1Files.mkString("\n").getBytes("UTF-8"))
+    // concurrent append AFTER the v1 commit point
+    ev.filter(col("event_id") % 2 === 0).repartition(4)
+      .write.mode("append").parquet(s"$base/data")
+    val pinned = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .split("\n").toSeq
+    s.read.parquet(pinned: _*)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val manifestSnapshotSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 2 = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** S4-adjacent — malformed-record handling on CSV ingest: every fifth
+    * row of the landing file carries an unparseable value in a numeric
+    * column (the dirty-feed reality BigQuery load jobs surface as
+    * `max_bad_records`). PERMISSIVE mode keeps the pipeline running: bad
+    * rows land with NULL in the broken column and the RAW LINE preserved
+    * in the corrupt-record column for quarantine — vs FAILFAST (whole
+    * load dies) or DROPMALFORMED (silent data loss, the worst choice for
+    * a training corpus). The oracle states the expected landing shape
+    * from the source table and the known corruption rule.
+    *
+    * Scale: corrupt-record capture is per-row scan work with no plan
+    * impact; the quarantine split (filter on `is_corrupt`) stays a
+    * single pass. */
+  private def csvPermissive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = qtmp("csv_permissive/nation")
+    tbl(s, dir, "nation")
+      .select(concat_ws(",", col("n_nationkey"), col("n_name"),
+        when(col("n_nationkey") % 5 === 0, lit("not_a_number"))
+          .otherwise(col("n_regionkey").cast("string"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType),
+      StructField("_malformed", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_malformed")
+      .csv(path)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_malformed").isNotNull.as("is_corrupt"))
+      .orderBy("n_nationkey")
+  }
+
+  private val csvPermissiveSql =
+    """SELECT n_nationkey, n_name,
+      |       CASE WHEN n_nationkey % 5 = 0 THEN NULL
+      |            ELSE n_regionkey END AS n_regionkey,
+      |       n_nationkey % 5 = 0 AS is_corrupt
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** Schema-evolution read (S3-adjacent): two ingest "days" land with
     * DIFFERENT schemas — day 2 adds a `l_discount` column day 1 never
     * had (the additive column evolution every long-lived landing zone
@@ -353,6 +448,9 @@ object IngestQueries {
 
   val all: Map[String, QueryDef] = Map(
     "s_schema_merge" -> QueryDef(schemaMerge, Some(schemaMergeSql)),
+    "s4d_csv_permissive" -> QueryDef(csvPermissive, Some(csvPermissiveSql)),
+    "s_manifest_snapshot" -> QueryDef(manifestSnapshot,
+      Some(manifestSnapshotSql)),
     "s1_s2_datepath_glob" -> QueryDef(datepathGlob, Some(datepathGlobSql)),
     "s4_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(
       "SELECT * FROM nation ORDER BY n_nationkey")),

@@ -487,6 +487,63 @@ object TrainPrepQueries {
        |            AS BIGINT) AS n_kept
        |FROM d JOIN k USING (fp) GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------- sliding-window chunking ------------------------
+
+  /** RAG-style chunk geometry: 120-char windows every 90 chars → 30-char
+    * (25%) overlap between consecutive chunks. */
+  private val SlideSize = 120
+  private val SlideStride = 90
+
+  /** Overlapping sliding-window chunking — the retrieval-corpus prep
+    * step (RAG indexing, context-window packing with overlap) where
+    * chunk boundaries must not lose cross-boundary context, unlike
+    * `x_chunk_dedup`'s disjoint dedup chunks. Chunk i covers characters
+    * [i·stride, i·stride + size); the last window starts at the final
+    * stride step that still exposes new text. Output is (doc, chunk) →
+    * length + fingerprint, the index-build input.
+    *
+    * Cross-engine: both engines substring by code point and the chunk
+    * count is pure integer math, so fingerprints match bit-for-bit.
+    * Scale: zero shuffles — chunk generation is codegen'd
+    * sequence+explode on the scan; the ~size/stride data amplification
+    * is the operator's intrinsic cost and the reason stride tuning
+    * matters more than cluster size. */
+  private def chunkSliding(s: SparkSession, dir: String): DataFrame = {
+    val steps = expr(
+      s"CASE WHEN n_chars <= $SlideSize THEN 0L " +
+        s"ELSE (n_chars - $SlideSize + $SlideStride - 1) div $SlideStride END")
+    tbl(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), steps)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"substring(text, chunk_id * $SlideStride + 1, $SlideSize)")
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val chunkSlidingSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN n_chars <= $SlideSize THEN 0
+       |              ELSE (n_chars - $SlideSize + $SlideStride - 1)
+       |                   // $SlideStride END AS steps
+       |  FROM documents WHERE n_chars > 0
+       |), c AS (
+       |  SELECT doc_id, unnest(range(0, steps + 1)) AS chunk_id, text
+       |  FROM d
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(length(substring(text, CAST(chunk_id * $SlideStride + 1
+       |                                        AS INT), $SlideSize))
+       |            AS BIGINT) AS chunk_len,
+       |       md5(substring(text, CAST(chunk_id * $SlideStride + 1 AS INT),
+       |                     $SlideSize)) AS fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // --------------------- quality-weighted sampling ------------------------
 
   /** Quality-weighted deterministic Bernoulli sample: each document is
@@ -531,6 +588,7 @@ object TrainPrepQueries {
     "x_domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
     "x_group_sample" -> QueryDef(groupSample, Some(groupSampleSql)),
     "x_chunk_dedup" -> QueryDef(paraDedup, Some(paraDedupSql)),
+    "x_chunk_sliding" -> QueryDef(chunkSliding, Some(chunkSlidingSql)),
     "x_split_train_val" -> QueryDef(splitTrainVal, Some(splitTrainValSql)),
     "x_tfidf_topterms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql),
       bench = true),

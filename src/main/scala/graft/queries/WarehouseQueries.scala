@@ -81,6 +81,55 @@ object WarehouseQueries {
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------- MAD outliers -------------------------------
+
+  /** Robust outlier detection via median absolute deviation: per
+    * event_type, flag values with |v − median| > 3·MAD — the
+    * breakdown-resistant alternative to mean±3σ (`w_stats_agg`'s
+    * moments), which outliers themselves corrupt. The data-quality
+    * screen that feeds `w_dq_checks`-style gates.
+    *
+    * Cross-engine: both medians are rounded to 6 dp BEFORE the deviation
+    * pass (absorbing last-ulp interpolation differences, as
+    * `w_quantiles`), so every downstream |v − med|, 3·MAD product, and
+    * strict compare runs on bit-identical doubles. Scale: two exact
+    * grouped medians = two sort-shuffles on the group key; the per-type
+    * medians are dimension-sized and broadcast back — at wider groups
+    * the exact median swaps for a t-digest/KMV-family sketch. */
+  private def outlierMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(s, dir).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val outlierMadSql =
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY event_type
+      |), dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+      |  FROM events e JOIN med m USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY event_type
+      |)
+      |SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+      |       max(a.mad) AS mad,
+      |       CAST(sum(CASE WHEN d.dev > 3.0 * a.mad THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY d.event_type ORDER BY event_type""".stripMargin
+
   // ------------------------- KMV distinct sketch --------------------------
 
   private val KmvK = 16
@@ -475,6 +524,82 @@ object WarehouseQueries {
         countDistinct(col("h")).as("n_distinct"))
       .orderBy("event_type")
   }
+
+  /** KMV sketch MERGE, demonstrated end-to-end: the per-type sketches
+    * (each type's k smallest distinct hashes — the partials 1000
+    * executors would ship to a coordinator) merge into a global
+    * estimate by keeping the k smallest of their union. The superset
+    * theorem makes the merge LOSSLESS: every globally-k-smallest hash
+    * is a fortiori k-smallest within its own type, so the merged
+    * estimate equals the sketch computed over the raw data bit-for-bit
+    * — `est_merged` and `est_raw` ride in the same output row as the
+    * proof, with exact distinct as the error witness. This is the
+    * property HLL needs engine-private registers for; KMV gets it from
+    * order statistics alone.
+    *
+    * Scale: partials are ≤ k rows per group (k·|types| total), so the
+    * merge window ranks a bounded set — the `Ranked` pattern, never a
+    * global data sort. */
+  private def kmvUnion(s: SparkSession, dir: String): DataFrame = {
+    val hashed = eventsTbl(s, dir)
+      .select(col("event_type"),
+        HashF.tokenHash(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val rnT = row_number().over(
+      Window.partitionBy("event_type").orderBy("h"))
+    val partials = hashed.withColumn("rn", rnT).filter(col("rn") <= KmvK)
+    def estOver(df: DataFrame): DataFrame = {
+      val rnG = row_number().over(Window.orderBy("h")) // bounded input only
+      df.select("h").distinct()
+        .withColumn("rn", rnG)
+        .agg(max(when(col("rn") === KmvK, col("h"))).as("hk"),
+          count(lit(1)).as("np"))
+        .select(when(col("np") < KmvK, col("np").cast("double"))
+          .otherwise(round(lit((KmvK - 1) * 4294967296.0) / col("hk"), 6))
+          .as("est"))
+    }
+    // raw path must rank the FULL distinct hash set, so cap at k first
+    // per the global order — same bounded-rank discipline
+    val rawTopK = hashed.select("h").distinct()
+      .orderBy("h").limit(KmvK) // TakeOrderedAndProject, not a sort
+    estOver(partials).withColumnRenamed("est", "est_merged")
+      .crossJoin(estOver(rawTopK).withColumnRenamed("est", "est_raw"))
+      .crossJoin(hashed.agg(countDistinct("h").as("n_distinct")))
+  }
+
+  private val kmvUnionSql =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT event_type,
+       |         ${OracleSql.hash("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events
+       |), partials AS (
+       |  SELECT h FROM (
+       |    SELECT h, row_number() OVER (PARTITION BY event_type
+       |                                 ORDER BY h) AS rn
+       |    FROM hashed) WHERE rn <= $KmvK
+       |), merged AS (
+       |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT h FROM partials)
+       |), raw AS (
+       |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT h FROM hashed)
+       |), est_m AS (
+       |  SELECT CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+       |              ELSE round(${(KmvK - 1)} * 4294967296.0 /
+       |                         max(CASE WHEN rn = $KmvK THEN h END), 6)
+       |         END AS est_merged
+       |  FROM merged
+       |), est_r AS (
+       |  SELECT CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+       |              ELSE round(${(KmvK - 1)} * 4294967296.0 /
+       |                         max(CASE WHEN rn = $KmvK THEN h END), 6)
+       |         END AS est_raw
+       |  FROM (SELECT * FROM raw WHERE rn <= $KmvK)
+       |), ex AS (
+       |  SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_distinct FROM hashed
+       |)
+       |SELECT est_merged, est_raw, n_distinct
+       |FROM est_m CROSS JOIN est_r CROSS JOIN ex""".stripMargin
 
   // ------------------------------ compaction ------------------------------
 
@@ -1226,6 +1351,8 @@ object WarehouseQueries {
     "w_semi_anti" -> QueryDef(semiAnti, Some(semiAntiSql)),
     "w_rollup" -> QueryDef(rollupCounts, Some(rollupCountsSql)),
     "w_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),
+    "w_outlier_mad" -> QueryDef(outlierMad, Some(outlierMadSql)),
+    "w_kmv_union" -> QueryDef(kmvUnion, Some(kmvUnionSql)),
     "w_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),
     "w_upsert" -> QueryDef(upsert, Some(upsertSql)),
     "s_partitioned_sink" -> QueryDef(partitionedSink,
