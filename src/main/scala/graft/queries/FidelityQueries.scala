@@ -124,7 +124,111 @@ object FidelityQueries {
        |         top_dropoff_hex, top_pickup_hex""".stripMargin
   }
 
+  /** The same reference chain as `q_taxi_full`, but executed the way the
+    * reference AUTHORS it — as SQL text through `spark.sql` over named
+    * views (the reference's code builds SQL strings and submits them,
+    * `taxi_trips_etl.py:105-109`; this is the surface its user brings).
+    * Substitutions from the BigQuery dialect, each a registered function
+    * on this engine: `ST_CENTROID` → `wkt_centroid_lat/lng` (native
+    * codegen expressions injected by [[graft.plans.GraftExtensions]]),
+    * `H3_FROMGEOGPOINT` → `hex_cell` (SQL-registered mirror of
+    * `GeoF.hexCellScala`), `byte_length(ST_ASTEXT(g))` →
+    * `octet_length(g)`, `EXTRACT(TIME)` comparisons → µs-of-day (the
+    * documented TIME representation). Same plan shape as the DataFrame
+    * path — Catalyst compiles both to the identical bounded-rank top-k +
+    * broadcast-dim join graph — and the SAME oracle, so the two
+    * authoring surfaces are provably interchangeable. */
+  private def taxiFullSqlApi(s: SparkSession, dir: String): DataFrame = {
+    trips(s, dir).createOrReplaceTempView("graft_sql_trips")
+    zones(s, dir).createOrReplaceTempView("graft_sql_taxi_zone_geom")
+    s.udf.register("hex_cell",
+      (lat: Double, lng: Double, res: Int) => GeoF.hexCellScala(lat, lng, res))
+    // normalization_query.py:3-9, verbatim predicate text
+    s.sql(
+      """SELECT * FROM graft_sql_trips
+        |WHERE pickup_datetime != dropoff_datetime
+        |  AND passenger_count != 0 AND passenger_count IS NOT NULL
+        |  AND trip_distance != 0 AND trip_distance IS NOT NULL
+        |  AND fare_amount != 0""".stripMargin)
+      .createOrReplaceTempView("graft_sql_normalized")
+    // enrichment_query.py:3-25 — branch, rank-dedup, rejoin, daypart
+    val us = "pmod(unix_micros(doff.pickup_datetime), 86400000000)"
+    val H = 3600000000L
+    s.sql(
+      s"""WITH geo AS (
+         |  SELECT zone_id,
+         |         hex_cell(wkt_centroid_lat(zone_geom),
+         |                  wkt_centroid_lng(zone_geom), 9) AS hex,
+         |         RANK() OVER (PARTITION BY zone_id
+         |                      ORDER BY octet_length(zone_geom) DESC)
+         |           AS finish_rank
+         |  FROM graft_sql_taxi_zone_geom
+         |), doff AS (
+         |  SELECT t.pickup_datetime, t.dropoff_datetime,
+         |         t.pickup_location_id, t.dropoff_location_id,
+         |         geo.hex AS hex_dropoff
+         |  FROM graft_sql_normalized t
+         |  LEFT JOIN geo ON t.dropoff_location_id = geo.zone_id
+         |  WHERE geo.finish_rank = 1
+         |), pup AS (
+         |  SELECT t.pickup_datetime, t.dropoff_datetime,
+         |         t.pickup_location_id, t.dropoff_location_id,
+         |         geo.hex AS hex_pickup
+         |  FROM graft_sql_normalized t
+         |  LEFT JOIN geo ON t.pickup_location_id = geo.zone_id
+         |  WHERE geo.finish_rank = 1
+         |)
+         |SELECT pup.hex_pickup, doff.hex_dropoff,
+         |       CASE WHEN $us >= ${6 * H} AND $us < ${12 * H} THEN 'Morning'
+         |            WHEN $us >= ${12 * H} AND $us < ${18 * H} THEN 'Noon'
+         |            WHEN $us >= ${18 * H} AND $us <= ${24 * H - 1000000L}
+         |              THEN 'Evening'
+         |            WHEN $us < ${6 * H} THEN 'Night'
+         |       END AS daypart
+         |FROM doff JOIN pup
+         |  ON doff.pickup_datetime = pup.pickup_datetime
+         | AND doff.dropoff_datetime = pup.dropoff_datetime
+         | AND doff.pickup_location_id = pup.pickup_location_id
+         | AND doff.dropoff_location_id = pup.dropoff_location_id""".stripMargin)
+      .createOrReplaceTempView("graft_sql_enriched")
+    // taxi_trips_etl.py:164-176 — STRUCT route, three bounded-rank top-k
+    // popularity subqueries, USING(popularity) ×2
+    s.sql(
+      """SELECT popularity,
+        |       r.route.pickup_hexagons AS route_pickup_hex,
+        |       r.route.dropoff_hexagons AS route_dropoff_hex,
+        |       r.route_count, d.top_dropoff_hex, d.dropoff_count,
+        |       p.top_pickup_hex, p.pickup_count
+        |FROM (
+        |  SELECT struct(hex_pickup AS pickup_hexagons,
+        |                hex_dropoff AS dropoff_hexagons) AS route,
+        |         route_count,
+        |         RANK() OVER (ORDER BY route_count DESC) AS popularity
+        |  FROM (SELECT hex_pickup, hex_dropoff, count(*) AS route_count
+        |        FROM graft_sql_enriched GROUP BY hex_pickup, hex_dropoff
+        |        ORDER BY route_count DESC, hex_pickup, hex_dropoff
+        |        LIMIT 100)
+        |) r
+        |JOIN (
+        |  SELECT hex_dropoff AS top_dropoff_hex, dropoff_count,
+        |         RANK() OVER (ORDER BY dropoff_count DESC) AS popularity
+        |  FROM (SELECT hex_dropoff, count(*) AS dropoff_count
+        |        FROM graft_sql_enriched GROUP BY hex_dropoff
+        |        ORDER BY dropoff_count DESC, hex_dropoff LIMIT 100)
+        |) d USING (popularity)
+        |JOIN (
+        |  SELECT hex_pickup AS top_pickup_hex, pickup_count,
+        |         RANK() OVER (ORDER BY pickup_count DESC) AS popularity
+        |  FROM (SELECT hex_pickup, count(*) AS pickup_count
+        |        FROM graft_sql_enriched GROUP BY hex_pickup
+        |        ORDER BY pickup_count DESC, hex_pickup LIMIT 100)
+        |) p USING (popularity)
+        |ORDER BY popularity, route_pickup_hex, route_dropoff_hex,
+        |         top_dropoff_hex, top_pickup_hex""".stripMargin)
+  }
+
   val all: Map[String, QueryDef] = Map(
-    "q_taxi_full" -> QueryDef(taxiFull, Some(taxiFullSql), bench = true)
+    "q_taxi_full" -> QueryDef(taxiFull, Some(taxiFullSql), bench = true),
+    "q_sql_full" -> QueryDef(taxiFullSqlApi, Some(taxiFullSql))
   )
 }
