@@ -300,6 +300,84 @@ object CurateQueries {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------ bigram LM quality score -----------------------
+
+  /** Context-sensitive LM quality score: per-document average negative
+    * log-likelihood under a corpus-trained BIGRAM model with add-one
+    * smoothing — P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V). Catches
+    * wrong-order/shuffled text that the unigram `x_lm_score` scores as
+    * perfectly typical (same tokens, same unigram NLL), which is exactly
+    * the KenLM-style filter production pipelines add after unigram
+    * screens. Same µ-nat quantization → exact integer per-doc sums, one
+    * final IEEE division.
+    *
+    * Plan shape: bigram counts are a map-side-combined groupBy; the
+    * left-context totals derive from the (already tiny) bigram table,
+    * not a rescan. The scoring join is broadcast here; a 100 TB bigram
+    * model is GBs — there the score pass becomes one shuffle join keyed
+    * on the bigram, or the model is pruned to top-k continuations per
+    * context (the standard KenLM trim) to stay broadcastable. */
+  private def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+    val docBg = docs.select(col("doc_id"),
+      explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    val bgCnt = docBg.groupBy("bg").agg(count(lit(1)).as("cab"))
+      .localCheckpoint() // model-sized; feeds contexts + scoring
+    val leftCnt = bgCnt
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum("cab").as("cw1"))
+    val v = docs.select(explode(col("toks")).as("token"))
+      .agg(countDistinct("token").as("v"))
+    val lp = bgCnt.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(leftCnt, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        round(log((col("cab") + 1).cast("double") /
+          (col("cw1") + col("v")).cast("double")) * lit(1000000.0))
+          .cast("long").as("lp_q"))
+    val perDoc = docBg.join(broadcast(lp), "bg")
+      .groupBy("doc_id")
+      .agg(sum("lp_q").as("sq"), count(lit(1)).as("n_bigrams"))
+    tbl(s, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        ((-col("sq")).cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramLmScoreSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $sqlLowerToks AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, unnest(${OracleSql.shingleList(2)}) AS bg FROM tk
+       |), cab AS (
+       |  SELECT bg, count(*) AS cab FROM bg GROUP BY bg
+       |), cw AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1, sum(cab) AS cw1
+       |  FROM cab GROUP BY 1
+       |), v AS (
+       |  SELECT count(DISTINCT token) AS v
+       |  FROM (SELECT unnest(t) AS token FROM tk)
+       |), lp AS (
+       |  SELECT cab.bg,
+       |         CAST(round(ln(CAST(cab + 1 AS DOUBLE) /
+       |                       CAST(cw1 + v AS DOUBLE)) * 1000000.0, 0)
+       |              AS BIGINT) AS lp_q
+       |  FROM cab JOIN cw ON cw.w1 = string_split(cab.bg, ' ')[1]
+       |  CROSS JOIN v
+       |), pd AS (
+       |  SELECT doc_id, sum(lp_q) AS sq, count(*) AS n_bigrams
+       |  FROM bg JOIN lp USING (bg) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+       |       CAST(-p.sq AS DOUBLE) /
+       |         (CAST(p.n_bigrams AS DOUBLE) * 1000000.0) AS avg_nll
+       |FROM documents d LEFT JOIN pd p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------- incremental dedup ---------------------------
 
   /** Where the corpus index ends and the "new batch" begins: doc_id ≥ 400
@@ -417,6 +495,7 @@ object CurateQueries {
     "x_dedup_incremental" -> QueryDef(dedupIncremental,
       Some(dedupIncrementalSql)),
     "x_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),
+    "x_lm_bigram" -> QueryDef(bigramLmScore, Some(bigramLmScoreSql)),
     "x_decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql),
       bench = true),
     "x_repetition_filter" -> QueryDef(repetitionFilter,
