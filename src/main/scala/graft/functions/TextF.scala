@@ -136,9 +136,17 @@ object TextF {
     * expression: the lambda indexes it k times per element, and passing
     * the split(...) expression directly would re-run the regex split per
     * access — O(tokens²) work per document (measured 6× the entire
-    * MinHash pipeline's cost). Catalyst's CollapseProject keeps a
-    * non-cheap multiply-referenced projection materialized, so the
-    * two-step select does tokenization exactly once per row.
+    * MinHash pipeline's cost).
+    *
+    * SECOND trap, downstream: never `explode` the shingle expression in
+    * a projection that ALSO derives sibling columns from it (e.g.
+    * `select(size(sh), explode(sh))`) — the Generate re-evaluates the
+    * whole tokenize→shingle tree per EMITTED ELEMENT (~40× measured at
+    * sf0.1, 25 s → 0.6 s). Either explode it as the projection's only
+    * derived column, or `localCheckpoint()` the array column first and
+    * explode the materialized attribute (the pairs queries do the
+    * latter).
+    *
     * Deterministic; empty array for docs shorter than k tokens (guards
     * Spark's descending `sequence`). */
   def shinglesFromTokens(toks: Column, k: Int): Column =

@@ -110,13 +110,21 @@ object CurateQueries {
     * needed.
     *
     * Plan shape: ONE tokenize pass — the scan-side array stats
-    * (token/distinct/trigram counts) ride along the bigram explode and
-    * fold through the two-level aggregation as `first()`s, so the
-    * corpus is scanned and tokenized exactly once. Two shuffles: the
+    * (token/distinct/trigram counts) and the bigram array materialize
+    * together in a checkpointed projection, the explode iterates the
+    * stored arrays, and the stats fold through the two-level
+    * aggregation as `first()`s — the corpus is scanned and tokenized
+    * exactly once. Two shuffles: the
     * map-side-combined groupBy(doc_id, bigram) mode count, then the
     * doc_id fold — the second moves only already-combined rows (≤1 per
     * distinct (doc, bigram)). `explode_outer` keeps token-less docs. */
   private def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    // stats and the bigram ARRAY are computed in one projection and
+    // checkpointed; only then does the explode run — a Generate whose
+    // generator shares a projection with sibling derived columns
+    // re-evaluates the tokenize→shingle tree per emitted element (~40×
+    // measured at sf0.1), while exploding a materialized attribute
+    // iterates stored data
     val perBigram = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -125,8 +133,10 @@ object CurateQueries {
         size(TextF.shinglesFromTokens(col("toks"), 3)).as("n_tri"),
         size(array_distinct(
           TextF.shinglesFromTokens(col("toks"), 3))).as("n_utri"),
-        explode_outer(TextF.shinglesFromTokens(col("toks"), 2))
-          .as("bigram"))
+        TextF.shinglesFromTokens(col("toks"), 2).as("bg"))
+      .localCheckpoint()
+      .select(col("doc_id"), col("n_tok"), col("n_utok"), col("n_tri"),
+        col("n_utri"), explode_outer(col("bg")).as("bigram"))
       .groupBy("doc_id", "bigram")
       .agg(count(lit(1)).as("c"), first("n_tok").as("n_tok"),
         first("n_utok").as("n_utok"), first("n_tri").as("n_tri"),
@@ -491,11 +501,13 @@ object CurateQueries {
        |ORDER BY ratio_ppm DESC, bigram LIMIT $PmiTopN""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
-    "x_pmi_bigrams" -> QueryDef(pmiBigrams, Some(pmiBigramsSql)),
+    "x_pmi_bigrams" -> QueryDef(pmiBigrams, Some(pmiBigramsSql),
+      bench = true),
     "x_dedup_incremental" -> QueryDef(dedupIncremental,
       Some(dedupIncrementalSql)),
     "x_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),
-    "x_lm_bigram" -> QueryDef(bigramLmScore, Some(bigramLmScoreSql)),
+    "x_lm_bigram" -> QueryDef(bigramLmScore, Some(bigramLmScoreSql),
+      bench = true),
     "x_decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql),
       bench = true),
     "x_repetition_filter" -> QueryDef(repetitionFilter,

@@ -369,13 +369,18 @@ object ExtQueries {
     // checkpoint BEFORE deriving the df filter: the cold aggregation and
     // the join's left side would otherwise each re-run the full
     // tokenize→shingle→explode subtree (the exact per-side recompute this
-    // comment block exists to prevent)
+    // comment block exists to prevent).
+    // the explode is the projection's ONLY derived column (see the
+    // TextF.shinglesFromTokens scaladoc: a Generate sharing a projection
+    // with sibling derived columns re-evaluates the tokenize→shingle
+    // tree per emitted element — ~40× at sf0.1); |A| is recovered as a
+    // count window over the exploded rows
     val shAll = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_distinct(
-        TextF.shinglesFromTokens(col("toks"), K)).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(
+        TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("doc_id")))
       .localCheckpoint()
     // df-per-shingle is aggregated on the same `shingle` key the
     // candidate join shuffles on — one extra map-side-combined pass over
@@ -441,13 +446,17 @@ object ExtQueries {
     * stays the full |A| so the cap only thins candidates, never biases a
     * reported score. */
   private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    // the explode is the projection's ONLY derived column (see the
+    // TextF.shinglesFromTokens scaladoc: a Generate sharing a projection
+    // with sibling derived columns re-evaluates the tokenize→shingle
+    // tree per emitted element — ~40× at sf0.1); |A| is recovered as a
+    // count window over the exploded rows
     val shAll = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_distinct(
-        TextF.shinglesFromTokens(col("toks"), K)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(
+        TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("doc_id")))
       .localCheckpoint()
     val cold = shAll.groupBy("shingle")
       .agg(count(lit(1)).as("dfc"))
@@ -1264,7 +1273,7 @@ object ExtQueries {
     "x_simhash" -> QueryDef(simhash, Some(simhashSql)),
     "x_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "x_containment_pairs" -> QueryDef(containmentPairs,
-      Some(containmentPairsSql)),
+      Some(containmentPairsSql), bench = true),
     "x_ngram_jaccard_pairs" -> QueryDef(ngramJaccardPairs,
       Some(ngramJaccardPairsSql)),
     "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql),
