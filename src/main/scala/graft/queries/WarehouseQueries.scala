@@ -81,6 +81,103 @@ object WarehouseQueries {
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------ quantile sketch -------------------------------
+
+  /** Sketch resolution: 256 equi-width bins per group. */
+  private val QsBins = 256
+
+  /** Mergeable approximate quantiles — the scale path `w_quantiles`'
+    * exact sort-based form swaps into for wide groups: a fixed-grid
+    * histogram sketch. Bin counts are ADDITIVE (partials merge by
+    * vector addition) and the (lo, hi) frame merges by min/max, so the
+    * sketch is a proper distributed aggregate — the same mergeability
+    * contract as the KMV sketch, for ranks instead of distincts.
+    * Estimates take the upper edge of the first bin whose cumulative
+    * count reaches ⌈p·n⌉ (error ≤ one bin width); exact quantiles ride
+    * alongside as the error witness.
+    *
+    * Determinism: binning is `floor` of the identical IEEE expression
+    * on both engines; estimates are one shared expression tree over
+    * exact ints and the (lo, hi) doubles. Scale: two map-side-combined
+    * passes (frame, then counts) — never a per-group sort; the
+    * cumulative walk runs over ≤ [[QsBins]] rows per group. */
+  private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(s, dir).select("event_type", "value")
+    val frame = ev.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"),
+        count(lit(1)).as("n"))
+    val bin = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(lit((QsBins - 1).toLong),
+        floor((col("value") - col("lo")) / (col("hi") - col("lo")) *
+          lit(QsBins.toDouble)).cast("long")))
+    val binned = ev.join(broadcast(frame), "event_type")
+      .withColumn("bin", bin)
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("c"))
+    val cum = binned.withColumn("cum",
+      sum("c").over(Window.partitionBy("event_type").orderBy("bin")))
+    def estAt(p: Double, name: String): DataFrame =
+      cum.join(broadcast(frame), "event_type")
+        .filter(col("cum") >= ceil(lit(p) * col("n")))
+        .groupBy("event_type").agg(min("bin").as("b"))
+        .join(broadcast(frame), "event_type")
+        .select(col("event_type"),
+          (col("lo") + (col("b") + 1).cast("double") /
+            lit(QsBins.toDouble) * (col("hi") - col("lo"))).as(name))
+    estAt(0.5, "est_p50")
+      .join(estAt(0.9, "est_p90"), "event_type")
+      .join(estAt(0.99, "est_p99"), "event_type")
+      .join(ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+          round(expr("percentile(value, 0.99)"), 6).as("exact_p99")),
+        "event_type")
+      .orderBy("event_type")
+  }
+
+  private val quantileSketchSql =
+    s"""WITH frame AS (
+       |  SELECT event_type, min(value) AS lo, max(value) AS hi,
+       |         count(*) AS n
+       |  FROM events GROUP BY event_type
+       |), binned AS (
+       |  SELECT e.event_type,
+       |         CASE WHEN f.hi = f.lo THEN 0
+       |              ELSE least(${QsBins - 1}, CAST(floor(
+       |                (e.value - f.lo) / (f.hi - f.lo) * $QsBins.0)
+       |                AS BIGINT)) END AS bin,
+       |         count(*) AS c
+       |  FROM events e JOIN frame f USING (event_type)
+       |  GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type, bin,
+       |         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+       |  FROM binned
+       |), est AS (
+       |  SELECT c.event_type,
+       |         min(CASE WHEN c.cum >= ceil(0.5 * f.n) THEN c.bin END)
+       |           AS b50,
+       |         min(CASE WHEN c.cum >= ceil(0.9 * f.n) THEN c.bin END)
+       |           AS b90,
+       |         min(CASE WHEN c.cum >= ceil(0.99 * f.n) THEN c.bin END)
+       |           AS b99
+       |  FROM cum c JOIN frame f USING (event_type)
+       |  GROUP BY c.event_type
+       |)
+       |SELECT e.event_type,
+       |       f.lo + CAST(e.b50 + 1 AS DOUBLE) / $QsBins.0 * (f.hi - f.lo)
+       |         AS est_p50,
+       |       f.lo + CAST(e.b90 + 1 AS DOUBLE) / $QsBins.0 * (f.hi - f.lo)
+       |         AS est_p90,
+       |       f.lo + CAST(e.b99 + 1 AS DOUBLE) / $QsBins.0 * (f.hi - f.lo)
+       |         AS est_p99,
+       |       x.exact_p50, x.exact_p99
+       |FROM est e JOIN frame f USING (event_type)
+       |JOIN (SELECT event_type,
+       |             round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       |             round(quantile_cont(value, 0.99), 6) AS exact_p99
+       |      FROM events GROUP BY event_type) x USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   // --------------------------- MAD outliers -------------------------------
 
   /** Robust outlier detection via median absolute deviation: per
@@ -1353,6 +1450,7 @@ object WarehouseQueries {
     "w_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),
     "w_outlier_mad" -> QueryDef(outlierMad, Some(outlierMadSql)),
     "w_kmv_union" -> QueryDef(kmvUnion, Some(kmvUnionSql)),
+    "w_quantile_sketch" -> QueryDef(quantileSketch, Some(quantileSketchSql)),
     "w_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),
     "w_upsert" -> QueryDef(upsert, Some(upsertSql)),
     "s_partitioned_sink" -> QueryDef(partitionedSink,
