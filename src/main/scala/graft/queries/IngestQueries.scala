@@ -306,6 +306,51 @@ object IngestQueries {
        |ORDER BY popularity, route_pickup, route_dropoff, top_dropoff,
        |         top_pickup""".stripMargin
 
+  /** Dynamic partition overwrite — the idempotent daily-rerun sink (S5's
+    * production form, and what the reference's date-suffixed tables
+    * `trips_{YYYYMMDD}` become on a partitioned lake): a corrected
+    * recompute of ONE day is written with `partitionOverwriteMode =
+    * dynamic`, which atomically replaces exactly the partitions present
+    * in the incoming data and provably leaves every other day
+    * untouched — vs static overwrite (wipes the whole table: data loss)
+    * or append (duplicates the rerun day: double counts). The oracle
+    * states the expected post-rerun table from the source and the
+    * correction rule.
+    *
+    * Scale: a day's rerun rewrites one partition directory regardless
+    * of table size — the property that makes backfills O(day), not
+    * O(history). */
+  private def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val base = qtmp("dynover/events")
+    val ev = eventsTbl(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).cast("string").as("day"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(base)
+    // the daily rerun: day 2024-01-05 recomputed with a correction
+    // (error events dropped), everything else absent from the write
+    val corrected = ev.filter(col("day") === "2024-01-05" &&
+      col("event_type") =!= "error")
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try corrected.write.mode("overwrite").partitionBy("day").parquet(base)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(base)
+      .groupBy("day")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("day")
+  }
+
+  private val dynamicOverwriteSql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-05'
+      |           AND event_type = 'error')
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Manifest-pinned snapshot scan — the table-format kernel (what
     * Delta/Iceberg build their ACID story on) from a plain directory:
     * commit v1 records the exact file list; a CONCURRENT APPEND lands
@@ -451,6 +496,8 @@ object IngestQueries {
     "s4d_csv_permissive" -> QueryDef(csvPermissive, Some(csvPermissiveSql)),
     "s_manifest_snapshot" -> QueryDef(manifestSnapshot,
       Some(manifestSnapshotSql)),
+    "s_dynamic_overwrite" -> QueryDef(dynamicOverwrite,
+      Some(dynamicOverwriteSql)),
     "s1_s2_datepath_glob" -> QueryDef(datepathGlob, Some(datepathGlobSql)),
     "s4_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(
       "SELECT * FROM nation ORDER BY n_nationkey")),
