@@ -404,6 +404,57 @@ object IngestQueries {
       |FROM events WHERE event_id % 2 = 1
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Manifest stats-based FILE pruning — the second half of the
+    * table-format story ([[manifestSnapshot]] is the commit/isolation
+    * half): the manifest records per-file min/max of the clustering
+    * column (what Iceberg/Delta commit as file stats), and the reader
+    * evaluates its predicate against the MANIFEST to select files
+    * before any data I/O — file-level skipping above the parquet
+    * row-group skipping `s_sorted_layout` asserts. The predicate (top
+    * quarter of the event_id range) selects ~2 of 8 range-clustered
+    * files; `ManifestPruneSpec` asserts the scan reads only those.
+    *
+    * The per-file stats aggregate collects to the driver — bounded by
+    * FILE COUNT, not data (it is exactly the metadata a format's
+    * commit protocol writes); at 100 TB this collapses a
+    * million-file listing + footer pass into one manifest read. */
+  private def manifestPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = qtmp("manifest_prune/events")
+    val ev = eventsTbl(s, dir).select("event_id", "event_type", "value")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(s"$base/data")
+    val stats = s.read.parquet(s"$base/data")
+      .select(input_file_name().as("f"), col("event_id"))
+      .groupBy("f")
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect() // file-count-bounded manifest metadata, never data rows
+    val maxId = stats.map(_.getAs[Long]("hi")).max
+    val cut = maxId / 4 * 3
+    val pinned = stats.filter(_.getAs[Long]("hi") >= cut)
+      .map(_.getAs[String]("f")).sorted.toSeq
+    manifestPruneSelected.set((pinned.size, stats.length))
+    s.read.parquet(pinned: _*)
+      .filter(col("event_id") >= cut)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** (selected, total) file counts of the last [[manifestPrune]] run —
+    * read by `ManifestPruneSpec` to assert real file-level skipping. */
+  private[queries] val manifestPruneSelected =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  private val manifestPruneSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_id >= (SELECT max(event_id) // 4 * 3 FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** S4-adjacent — malformed-record handling on CSV ingest: every fifth
     * row of the landing file carries an unparseable value in a numeric
     * column (the dirty-feed reality BigQuery load jobs surface as
@@ -498,6 +549,7 @@ object IngestQueries {
       Some(manifestSnapshotSql)),
     "s_dynamic_overwrite" -> QueryDef(dynamicOverwrite,
       Some(dynamicOverwriteSql)),
+    "s_manifest_prune" -> QueryDef(manifestPrune, Some(manifestPruneSql)),
     "s1_s2_datepath_glob" -> QueryDef(datepathGlob, Some(datepathGlobSql)),
     "s4_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(
       "SELECT * FROM nation ORDER BY n_nationkey")),
