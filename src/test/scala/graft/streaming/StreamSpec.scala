@@ -77,6 +77,29 @@ class StreamSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === expected)
   }
 
+  test("restart from checkpoint resumes exactly-once (no reprocess, no loss)") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("user.dir"), "target"), "st_restart")
+      .toString
+    val ev = graft.eventsTbl(spark, sf).select("event_id", "event_type")
+    val day1 = ev.filter(col("event_id") % 2 === 0)
+    val day2 = ev.filter(col("event_id") % 2 === 1)
+    day1.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val first = StreamIngest.ingestAvailableNow(
+      spark, s"$base/src", s"$base/dest", s"$base/ckpt")
+    assert(first.count() === day1.count())
+    // new files land AFTER the first query terminated; a SECOND query
+    // start on the same checkpoint must pick up only the delta
+    day2.repartition(2).write.mode("append").parquet(s"$base/src")
+    val resumed = StreamIngest.ingestAvailableNow(
+      spark, s"$base/src", s"$base/dest", s"$base/ckpt")
+    assert(resumed.count() === ev.count(),
+      "resume must append exactly the new files")
+    assert(resumed.select("event_id").distinct().count() === ev.count(),
+      "no event may be ingested twice across the restart")
+  }
+
   test("streaming file ingest equals the batch read (AvailableNow drains)") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory(
