@@ -59,4 +59,23 @@ class GeoFSpec extends SparkSpec {
     val fromScala = pts.map { case (la, ln) => GeoF.hexCellScala(la, ln, 9) }
     assert(fromCol === fromScala)
   }
+
+  test("Column hexCell ≡ Scala mirror on randomized points, all resolutions") {
+    // the f6 oracle mirrors hexCellScala at the fixture's 25 centroids;
+    // this is the broad cross-check behind it — codegen'd Column math vs
+    // the independent Scala path on points it was never tuned for
+    // (this pairing caught a HALF_UP rounding divergence in round 2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible failures
+    for (res <- 0 to 12) {
+      val pts = Seq.fill(40)((rnd.nextDouble() * 170 - 85,
+        rnd.nextDouble() * 360 - 180))
+      val fromCol = pts.toDF("lat", "lng")
+        .select(GeoF.hexCell(col("lat"), col("lng"), res).as("c"))
+        .as[String].collect().toSeq
+      val fromScala = pts.map { case (la, ln) => GeoF.hexCellScala(la, ln, res) }
+      assert(fromCol === fromScala, s"divergence at res=$res")
+    }
+  }
 }
