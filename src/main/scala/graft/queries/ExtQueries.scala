@@ -1126,6 +1126,69 @@ object ExtQueries {
 
   // ------------------------------ multimodal -----------------------------
 
+  /** Content-type sniffing on the opaque binary column — the first
+    * thing a multimodal ingest does before any decode: read the MAGIC
+    * BYTES and route each blob to its decoder (PNG/JPEG/RIFF/…), never
+    * trusting a file extension or upstream mime claim. Payloads here
+    * are the fixture's deterministic stand-ins with real magic headers
+    * prepended by doc_id (the container has no media files); the
+    * sniffing expression — hex-prefix compare → type label — is the
+    * production logic verbatim. Per sniffed type: blob count and total
+    * payload bytes.
+    *
+    * Scale: pure scan-side codegen'd byte compare, zero shuffles before
+    * the tiny per-type aggregate; blobs never move for typing. */
+  private def mimeSniff(s: SparkSession, dir: String): DataFrame = {
+    val magic = when(col("doc_id") % 4 === 0,
+      lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)))        // PNG
+      .when(col("doc_id") % 4 === 1,
+        lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)))
+      .when(col("doc_id") % 4 === 2,
+        lit(Array[Byte](0x52, 0x49, 0x46, 0x46)))             // RIFF
+      .otherwise(lit(Array[Byte](0x00, 0x00, 0x00, 0x00)))    // raw
+    val payload = concat(magic, col("text").cast("binary"))
+    val prefix = upper(hex(expr("substring(payload, 1, 4)")))
+    val sniffed = when(prefix === "89504E47", "image/png")
+      .when(prefix.startsWith("FFD8FF"), "image/jpeg")
+      .when(prefix === "52494646", "audio/riff")
+      .otherwise("application/octet-stream")
+    tbl(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(sniffed.as("content_type"),
+        length(col("payload")).cast("long").as("nbytes"))
+      .groupBy("content_type")
+      .agg(count(lit(1)).as("n_blobs"), sum("nbytes").as("total_bytes"))
+      .orderBy("content_type")
+  }
+
+  private val mimeSniffSql =
+    """WITH blobs AS (
+      |  SELECT doc_id,
+      |         CASE doc_id % 4
+      |           WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB
+      |           WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+      |           WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+      |           ELSE '\x00\x00\x00\x00'::BLOB
+      |         END || encode(text) AS payload
+      |  FROM documents WHERE text IS NOT NULL
+      |), typed AS (
+      |  SELECT CASE
+      |           WHEN upper(substring(hex(payload), 1, 8)) = '89504E47'
+      |             THEN 'image/png'
+      |           WHEN upper(substring(hex(payload), 1, 6)) = 'FFD8FF'
+      |             THEN 'image/jpeg'
+      |           WHEN upper(substring(hex(payload), 1, 8)) = '52494646'
+      |             THEN 'audio/riff'
+      |           ELSE 'application/octet-stream'
+      |         END AS content_type,
+      |         octet_length(payload) AS nbytes
+      |  FROM blobs
+      |)
+      |SELECT content_type, count(*) AS n_blobs,
+      |       CAST(sum(nbytes) AS BIGINT) AS total_bytes
+      |FROM typed GROUP BY content_type ORDER BY content_type""".stripMargin
+
   /** Multimodal-column plumbing: media as an opaque `binary` column with
     * typed metadata, processed by a per-partition batch "decode +
     * feature-extract" step (the real-world slot for image/audio decoding;
@@ -1287,6 +1350,7 @@ object ExtQueries {
     "x_ann_ivf_kmeans" -> QueryDef(kmeansIvfAnn, Some(kmeansIvfAnnSql)),
     "x_ann_pq" -> QueryDef(pqAnn, Some(pqAnnSql)),
     "x_ann_pq_kmeans" -> QueryDef(pqKmeansAnn, Some(pqKmeansAnnSql)),
+    "x_mime_sniff" -> QueryDef(mimeSniff, Some(mimeSniffSql)),
     "x_multimodal_features" -> QueryDef(multimodalFeatures,
       Some(multimodalFeaturesSql)),
     "x_multimodal_frames" -> QueryDef(multimodalFrames,
