@@ -1124,6 +1124,48 @@ object ExtQueries {
       chain.toString + s", codebook AS (SELECT * FROM cb$KmIters)")
   }
 
+  // ---------------------------- ANN recall eval ---------------------------
+
+  /** The index measuring its own quality: recall@3 of the
+    * k-means-trained IVF index against brute-force cosine ground truth,
+    * per query — the evaluation harness every production ANN deployment
+    * runs on a sampled query set before trusting the index (and the
+    * number that decides nprobe/K retuning). Both sides of the compare
+    * are themselves oracle-checked operators (`x_cosine_topk`,
+    * `x_ann_ivf_kmeans`); this op makes the QUALITY METRIC itself
+    * oracle-checked rather than spec-reported (`AnnRecallSpec` keeps the
+    * cross-variant comparisons).
+    *
+    * Scale: ground truth runs on the sampled query set only (bounded
+    * broadcast × corpus scan — the exact-baseline cost is per-sample,
+    * not per-index); the recall join is query-set-sized. */
+  private def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopK(s, dir).filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id")
+    val ann = kmeansIvfAnn(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(3.0)).as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
+  private val annRecallEvalSql =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM ($cosineTopKSql) WHERE rn <= 3
+       |), ann AS (
+       |  SELECT query_id, neighbor_id FROM ($kmeansIvfAnnSql)
+       |)
+       |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
+       |       CAST(count(a.neighbor_id) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM truth t LEFT JOIN ann a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   // ------------------------------ multimodal -----------------------------
 
   /** Content-type sniffing on the opaque binary column — the first
@@ -1351,6 +1393,7 @@ object ExtQueries {
     "x_ann_pq" -> QueryDef(pqAnn, Some(pqAnnSql)),
     "x_ann_pq_kmeans" -> QueryDef(pqKmeansAnn, Some(pqKmeansAnnSql)),
     "x_mime_sniff" -> QueryDef(mimeSniff, Some(mimeSniffSql)),
+    "x_ann_recall_eval" -> QueryDef(annRecallEval, Some(annRecallEvalSql)),
     "x_multimodal_features" -> QueryDef(multimodalFeatures,
       Some(multimodalFeaturesSql)),
     "x_multimodal_frames" -> QueryDef(multimodalFrames,
