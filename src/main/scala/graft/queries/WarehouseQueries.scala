@@ -81,6 +81,43 @@ object WarehouseQueries {
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------- correlated scalar subquery ----------------------
+
+  /** TPC-H Q17-shape correlated scalar subqueries — "line items below
+    * half their part's average quantity" — authored as SQL text so
+    * Catalyst's decorrelation (DecorrelateInnerQuery +
+    * RewriteCorrelatedScalarSubquery) does the rewrite a user would
+    * otherwise hand-write: the per-part count/sum subqueries become ONE
+    * aggregated join on l_partkey, never a per-row re-scan. The plan
+    * (target/plans/) shows the decorrelated aggregate join.
+    *
+    * Cross-engine determinism: `avg/2` restates as `2·qc·n < Σqc` in
+    * cent-quantized BIGINTs — exact integer math, no float average
+    * whose accumulation order could differ. Scale: after decorrelation
+    * this is a map-side-combined aggregate + one shuffle join on the
+    * part key — Q17's canonical plan. */
+  private def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "lineitem").createOrReplaceTempView("graft_corr_lineitem")
+    s.sql(correlatedSubquerySqlOn("graft_corr_lineitem"))
+  }
+
+  private def correlatedSubquerySqlOn(table: String): String =
+    s"""WITH li AS (
+       |  SELECT l_partkey,
+       |         CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS qc
+       |  FROM $table
+       |)
+       |SELECT l_partkey, count(*) AS n_small,
+       |       CAST(sum(qc) AS BIGINT) AS sum_small_cents
+       |FROM li l1
+       |WHERE 2 * l1.qc * (SELECT count(*) FROM li l2
+       |                   WHERE l2.l_partkey = l1.l_partkey)
+       |      < (SELECT sum(l3.qc) FROM li l3
+       |         WHERE l3.l_partkey = l1.l_partkey)
+       |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  private val correlatedSubquerySql = correlatedSubquerySqlOn("lineitem")
+
   // ------------------------ quantile sketch -------------------------------
 
   /** Sketch resolution: 256 equi-width bins per group. */
@@ -1451,6 +1488,8 @@ object WarehouseQueries {
     "w_outlier_mad" -> QueryDef(outlierMad, Some(outlierMadSql)),
     "w_kmv_union" -> QueryDef(kmvUnion, Some(kmvUnionSql)),
     "w_quantile_sketch" -> QueryDef(quantileSketch, Some(quantileSketchSql)),
+    "w_correlated_subquery" -> QueryDef(correlatedSubquery,
+      Some(correlatedSubquerySql)),
     "w_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),
     "w_upsert" -> QueryDef(upsert, Some(upsertSql)),
     "s_partitioned_sink" -> QueryDef(partitionedSink,
