@@ -53,7 +53,7 @@ object CurateQueries {
     * aggregates only the MATCHED rows (contaminated docs × overlapping
     * shingles), and the final left join back to the corpus id list is
     * again broadcast-sized (hit rows ≪ corpus). */
-  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  private def decontaminateRaw(s: SparkSession, dir: String): DataFrame = {
     val isBench = (col("doc_id") % BenchMod) === BenchRem
     val sh = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
@@ -69,8 +69,10 @@ object CurateQueries {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
-      .orderBy("doc_id")
   }
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateRaw(s, dir).orderBy("doc_id")
 
   private val decontaminateSql = {
     val shl = s"list_distinct(${OracleSql.shingleList(DK)})"
@@ -252,7 +254,7 @@ object CurateQueries {
     * unigram language model — the CCNet-style "LM quality score" used to
     * rank/filter web text (low NLL ≈ typical text, high NLL ≈ rare-token
     * noise). Token log-probabilities are QUANTIZED to µ-nats
-    * (`round(ln(cnt/N)·10⁶)::long` — the same engine-independence trick
+    * (`floor(ln(cnt/N)·10⁶)::long` — the same engine-independence trick
     * as `x_tfidf_topterms`' idf), so the per-doc sum is exact integer
     * math and the final score is ONE IEEE division on both engines.
     *
@@ -271,10 +273,13 @@ object CurateQueries {
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // vocab-sized; feeds both the total and the lp map
     val tot = vocab.agg(sum("cnt").as("n_total"))
+    // floor (not round): Spark's HALF_UP and DuckDB's nearbyint disagree
+    // when lp·10⁶ lands on a .5 boundary; floor of the same IEEE double
+    // is identical everywhere (same fix as the BM25 score truncation)
     val lp = vocab
       .crossJoin(broadcast(tot))
       .select(col("token"),
-        round(log(col("cnt").cast("double") /
+        floor(log(col("cnt").cast("double") /
           col("n_total").cast("double")) * lit(1000000.0))
           .cast("long").as("lp_q"))
     val perDoc = tok.join(broadcast(lp), "token")
@@ -296,8 +301,8 @@ object CurateQueries {
        |  SELECT count(*) AS n_total FROM tok
        |), lp AS (
        |  SELECT token,
-       |         CAST(round(ln(CAST(count(*) AS DOUBLE) /
-       |                       CAST(n_total AS DOUBLE)) * 1000000.0, 0)
+       |         CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+       |                       CAST(n_total AS DOUBLE)) * 1000000.0)
        |              AS BIGINT) AS lp_q
        |  FROM tok, tot GROUP BY token, n_total
        |), per_doc AS (
@@ -327,7 +332,7 @@ object CurateQueries {
     * model is GBs — there the score pass becomes one shuffle join keyed
     * on the bigram, or the model is pruned to top-k continuations per
     * context (the standard KenLM trim) to stay broadcastable. */
-  private def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+  private def bigramLmScoreRaw(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
     val docBg = docs.select(col("doc_id"),
@@ -343,7 +348,7 @@ object CurateQueries {
       .join(leftCnt, "w1")
       .crossJoin(broadcast(v))
       .select(col("bg"),
-        round(log((col("cab") + 1).cast("double") /
+        floor(log((col("cab") + 1).cast("double") /
           (col("cw1") + col("v")).cast("double")) * lit(1000000.0))
           .cast("long").as("lp_q"))
     val perDoc = docBg.join(broadcast(lp), "bg")
@@ -355,8 +360,10 @@ object CurateQueries {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         ((-col("sq")).cast("double") /
           (col("n_bigrams").cast("double") * lit(1000000.0))).as("avg_nll"))
-      .orderBy("doc_id")
   }
+
+  private def bigramLmScore(s: SparkSession, dir: String): DataFrame =
+    bigramLmScoreRaw(s, dir).orderBy("doc_id")
 
   private val bigramLmScoreSql =
     s"""WITH tk AS (
@@ -373,8 +380,8 @@ object CurateQueries {
        |  FROM (SELECT unnest(t) AS token FROM tk)
        |), lp AS (
        |  SELECT cab.bg,
-       |         CAST(round(ln(CAST(cab + 1 AS DOUBLE) /
-       |                       CAST(cw1 + v AS DOUBLE)) * 1000000.0, 0)
+       |         CAST(floor(ln(CAST(cab + 1 AS DOUBLE) /
+       |                       CAST(cw1 + v AS DOUBLE)) * 1000000.0)
        |              AS BIGINT) AS lp_q
        |  FROM cab JOIN cw ON cw.w1 = string_split(cab.bg, ' ')[1]
        |  CROSS JOIN v
@@ -507,9 +514,9 @@ object CurateQueries {
       Some(dedupIncrementalSql)),
     "x_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),
     "x_lm_bigram" -> QueryDef(bigramLmScore, Some(bigramLmScoreSql),
-      bench = true),
+      bench = true, benchFn = Some(bigramLmScoreRaw)),
     "x_decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql),
-      bench = true),
+      bench = true, benchFn = Some(decontaminateRaw)),
     "x_repetition_filter" -> QueryDef(repetitionFilter,
       Some(repetitionFilterSql)),
     "x_vocab_build" -> QueryDef(vocabBuild, Some(vocabBuildSql))

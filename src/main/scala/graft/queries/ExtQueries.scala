@@ -88,7 +88,7 @@ object ExtQueries {
     * zero shuffles, whole-stage codegen end-to-end. Ratios are single
     * int/int IEEE divisions with the same expression tree as the oracle →
     * bit-identical, no rounding fudge. */
-  private def textStats(s: SparkSession, dir: String): DataFrame =
+  private def textStatsRaw(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       // tokenize exactly once per row; all stats read the bound arrays
       .select(col("doc_id"), col("text"),
@@ -102,7 +102,9 @@ object ExtQueries {
         TextF.qualityScoreT(col("t"), col("text")).as("quality"),
         TextF.langIdT(col("text"), col("lt")).as("lang_guess"),
         TextF.rollingHash(col("lt")).as("roll_hash"))
-      .orderBy("doc_id")
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    textStatsRaw(s, dir).orderBy("doc_id")
 
   private val textStatsSql = {
     val stop = TextF.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -152,12 +154,14 @@ object ExtQueries {
   /** Exact dedup by content fingerprint (md5 of whitespace-normalized
     * lowercase text): groupBy fingerprint, keep min doc_id. Scale: one
     * shuffle on the fingerprint — the canonical exact-dedup plan. */
-  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+  private def dedupExactRaw(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.fingerprint(col("text")).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy("fingerprint")
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    dedupExactRaw(s, dir).orderBy("fingerprint")
 
   private val dedupExactSql =
     """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
@@ -219,7 +223,7 @@ object ExtQueries {
     (sigs, cand)
   }
 
-  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashLshPairsRaw(s: SparkSession, dir: String): DataFrame = {
     val (sigs, cand) = lshCandParts(s, dir)
     val sa = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
     val sb = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
@@ -231,8 +235,10 @@ object ExtQueries {
       .join(sb, col("doc_b") === col("b_doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / 8.0).as("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsRaw(s, dir).orderBy("doc_a", "doc_b")
 
   /** DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the SQL half of
     * [[lshCandParts]], shared with the [[GraphQueries]] oracle. */
@@ -445,7 +451,7 @@ object ExtQueries {
     * hot-shingle df cap, shared checkpoint discipline); the denominator
     * stays the full |A| so the cap only thins candidates, never biases a
     * reported score. */
-  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+  private def containmentPairsRaw(s: SparkSession, dir: String): DataFrame = {
     // the explode is the projection's ONLY derived column (see the
     // TextF.shinglesFromTokens scaladoc: a Generate sharing a projection
     // with sibling derived columns re-evaluates the tokenize→shingle
@@ -473,8 +479,10 @@ object ExtQueries {
         (col("inter").cast("double") / col("na").cast("double"))
           .as("containment"))
       .filter(col("containment") >= ContainmentMin)
-      .orderBy("doc_a", "doc_b")
   }
+
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsRaw(s, dir).orderBy("doc_a", "doc_b")
 
   private val containmentPairsSql =
     s"""WITH sh_all AS (
@@ -1368,17 +1376,20 @@ object ExtQueries {
       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
-    "x_text_stats" -> QueryDef(textStats, Some(textStatsSql), bench = true),
+    "x_text_stats" -> QueryDef(textStats, Some(textStatsSql), bench = true,
+      benchFn = Some(textStatsRaw)),
     "x_dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql),
-      bench = true),
+      bench = true, benchFn = Some(dedupExactRaw)),
     "x_minhash_signatures" -> QueryDef(minhashSignatures,
       Some(minhashSignaturesSql)),
     "x_minhash_lsh_pairs" -> QueryDef(minhashLshPairs,
-      Some(minhashLshPairsSql), bench = true),
+      Some(minhashLshPairsSql), bench = true,
+      benchFn = Some(minhashLshPairsRaw)),
     "x_simhash" -> QueryDef(simhash, Some(simhashSql)),
     "x_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "x_containment_pairs" -> QueryDef(containmentPairs,
-      Some(containmentPairsSql), bench = true),
+      Some(containmentPairsSql), bench = true,
+      benchFn = Some(containmentPairsRaw)),
     "x_ngram_jaccard_pairs" -> QueryDef(ngramJaccardPairs,
       Some(ngramJaccardPairsSql)),
     "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql),

@@ -29,7 +29,7 @@ object GraphQueries {
     * reachable through LSH candidate pairs, cluster size, and the
     * keep/drop verdict (keeper = the component minimum). Docs with no
     * near-dup candidates are their own singleton component. */
-  private def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+  private def dedupComponentsRaw(s: SparkSession, dir: String): DataFrame = {
     val (_, cand) = ExtQueries.lshCandParts(s, dir)
     val comp = Components.connected(s,
       cand.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -43,8 +43,10 @@ object GraphQueries {
     labeled.join(sizes, "component")
       .select(col("doc_id"), col("component"), col("cluster_size"),
         (col("doc_id") === col("component")).as("is_keeper"))
-      .orderBy("doc_id")
   }
+
+  private def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    dedupComponentsRaw(s, dir).orderBy("doc_id")
 
   private val dedupComponentsSql =
     s"""WITH RECURSIVE ${ExtQueries.lshCandCtes},
@@ -82,7 +84,7 @@ object GraphQueries {
     * with dedup) arriving at the same BFS labeling. */
   private val MaxHops = 3
 
-  private def shortestPath(s: SparkSession, dir: String): DataFrame = {
+  private def shortestPathRaw(s: SparkSession, dir: String): DataFrame = {
     def node(prefix: String, c: org.apache.spark.sql.Column) =
       concat(lit(prefix), c.cast("string"))
     val co = tbl(s, dir, "orders")
@@ -109,8 +111,11 @@ object GraphQueries {
       dist = dist.union(next).localCheckpoint()
       frontier = next.select("node")
     }
-    dist.orderBy("node")
+    dist
   }
+
+  private def shortestPath(s: SparkSession, dir: String): DataFrame =
+    shortestPathRaw(s, dir).orderBy("node")
 
   private val shortestPathSql =
     s"""WITH RECURSIVE e AS (
@@ -362,9 +367,9 @@ object GraphQueries {
 
   val all: Map[String, QueryDef] = Map(
     "x_dedup_components" -> QueryDef(dedupComponents, Some(dedupComponentsSql),
-      bench = true),
+      bench = true, benchFn = Some(dedupComponentsRaw)),
     "x_shortest_path" -> QueryDef(shortestPath, Some(shortestPathSql),
-      bench = true),
+      bench = true, benchFn = Some(shortestPathRaw)),
     "x_pagerank" -> QueryDef(pageRank, Some(pageRankSql)),
     "x_knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
     "x_triangle_count" -> QueryDef(triangleCount, Some(triangleCountSql))

@@ -40,7 +40,7 @@ object TemporalQueries {
     * Cross-engine determinism: window order is (ts, event_id) — event_id
     * breaks any equal-timestamp tie; epoch-µs integer arithmetic; the
     * value sum is decimal-exact with one final double cast. */
-  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+  private def sessionizeRaw(s: SparkSession, dir: String): DataFrame = {
     val ev = eventsTbl(s, dir)
       .select(col("user_id"), col("event_id"), col("value"),
         unix_micros(col("ts")).as("us"))
@@ -60,8 +60,10 @@ object TemporalQueries {
         max("us").as("end_us"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("sum_value"))
-      .orderBy("user_id", "session_seq")
   }
+
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeRaw(s, dir).orderBy("user_id", "session_seq")
 
   private val sessionizeSql = OracleSql.gapsAndIslands(
     SessionGapUs, breakOp = ">", tieBreak = Some("event_id"),
@@ -79,7 +81,7 @@ object TemporalQueries {
     * distinct needed), then the exact µs predicate refines. Shuffle cost
     * tracks true pair density; a 1000-executor run shuffles each event
     * twice, never n². */
-  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+  private def rangeJoinRaw(s: SparkSession, dir: String): DataFrame = {
     val ev = eventsTbl(s, dir)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"))
@@ -94,8 +96,10 @@ object TemporalQueries {
         col("us_b") <= col("us_a") + RangeWindowUs)
       .select(col("user_id"), col("id_a"), col("id_b"),
         (col("us_b") - col("us_a")).as("gap_us"))
-      .orderBy("user_id", "id_a", "id_b")
   }
+
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame =
+    rangeJoinRaw(s, dir).orderBy("user_id", "id_a", "id_b")
 
   private val rangeJoinSql =
     s"""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
@@ -128,15 +132,17 @@ object TemporalQueries {
     * shuffle per side + in-partition sort + O(1)-state merge — the plan a
     * feature-store point-in-time join needs at 100 TB. Oracle: DuckDB's
     * native ASOF LEFT JOIN, a fully independent implementation. */
-  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+  private def asofJoinRaw(s: SparkSession, dir: String): DataFrame = {
     val (clicks, purchases) = asofSides(s, dir)
     graft.ops.AsOf.join(clicks, purchases,
       leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
       leftTime = "click_us", rightTime = "purchase_us")
       .select(col("event_id"), col("user_id"), col("click_us"),
         col("purchase_us"), col("purchase_value"))
-      .orderBy("event_id")
   }
+
+  private def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofJoinRaw(s, dir).orderBy("event_id")
 
   /** The same as-of semantics composed from BUILT-IN operators (SURVEY.md
     * §7.3 ladder step (a), the cross-check for the custom plan): union
@@ -437,9 +443,12 @@ object TemporalQueries {
     "w_ewma" -> QueryDef(ewma, Some(ewmaSql)),
     "w_sequence_match" -> QueryDef(sequenceMatch, Some(sequenceMatchSql)),
     "f1_time_type" -> QueryDef(timeTypeExtract, Some(timeTypeExtractSql)),
-    "x_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
-    "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true),
-    "x_asof_join" -> QueryDef(asofJoin, Some(asofSql), bench = true),
+    "x_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true,
+      benchFn = Some(sessionizeRaw)),
+    "x_range_join" -> QueryDef(rangeJoin, Some(rangeJoinSql), bench = true,
+      benchFn = Some(rangeJoinRaw)),
+    "x_asof_join" -> QueryDef(asofJoin, Some(asofSql), bench = true,
+      benchFn = Some(asofJoinRaw)),
     "x_asof_forward" -> QueryDef(asofForward, Some(asofForwardSql)),
     "x_asof_union_window" -> QueryDef(asofUnionWindow, Some(asofSql))
   )

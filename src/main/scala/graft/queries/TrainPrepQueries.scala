@@ -69,7 +69,7 @@ object TrainPrepQueries {
     * df aggregation already clustered, so AQE plans it exchange-free on
     * the df side. The top-k window partitions by doc_id (no global
     * sort). */
-  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+  private def tfidfTopTermsRaw(s: SparkSession, dir: String): DataFrame = {
     val tok = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("lt"))
       .select(col("doc_id"), explode(col("lt")).as("term"))
@@ -85,8 +85,10 @@ object TrainPrepQueries {
           .as("score"))
       .withColumn("rn", rn)
       .filter(col("rn") <= 3)
-      .orderBy("doc_id", "rn")
   }
+
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsRaw(s, dir).orderBy("doc_id", "rn")
 
   private val tfidfTopTermsSql = {
     val lowerToks = OracleSql.lowerToks
@@ -591,7 +593,7 @@ object TrainPrepQueries {
     "x_chunk_sliding" -> QueryDef(chunkSliding, Some(chunkSlidingSql)),
     "x_split_train_val" -> QueryDef(splitTrainVal, Some(splitTrainValSql)),
     "x_tfidf_topterms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql),
-      bench = true),
+      bench = true, benchFn = Some(tfidfTopTermsRaw)),
     "x_bm25_topterms" -> QueryDef(bm25TopTerms, Some(bm25TopTermsSql)),
     "x_text_clean" -> QueryDef(textClean, Some(textCleanSql))
   )
