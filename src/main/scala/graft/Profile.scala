@@ -20,7 +20,9 @@ object Profile {
 
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchNames
     names.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      // time the same plan Bench times (sort-free benchFn when present)
+      SparkEntry.benchQueries.get(name)
+        .orElse(SparkEntry.queries.get(name)) match {
         case None => println(s"[profile] unknown query: $name")
         case Some(fn) =>
           def once(): Double = {

@@ -455,26 +455,37 @@ object ExtQueries {
     // the explode is the projection's ONLY derived column (see the
     // TextF.shinglesFromTokens scaladoc: a Generate sharing a projection
     // with sibling derived columns re-evaluates the tokenize→shingle
-    // tree per emitted element — ~40× at sf0.1); |A| is recovered as a
-    // count window over the exploded rows
-    val shAll = tbl(s, dir, "documents")
+    // tree per emitted element — ~40× at sf0.1)
+    val sh = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy("doc_id")))
-      .localCheckpoint()
-    val cold = shAll.groupBy("shingle")
+      .localCheckpoint() // scanned by hot, na, and both self-join sides
+    // df cap inverted: the HOT set (df > cap) is the tiny side by
+    // construction, so dropping hot shingles is a broadcast ANTI-join —
+    // the shingle stream is never shuffled for the cap, only aggregated
+    // (map-side-combined) to find the offenders
+    val hot = sh.groupBy("shingle")
       .agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") <= MaxShingleDf)
+      .filter(col("dfc") > MaxShingleDf)
       .select("shingle")
-    val sh = shAll.join(cold, "shingle").localCheckpoint()
-    val a = sh.select(col("doc_id").as("doc_a"), col("n").as("na"),
-      col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      .localCheckpoint() // tiny by construction; built once, not per side
+    // |A| = distinct-shingle count per doc, PRE-cap; doc-grained, joined
+    // onto the bounded pairs output (collision-grained) — a plain hash
+    // join both at bench scale (AQE broadcasts the small side) and at
+    // 100 TB (doc-grained ⋈ collision-grained, never n²)
+    val na = sh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+      .select(col("doc_id").as("doc_a"), col("na"))
+    // the anti-join stays LAZY: it is a map-side broadcast filter of the
+    // checkpointed sh, so both self-join sides and the na aggregate fuse
+    // into ONE final job instead of a chain of checkpoint jobs
+    val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val a = cold.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = cold.select(col("doc_id").as("doc_b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"))
+      .agg(count(lit(1)).as("inter"))
+      .join(na, "doc_a")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("na").cast("double"))
           .as("containment"))
