@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tbl
-import graft.ops.Components
+import graft.ops.{Bfs, Components}
 
 /** Graph-shaped corpus operators: near-duplicate *cluster resolution*.
   *
@@ -97,21 +97,10 @@ object GraphQueries {
     val fwd = co.union(os)
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint() // scanned once per BFS level
-    var dist = tbl(s, dir, "customer")
+    val seeds = tbl(s, dir, "customer")
       .filter(col("c_custkey") % 500 === 0)
-      .select(node("c", col("c_custkey")).as("node"), lit(0).as("dist"))
-      .localCheckpoint()
-    var frontier = dist.select("node")
-    for (i <- 1 to MaxHops) {
-      val next = frontier.join(und, frontier("node") === und("a"))
-        .select(und("b").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .withColumn("dist", lit(i))
-        .localCheckpoint() // first discovery == BFS level; cut lineage
-      dist = dist.union(next).localCheckpoint()
-      frontier = next.select("node")
-    }
-    dist
+      .select(node("c", col("c_custkey")).as("node"))
+    Bfs.distances(seeds, und, MaxHops).dist
   }
 
   private def shortestPath(s: SparkSession, dir: String): DataFrame =
@@ -167,23 +156,50 @@ object GraphQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select("src", "dst").filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint() // small edge dim, reused every iteration
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
+    val (ranks, _) = pageRankLoop(nodes, edges, PrIters)
+    ranks.select(col("node").as("n_nationkey"), col("r").as("rank_q"),
+        (col("r").cast("double") / 1000000.0).as("rank"))
+      .orderBy("n_nationkey")
+  }
+
+  /** The power-iteration loop with OBSERVABLE convergence: returns the
+    * final rank vector plus the per-iteration L1 delta Σ|rᵢ − rᵢ₋₁| in
+    * µ-units. Because rank arithmetic is exact integer math, `delta == 0`
+    * is an exact fixpoint — every later iteration is the identity — so
+    * the loop stops there with a result IDENTICAL to running all `iters`
+    * rounds (the oracle always runs the full count; equality is safe).
+    * The delta aggregate is one node-grained sum per iteration — the
+    * standard convergence-check cost at any scale, and what a 100 TB run
+    * uses to stop instead of burning dead rounds.
+    *
+    * @param nodes one column `node`; @param edges columns `src`, `dst` */
+  private[graft] def pageRankLoop(nodes: DataFrame, edges: DataFrame,
+      iters: Int): (DataFrame, Seq[Long]) = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to PrIters) {
+    val deltas = scala.collection.mutable.ListBuffer.empty[Long]
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
       val contribs = edges.join(outdeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
-      ranks = nodes.join(contribs.withColumnRenamed("dst", "node"),
+      val next = nodes.join(contribs.withColumnRenamed("dst", "node"),
           Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + coalesce(expr("85 * cs div 100"), lit(0L))).as("r"))
-        .localCheckpoint() // 25 rows; replan small each iteration
+        .localCheckpoint() // node-grained; replan small each iteration
+      val delta = next.join(ranks.withColumnRenamed("r", "r_prev"), "node")
+        .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0L)))
+        .head.getLong(0)
+      deltas += delta
+      converged = delta == 0L
+      ranks = next
+      i += 1
     }
-    ranks.select(col("node").as("n_nationkey"), col("r").as("rank_q"),
-        (col("r").cast("double") / 1000000.0).as("rank"))
-      .orderBy("n_nationkey")
+    (ranks, deltas.toList)
   }
 
   private val pageRankSql = {

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The iterative graph loops must not burn dead rounds: BFS exits on an
+  * empty frontier, PageRank stops at an exact integer fixpoint — and both
+  * expose enough state (rounds run / delta trace) to assert it. */
+class GraphIterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def und(edges: Seq[(String, String)]) = {
+    val fwd = edges.toDF("a", "b")
+    fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  test("BFS on a 1-hop graph runs 2 joins (discover + emptiness witness), not maxHops") {
+    val r = Bfs.distances(Seq("s1").toDF("node"),
+      und(Seq("s1" -> "x1", "s1" -> "x2")), maxHops = 5)
+    assert(r.roundsRun === 2) // round 3..5 never scheduled
+    assert(r.dist.as[(String, Int)].collect().toMap ===
+      Map("s1" -> 0, "x1" -> 1, "x2" -> 1))
+  }
+
+  test("BFS hop cap still binds when reach continues") {
+    val chain = und(Seq("a" -> "b", "b" -> "c", "c" -> "d"))
+    val r = Bfs.distances(Seq("a").toDF("node"), chain, maxHops = 1)
+    assert(r.roundsRun === 1)
+    assert(r.dist.as[(String, Int)].collect().toMap ===
+      Map("a" -> 0, "b" -> 1))
+  }
+
+  test("BFS with no seeds schedules zero rounds") {
+    val r = Bfs.distances(Seq.empty[String].toDF("node"),
+      und(Seq("a" -> "b")), maxHops = 3)
+    assert(r.roundsRun === 0)
+    assert(r.dist.isEmpty)
+  }
+
+  test("PageRank stops at the exact integer fixpoint with identical ranks") {
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // no edges: iteration 1 drops every rank to the base 150000; iteration
+    // 2 reproduces it exactly -> delta 0 -> iterations 3..5 skipped
+    val (ranks, deltas) = graft.queries.GraphQueries
+      .pageRankLoop(nodes, edges, iters = 5)
+    assert(deltas === Seq(3L * 850000L, 0L))
+    assert(ranks.as[(Long, Long)].collect().toMap ===
+      Map(0L -> 150000L, 1L -> 150000L, 2L -> 150000L))
+  }
+
+  test("PageRank surfaces a full delta trace when it never converges") {
+    // asymmetric 3-cycle: rank mass keeps sloshing between the hub and
+    // the two spokes, so no exact fixpoint within the iteration budget
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq(1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 1L)
+      .toDF("src", "dst")
+    val (_, deltas) = graft.queries.GraphQueries
+      .pageRankLoop(nodes, edges, iters = 3)
+    assert(deltas.length === 3)
+    assert(deltas.forall(_ > 0L))
+  }
+}
