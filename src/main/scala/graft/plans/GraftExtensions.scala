@@ -11,8 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // whole-operator extension: the as-of join planner strategy
+    // whole-operator extensions: as-of join + columnar frame stats
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => FrameStatsStrategy)
     ext.injectFunction((
       FunctionIdentifier("wkt_centroid_lng"),
       new ExpressionInfo(classOf[WktCentroidLng].getName,

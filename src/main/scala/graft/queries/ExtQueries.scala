@@ -17,10 +17,6 @@ final case class MediaBlob(doc_id: Long, payload: Array[Byte], mime: String)
 final case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Int,
                                n_tokens: Long)
 
-/** Output of the frame-sampling multimodal path. */
-final case class MediaFrameStats(doc_id: Long, n_frames: Long,
-                                 n_sampled: Long, first_frame_md5: String)
-
 /** Training-data-pipeline operators (builder prompt "beyond the
   * reference"): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
   * similarity search (brute-force + LSH-bucketed ANN), text analysis, and
@@ -1294,84 +1290,30 @@ object ExtQueries {
       |         AS n_tokens
       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
-  /** Multimodal frame-sampling, ARROW-BATCHED: chunk the opaque payload
-    * into fixed 64-byte "frames" (the video-frame / audio-window batch
-    * shape), sample every 4th, and feature-extract the first frame (md5).
-    * The decode/resize a real deployment runs per frame is the
-    * deterministic stub here — but the batch plumbing is the real 100 TB
-    * shape: each partition's blobs are packed into Arrow
-    * `VectorSchemaRoot` batches and the "decode" walks the columnar
-    * offset/data `ArrowBuf`s DIRECTLY (no per-row byte[] copies, no
-    * per-row JVM objects on the payload path) — exactly the (address,
-    * length) view a native media decoder (JNI/FFmpeg-style) consumes
-    * zero-copy. PySpark reaches this via `mapInArrow`; on the JVM the
-    * equivalent is Arrow batching inside `mapPartitions`, with no Python
-    * worker round-trip at all. No shuffle: binary never leaves its
-    * input split. */
-  private val ArrowBatchRows = 256
+  /** Multimodal frame-sampling, COLUMNAR: chunk the opaque payload into
+    * fixed 64-byte "frames" (the video-frame / audio-window batch shape),
+    * sample every 4th, and feature-extract the first frame (md5 of its
+    * lowercase-hex fingerprint — this DuckDB build has no md5(BLOB), and
+    * digesting the hex keeps the compared value a pure function of the
+    * BYTE content on both engines). The per-frame decode/resize a real
+    * deployment runs is the deterministic stub; the batch plumbing is the
+    * real 100 TB shape: a custom columnar operator
+    * ([[graft.plans.FrameStats]], `supportsColumnar = true`) that
+    * consumes the vectorized parquet scan's `ColumnarBatch`es directly —
+    * the JVM-native `mapInArrow`, with no per-row encoder, no per-row
+    * case-class allocation, and no Python worker. The plan shows the scan
+    * feeding FrameStats columnar-to-columnar; the only row transition
+    * sits ABOVE the 4-column stats output, never on the payload path.
+    * NULL-payload rows are skipped by the operator (no media, no
+    * frames) — the same rows the previous `WHERE text IS NOT NULL`
+    * removed. No shuffle: binary never leaves its input split. */
+  private def multimodalFramesRaw(s: SparkSession, dir: String): DataFrame =
+    graft.ops.MediaFrames.frameStats(
+      tbl(s, dir, "documents"), idCol = "doc_id", payloadCol = "text",
+      frameBytes = 64, sampleEvery = 4)
 
-  private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val blobs = tbl(s, dir, "documents")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        lit("application/octet-stream").as("mime"))
-      .as[MediaBlob]
-    blobs.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val scratch = new Array[Byte](64) // first-frame window, reused
-      rows.grouped(ArrowBatchRows).flatMap { group =>
-        val alloc = new org.apache.arrow.memory.RootAllocator(1L << 28)
-        val docId = new org.apache.arrow.vector.BigIntVector("doc_id", alloc)
-        val payload =
-          new org.apache.arrow.vector.VarBinaryVector("payload", alloc)
-        try {
-          docId.allocateNew(group.size)
-          payload.allocateNew(64L * group.size, group.size)
-          group.zipWithIndex.foreach { case (m, j) =>
-            docId.setSafe(j, m.doc_id)
-            if (m.payload == null) payload.setNull(j)
-            else payload.setSafe(j, m.payload)
-          }
-          docId.setValueCount(group.size)
-          payload.setValueCount(group.size)
-          // columnar "decode": walk the offset buffer; frame stats read
-          // straight off the data ArrowBuf (only the first frame is ever
-          // copied out, into a fixed 64-byte scratch, for the digest)
-          val offBuf = payload.getOffsetBuffer
-          val dataBuf = payload.getDataBuffer
-          (0 until group.size).map { j =>
-            val len =
-              if (payload.isNull(j)) 0
-              else offBuf.getInt((j + 1) * 4L) - offBuf.getInt(j * 4L)
-            val nFrames = (len + 63) / 64
-            val sampled = (nFrames + 3) / 4
-            // Digest the frame's lowercase-hex fingerprint (not the raw
-            // bytes): this DuckDB build has no md5(BLOB), and digesting
-            // the hex keeps the compared value a pure function of the
-            // BYTE content on both engines. A real deployment digests /
-            // decodes the raw frame here, straight from the ArrowBuf.
-            val firstMd5 =
-              if (len == 0) null // 0 frames → NULL digest (oracle NULLIFs)
-              else {
-                val flen = math.min(64, len)
-                dataBuf.getBytes(offBuf.getInt(j * 4L).toLong, scratch, 0,
-                  flen)
-                val hex = scratch.take(flen).map("%02x".format(_)).mkString
-                md.reset()
-                md.digest(
-                  hex.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                  .map("%02x".format(_)).mkString
-              }
-            MediaFrameStats(docId.get(j), nFrames.toLong, sampled.toLong,
-              firstMd5)
-          }
-        } finally {
-          docId.close(); payload.close(); alloc.close()
-        }
-      }
-    }.toDF().orderBy("doc_id")
-  }
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    multimodalFramesRaw(s, dir).orderBy("doc_id")
 
   // Byte-based like the features oracle: frame boundaries are BYTE
   // offsets (substr of the blob's hex, 2 hex chars per byte), so
@@ -1419,6 +1361,6 @@ object ExtQueries {
     "x_multimodal_features" -> QueryDef(multimodalFeatures,
       Some(multimodalFeaturesSql)),
     "x_multimodal_frames" -> QueryDef(multimodalFrames,
-      Some(multimodalFramesSql))
+      Some(multimodalFramesSql), benchFn = Some(multimodalFramesRaw))
   )
 }
