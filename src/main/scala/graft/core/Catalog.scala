@@ -1,7 +1,10 @@
 package graft.core
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Parquet-backed named-table catalog (SURVEY.md §2.1 S6–S9).
   *
@@ -44,6 +47,41 @@ final class Catalog(val spark: SparkSession, val warehouseDir: String) {
   def load(name: String): DataFrame =
     spark.read.parquet(pathOf(name).toString)
 
+  // ---- pinned schemas (schema evolution at catalog speed) ----------------
+  // `mergeSchema` footer reconciliation is an INGEST-time discovery tool:
+  // at 100 TB a million-file footer sweep is itself a job, so the superset
+  // schema is pinned here once (by the writer that evolved it, or by one
+  // discovery pass) and every query reads through [[loadPinned]] —
+  // `spark.read.schema(...)`, zero schema-inference I/O, missing columns
+  // null-filled per file by the vectorized reader.
+
+  private def schemaPath(name: String): Path =
+    new Path(root, s"_schemas/$name.json")
+
+  /** Record `schema` as the table's authoritative read schema. */
+  def pinSchema(name: String, schema: StructType): Unit = {
+    val out = fs.create(schemaPath(name), true)
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def pinnedSchema(name: String): Option[StructType] =
+    if (!fs.exists(schemaPath(name))) None
+    else {
+      val in = fs.open(schemaPath(name))
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(DataType.fromJson(json).asInstanceOf[StructType])
+    }
+
+  /** Read through the pinned schema — no footer-based inference runs at
+    * all (partition columns are still appended from directory names). */
+  def loadPinned(name: String): DataFrame = {
+    val sch = pinnedSchema(name).getOrElse(throw new IllegalStateException(
+      s"no pinned schema for table '$name' — pinSchema first"))
+    spark.read.schema(sch).parquet(pathOf(name).toString)
+  }
+
   /** Register under a logical name for spark.sql / dbt-style `ref` (S10/S11). */
   def view(name: String): Unit = load(name).createOrReplaceTempView(name)
 
@@ -54,5 +92,7 @@ final class Catalog(val spark: SparkSession, val warehouseDir: String) {
 
   def tables(): Seq[String] =
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).map(_.getPath.getName).toSeq.sorted
+    else fs.listStatus(root).map(_.getPath.getName).toSeq
+      .filterNot(_.startsWith("_")) // metadata dirs (Spark convention)
+      .sorted
 }

@@ -507,20 +507,27 @@ object IngestQueries {
     *
     * Scale: schema merge is a FOOTER-only operation (one schema per
     * file reconciled on the driver, data pages untouched) — but at
-    * 100 TB footer listing itself is a job, which is why production
-    * pins the superset schema in a catalog (`spark.read.schema(...)`)
-    * and mergeSchema stays an ingest-time discovery tool, not a
-    * per-query default. */
+    * 100 TB a million-file footer sweep is itself a job, so the QUERY
+    * path here reads through the Catalog's PINNED superset schema
+    * (`spark.read.schema(...)` — zero schema-inference I/O, day-1 files
+    * null-fill the missing column inside the vectorized reader). The
+    * writer that evolves the table pins the new superset, exactly as a
+    * production catalog records DDL; `mergeSchema` remains available as
+    * the one-off ingest-time discovery tool. `SchemaPinSpec` asserts the
+    * read schema comes from the catalog entry, not the footers. */
   private def schemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val base = qtmp("schema_merge/lineitem")
+    val cat = new graft.core.Catalog(s, qtmp("schema_merge"))
     val li = tbl(s, dir, "lineitem")
+    val base = s"${cat.warehouseDir}/lineitem"
     li.filter(col("l_linenumber") <= 2)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .write.mode("overwrite").parquet(s"$base/day=1")
-    li.filter(col("l_linenumber") > 2)
+    val evolved = li.filter(col("l_linenumber") > 2)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-      .write.mode("overwrite").parquet(s"$base/day=2")
-    s.read.option("mergeSchema", "true").parquet(base)
+    evolved.write.mode("overwrite").parquet(s"$base/day=2")
+    // the evolving writer declares the new superset — no footer sweep
+    cat.pinSchema("lineitem", evolved.schema)
+    cat.loadPinned("lineitem")
       .groupBy((col("l_orderkey") % 10).as("bucket"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
