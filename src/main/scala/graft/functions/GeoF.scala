@@ -149,8 +149,13 @@ object GeoF {
     val qf = (x * (math.sqrt(3.0) / 3.0) - y / 3.0) / s
     val rf = y * (2.0 / 3.0) / s
     val sf = -qf - rf
-    // cube rounding
-    val qr = round(qf); val rr = round(rf); val sr = round(sf)
+    // cube rounding; nearest-integer via floor(x+0.5) — identical on
+    // every engine evaluating the same double (Spark's round() is
+    // BigDecimal HALF_UP, DuckDB's is half-away — they disagree on exact
+    // negative halves; a .5 axial coordinate is a cell-boundary tie, so
+    // any consistent choice is a valid tie-break)
+    val qr = floor(qf + 0.5); val rr = floor(rf + 0.5)
+    val sr = floor(sf + 0.5)
     val dq = abs(qr - qf); val dr = abs(rr - rf); val ds = abs(sr - sf)
     val q = when(dq > dr && dq > ds, -rr - sr).otherwise(qr).cast("long")
     val r = when(!(dq > dr && dq > ds) && dr > ds, -qr - sr)
@@ -162,15 +167,14 @@ object GeoF {
       lpad(lower(hex(zz(q))), 8, "0"), lpad(lower(hex(zz(r))), 8, "0"))
   }
 
-  /** Scala-side mirror of [[hexCell]] for unit tests / oracle generation.
-    * Rounding uses HALF_UP (away from zero) to match Spark's `round`
-    * exactly — `math.round` rounds half toward +∞ and would disagree on
-    * negative half-integer axial coordinates. */
+  /** Scala-side mirror of [[hexCell]] for unit tests. Rounding is the
+    * same floor(x+0.5) tie-break as the Column path (and the independent
+    * SQL oracle in GeoQueries), so all three implementations agree
+    * bit-for-bit on identical doubles. */
   def hexCellScala(lat: Double, lng: Double, res: Int): String = {
     require(res >= 0 && res <= 15,
       s"hexCell resolution must be in [0, 15], got $res")
-    def rnd(x: Double): Double =
-      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rnd(x: Double): Double = math.floor(x + 0.5)
     val s = edgeLengthM(res)
     val phi = math.toRadians(lat)
     val x = math.toRadians(lng) * math.cos(phi) * EarthR
