@@ -152,7 +152,11 @@ object FidelityQueries {
         |  AND fare_amount != 0""".stripMargin)
       .createOrReplaceTempView("graft_sql_normalized")
     // enrichment_query.py:3-25 — branch, rank-dedup, rejoin, daypart
-    val us = "pmod(unix_micros(doff.pickup_datetime), 86400000000)"
+    // CAST AS TIMESTAMP mirrors DateTimeF.asLtz: the NTZ-typed parquet
+    // column behaves identically on both authoring surfaces even for a
+    // non-UTC session (the DataFrame path's daypart applies the same cast)
+    val us = "pmod(unix_micros(CAST(doff.pickup_datetime AS TIMESTAMP)), " +
+      "86400000000)"
     val H = 3600000000L
     s.sql(
       s"""WITH geo AS (

@@ -20,6 +20,12 @@ object IngestQueries {
   private def qtmp(name: String): String =
     s"${sys.props("user.dir")}/target/qtmp/$name"
 
+  /** The manifest-snapshot table's DATA directory (v1 commit + concurrent
+    * append land here) — exposed so `SnapshotKmvSpec` reuses the layout
+    * instead of duplicating the private path convention. */
+  private[queries] def manifestEventsDataDir: String =
+    s"${qtmp("manifest/events")}/data"
+
   /** The ingest day every datepath/pipeline query uses (exists at every
     * fixture SF: events span 2024-01). */
   private val Ds = "2024-01-05"
@@ -330,11 +336,12 @@ object IngestQueries {
     // (error events dropped), everything else absent from the write
     val corrected = ev.filter(col("day") === "2024-01-05" &&
       col("event_type") =!= "error")
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
-      "STATIC")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try corrected.write.mode("overwrite").partitionBy("day").parquet(base)
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // per-WRITE option, not a session-conf toggle: a concurrent query on
+    // the shared session must never be silently switched to dynamic
+    // overwrite mid-flight
+    corrected.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(base)
     s.read.parquet(base)
       .groupBy("day")
       .agg(count(lit(1)).as("cnt"),
@@ -414,11 +421,17 @@ object IngestQueries {
     * quarter of the event_id range) selects ~2 of 8 range-clustered
     * files; `ManifestPruneSpec` asserts the scan reads only those.
     *
-    * The per-file stats aggregate collects to the driver — bounded by
-    * FILE COUNT, not data (it is exactly the metadata a format's
-    * commit protocol writes); at 100 TB this collapses a
-    * million-file listing + footer pass into one manifest read. */
-  private def manifestPrune(s: SparkSession, dir: String): DataFrame = {
+    * The per-file stats aggregate collects to the driver EAGERLY inside
+    * the builder (the one deliberate break from the lazy-DataFrame
+    * contract here: the pruned file list must exist before the scan can
+    * be planned) — bounded by FILE COUNT, not data (it is exactly the
+    * metadata a format's commit protocol writes); at 100 TB this
+    * collapses a million-file listing + footer pass into one manifest
+    * read. Returns the (selected, total) file counts alongside the
+    * result so callers (and `ManifestPruneSpec`) observe the skipping
+    * without any global side channel. */
+  private[queries] def manifestPruneWithCounts(
+      s: SparkSession, dir: String): (DataFrame, (Int, Int)) = {
     val base = qtmp("manifest_prune/events")
     val ev = eventsTbl(s, dir).select("event_id", "event_type", "value")
     ev.repartitionByRange(8, col("event_id"))
@@ -433,20 +446,18 @@ object IngestQueries {
     val cut = maxId / 4 * 3
     val pinned = stats.filter(_.getAs[Long]("hi") >= cut)
       .map(_.getAs[String]("f")).sorted.toSeq
-    manifestPruneSelected.set((pinned.size, stats.length))
-    s.read.parquet(pinned: _*)
+    val df = s.read.parquet(pinned: _*)
       .filter(col("event_id") >= cut)
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("sum_value"))
       .orderBy("event_type")
+    (df, (pinned.size, stats.length))
   }
 
-  /** (selected, total) file counts of the last [[manifestPrune]] run —
-    * read by `ManifestPruneSpec` to assert real file-level skipping. */
-  private[queries] val manifestPruneSelected =
-    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+  private def manifestPrune(s: SparkSession, dir: String): DataFrame =
+    manifestPruneWithCounts(s, dir)._1
 
   private val manifestPruneSql =
     """SELECT event_type, count(*) AS cnt,

@@ -8,8 +8,9 @@ import graft.SparkSpec
 class ManifestPruneSpec extends SparkSpec {
 
   test("manifest stats prune selects a strict subset of files") {
-    graft.SparkEntry.queries("s_manifest_prune")(spark, sf).collect()
-    val (selected, total) = IngestQueries.manifestPruneSelected.get()
+    val (df, (selected, total)) =
+      IngestQueries.manifestPruneWithCounts(spark, sf)
+    df.collect()
     assert(total >= 8, s"range write should produce >= 8 files, got $total")
     assert(selected > 0 && selected < total,
       s"top-quarter predicate must prune files: $selected of $total read")

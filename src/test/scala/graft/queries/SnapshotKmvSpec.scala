@@ -16,8 +16,8 @@ class SnapshotKmvSpec extends SparkSpec {
     val pinned = graft.SparkEntry.queries("s_manifest_snapshot")(spark, sf)
       .agg(sum("cnt")).head().getLong(0)
     // the unpinned directory listing sees v1 + the append = every event
-    val base = s"${sys.props("user.dir")}/target/qtmp/manifest/events/data"
-    val dirRows = spark.read.parquet(base).count()
+    val dirRows =
+      spark.read.parquet(IngestQueries.manifestEventsDataDir).count()
     val allRows = graft.eventsTbl(spark, sf).count()
     assert(dirRows === allRows,
       s"directory read must see the append: $dirRows vs $allRows")
