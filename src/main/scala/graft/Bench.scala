@@ -13,6 +13,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // min-of-N steady-state sampling; N=1 for one-off scale points (sf1)
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -44,12 +46,12 @@ object Bench {
           // and 69 s minutes apart, and steal windows can span one whole
           // sample), so a single sample is noise and min-of-N is the
           // steady-state throughput estimator.
-          val samples = (1 to 3).map { _ =>
+          val times = (1 to samples).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          Some(name -> samples.min)
+          Some(name -> times.min)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
