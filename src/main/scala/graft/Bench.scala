@@ -15,6 +15,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // min-of-N steady-state sampling; N=1 for one-off scale points (sf1)
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    // dev knob: comma-separated query-name subset (default: all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -28,7 +31,8 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     var failed = List.empty[String]
-    val results = SparkEntry.benchNames.flatMap { name =>
+    val results = SparkEntry.benchNames
+      .filter(n => only.forall(_.contains(n))).flatMap { name =>
       SparkEntry.benchQueries.get(name).flatMap { fn =>
         // Warm the plan at the smallest SF first: JIT + whole-stage
         // codegen compile are one-time JVM costs (measured 22 s cold vs

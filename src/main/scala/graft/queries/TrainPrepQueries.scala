@@ -63,19 +63,26 @@ object TrainPrepQueries {
 
   /** TF-IDF top-3 salient terms per document. Two aggregations — tf over
     * (doc_id, term), df over term — then a per-document top-k window.
-    * Scale: both groupBys are map-side-combined shuffles on
-    * high-cardinality keys; df is NOT broadcast (vocabulary at corpus
-    * scale is itself huge) — the tf⋈df join shuffles on `term`, which the
-    * df aggregation already clustered, so AQE plans it exchange-free on
-    * the df side. The top-k window partitions by doc_id (no global
-    * sort). */
+    * Scale: the corpus is tokenized ONCE — tf is localCheckpointed and
+    * its three consumers (df, the scoring join, and the corpus-size
+    * count N = countDistinct(doc_id), identical over tf and the raw
+    * token stream) all read the materialized aggregate instead of
+    * re-running the tokenize scan. tf is the per-doc distinct-term
+    * table, typically 5–10× smaller than the token stream, so it is
+    * the cheap side to materialize. Both groupBys are
+    * map-side-combined shuffles on high-cardinality keys; df is NOT
+    * broadcast (vocabulary at corpus scale is itself huge) — the tf⋈df
+    * join shuffles on `term`, which the df aggregation already
+    * clustered, so AQE plans it exchange-free on the df side. The
+    * top-k window partitions by doc_id (no global sort). */
   private def tfidfTopTermsRaw(s: SparkSession, dir: String): DataFrame = {
     val tok = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("lt"))
       .select(col("doc_id"), explode(col("lt")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // ≪ token stream; feeds df, N, and the join
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = tok.select(countDistinct("doc_id").as("n"))
+    val n = tf.select(countDistinct("doc_id").as("n"))
     val rn = row_number().over(Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term")))
     tf.join(df, "term")
@@ -250,21 +257,31 @@ object TrainPrepQueries {
     * split assignment → quality gate (≥ 5 tokens) → per-(lang, split)
     * corpus stats. Proves the operators COMPOSE: one declarative plan,
     * no intermediate materialization, shuffles only at the dedup window
-    * and the final small aggregate. Stats stay in exact integer math
+    * and the final small aggregate. The scan-side projection reduces
+    * each document to (doc_id, lang, fingerprint, n_tokens) BEFORE the
+    * dedup window, so the shuffle moves ~40 bytes/row instead of the
+    * full cleaned text — at 100 TB the dedup exchange is metadata-
+    * sized, not corpus-sized. (Token counts are computed pre-dedup for
+    * dropped duplicates too; that per-row cost is scan-local and far
+    * cheaper than shuffling text.) Stats stay in exact integer math
     * (counts, token totals) so the composite is hash-comparable. */
   private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
-    val cleaned = tbl(s, dir, "documents")
+    // two-step select: `clean` is referenced twice below, and a single
+    // collapsed projection would re-run the regex chain per reference
+    val compact = tbl(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         regexp_replace(
           trim(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
             UrlRe, "<URL>")),
           "\\s+", " ").as("clean"))
-    val byFp = Window.partitionBy(TextF.fingerprint(col("clean")))
+      .select(col("doc_id"), col("lang"),
+        TextF.fingerprint(col("clean")).as("fp"),
+        size(TextF.lowerTokens(col("clean"))).as("n_tokens"))
+    val byFp = Window.partitionBy(col("fp"))
     val bucket = pmod(HashF.tokenHash(col("doc_id").cast("string")), lit(100))
-    cleaned
+    compact
       .withColumn("keep_id", min("doc_id").over(byFp))
       .filter(col("doc_id") === col("keep_id"))
-      .withColumn("n_tokens", size(TextF.lowerTokens(col("clean"))))
       .filter(col("n_tokens") >= 5)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
