@@ -247,16 +247,17 @@ object CoreQueries {
     // strings, and the long→string cast is injective so the groups are
     // identical. The cast happens BEFORE rankedTopK so tie-break ordering
     // (lexicographic, matching the oracle) is unaffected.
-    // localCheckpoint materializes the route aggregate once: its three
-    // consumers (route top-k + two rollups) would otherwise each re-run
-    // the 6M-group final HashAggregate after the (AQE-stage-reused)
-    // shuffle — measured 5.5 s → 1.5 s at sf1. The checkpointed set is
-    // route-cardinality (≪ fact table), so the materialization is the
-    // small side even at 100 TB.
+    // The route keys are NEAR-UNIQUE (98.5% distinct pairs at sf1), so
+    // this aggregate's cost IS the query's cost; it feeds only the route
+    // top-k. Deriving the rollups from it (tried round 6: localCheckpoint
+    // + rollup-of-routes) forces a 5.9M-row materialization on the
+    // critical path of all three branches — measured SLOWER (6.0 s vs
+    // 4.6 s at sf1) than letting the rollups aggregate the fact table
+    // directly, where their tiny key cardinality (~|suppliers|,
+    // ~|parts|) map-side-combines to almost nothing per scan partition.
     val routeAgg = tbl(s, dir, "lineitem")
       .groupBy("l_partkey", "l_suppkey")
       .agg(count(lit(1)).as("route_count"))
-      .localCheckpoint()
 
     val routes = rankedTopK(
       routeAgg.select(col("l_partkey").cast("string").as("hex_pickup"),
@@ -267,18 +268,17 @@ object CoreQueries {
         col("hex_dropoff").as("route_dropoff_hex"),
         col("route_count"), col("popularity"))
 
-    // Per-dropoff / per-pickup counts are exact rollups of the route
-    // aggregate (count per dropoff = Σ route counts over that dropoff), so
-    // the fact table is scanned and shuffled ONCE: all three branches hang
-    // off the same route-key Exchange, which Catalyst's ReuseExchange
-    // dedupes — at 100 TB the rollups re-aggregate the (much smaller)
-    // route table instead of re-reading the corpus twice more. The
-    // injective long→string hex cast happens after all aggregation but
-    // BEFORE rankedTopK, so tie-break ordering (lexicographic, matching
-    // the oracle) is unaffected.
+    // Per-dropoff / per-pickup counts aggregate the fact table DIRECTLY:
+    // their key cardinality is dimension-sized, so map-side combine
+    // reduces each scan partition to ~|dim| rows and the shuffles are
+    // metadata-sized — three parallel scans of a page-cached 2-column
+    // parquet beat serializing the 5.9M-row route aggregate between
+    // stages. The injective long→string hex cast happens after all
+    // aggregation but BEFORE rankedTopK, so tie-break ordering
+    // (lexicographic, matching the oracle) is unaffected.
     val dropoffs = rankedTopK(
-      routeAgg.groupBy("l_suppkey")
-        .agg(sum("route_count").as("dropoff_count"))
+      tbl(s, dir, "lineitem").groupBy("l_suppkey")
+        .agg(count(lit(1)).as("dropoff_count"))
         .select(col("l_suppkey").cast("string").as("top_dropoff_hex"),
           col("dropoff_count")),
       "dropoff_count", 100, Seq("top_dropoff_hex"))
@@ -286,8 +286,8 @@ object CoreQueries {
         col("popularity"))
 
     val pickups = rankedTopK(
-      routeAgg.groupBy("l_partkey")
-        .agg(sum("route_count").as("pickup_count"))
+      tbl(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(count(lit(1)).as("pickup_count"))
         .select(col("l_partkey").cast("string").as("top_pickup_hex"),
           col("pickup_count")),
       "pickup_count", 100, Seq("top_pickup_hex"))
