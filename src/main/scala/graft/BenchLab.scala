@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextF
 
 /** Scratch harness for isolating bench regressions (not registered).
   * NOTE: never persist() here — CacheManager substitutes matching plan
@@ -32,73 +33,37 @@ object BenchLab {
 
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
-        graft.functions.TextF.lowerTokens(col("text")).as("lt"))
+        TextF.lowerTokens(col("text")).as("toks"))
 
-    // In-row term histogram: sort the token array, then run-length the
-    // sorted runs via start-index extraction + zip_with against the
-    // shifted starts. All higher-order functions, no UDF.
-    def termHist(toks: Column): Column = {
-      val s = array_sort(toks)
-      // greatest-guard: empty array would make sequence(0,-1) descend;
-      // the phantom [0] start it produces yields a null term filtered
-      // at the end (split() never emits null tokens, so null ⇔ phantom).
-      val starts = filter(sequence(lit(0), greatest(size(s) - 1, lit(0))),
-        i => (i === lit(0)) || element_at(s, i + 1) =!= element_at(s, i))
-      val ends = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
-        array(size(s)))
-      filter(
-        zip_with(starts, ends, (st, en) =>
-          struct(element_at(s, st + 1).as("term"),
-            (coalesce(en, size(s)) - st).as("tf"))),
-        h => h("term").isNotNull)
-    }
+    // bigram corpus count: exploded-stream aggregate vs in-row histogram
+    def biA = docs
+      .select(explode(TextF.shinglesFromTokens(col("toks"), 2))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cab"))
+    def biH = docs
+      .select(explode(TextF.termHistogram(
+        TextF.shinglesFromTokens(col("toks"), 2))).as("h"))
+      .groupBy(col("h.term").as("bigram")).agg(sum("h.tf").as("cab"))
+    time("bi_explode_agg")(biA)
+    time("bi_histogram")(biH)
 
-    // variant A: current shape — explode token stream, groupBy (doc, term)
-    def tfA = docs.select(col("doc_id"), explode(col("lt")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // variant B: in-row run-length histogram, explode (term, tf) pairs
-    def tfB = docs.select(col("doc_id"), explode(termHist(col("lt"))).as("h"))
-      .select(col("doc_id"), col("h.term").as("term"), col("h.tf").as("tf"))
+    // how much do bigrams even repeat in-doc?
+    val stats = docs.select(
+      size(TextF.shinglesFromTokens(col("toks"), 2)).as("n"),
+      size(array_distinct(TextF.shinglesFromTokens(col("toks"), 2)))
+        .as("d"))
+      .agg(sum("n").as("n"), sum("d").as("d")).collect()(0)
+    println(s"[lab] bigram occurrences=${stats.getLong(0)} " +
+      s"distinct-per-doc=${stats.getLong(1)}")
 
-    time("tf_explode_agg")(tfA)
-    time("tf_inrow_hist")(tfB)
-
-    // sanity: identical (doc_id, term, tf) sets
-    val diff = tfA.exceptAll(tfB).count() + tfB.exceptAll(tfA).count()
-    println(s"[lab] tfA-vs-tfB diff rows: $diff")
-
-    // full tfidf, both shapes
-    val IdfScale = 1000000L
-    def full(tf: DataFrame, checkpoint: Boolean): DataFrame = {
-      val tfx = if (checkpoint) tf.localCheckpoint() else tf
-      val df = tfx.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = tfx.select(countDistinct("doc_id").as("n"))
-      val rn = row_number().over(Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term")))
-      tfx.join(df, "term")
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("term"), col("tf"),
-          (col("tf") * expr(s"($IdfScale * (n + 1)) div (df + 1)"))
-            .as("score"))
-        .withColumn("rn", rn)
-        .filter(col("rn") <= 3)
-    }
-    time("tfidf_A_checkpoint")(full(tfA, checkpoint = true))
-    time("tfidf_B_nockpt")(full(tfB, checkpoint = false))
-    time("tfidf_B_bcastdf") {
-      val df = tfB.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs.agg(sum(when(size(col("lt")) > 0, 1L).otherwise(0L))
-        .as("n"))
-      val rn = row_number().over(Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term")))
-      tfB.join(broadcast(df), "term")
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("term"), col("tf"),
-          (col("tf") * expr(s"($IdfScale * (n + 1)) div (df + 1)"))
-            .as("score"))
-        .withColumn("rn", rn)
-        .filter(col("rn") <= 3)
-    }
+    // unigram: same comparison (tokens repeat in-doc much more)
+    def uniA = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    def uniH = docs
+      .select(explode(TextF.termHistogram(col("toks"))).as("h"))
+      .groupBy(col("h.term").as("w")).agg(sum("h.tf").as("cw"))
+    time("uni_explode_agg")(uniA)
+    time("uni_histogram")(uniH)
     spark.stop()
   }
 }

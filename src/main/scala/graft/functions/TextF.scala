@@ -162,4 +162,15 @@ object TextF {
 
   def distinctShingles(text: Column, k: Int): Column =
     array_distinct(wordShingles(text, k))
+
+  /** In-row term-frequency histogram `(term, tf)` over a token array —
+    * the native codegen [[graft.plans.TermHistogram]] expression. Use
+    * this (exploded) instead of `explode(tokens) → groupBy(doc, term)`:
+    * per-document counts are document-local, so the histogram keeps them
+    * out of the hash aggregate and downstream operators see each doc's
+    * DISTINCT terms weighted by `tf`, not every occurrence. */
+  def termHistogram(toks: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.TermHistogram(
+        org.apache.spark.sql.GraftBridge.expression(toks)))
 }

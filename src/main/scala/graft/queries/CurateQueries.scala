@@ -221,11 +221,15 @@ object CurateQueries {
     * is the one distinct-expand shuffle — at sf1000 swap for the KMV
     * sketch (`w_kmv_distinct`) when ±1% df suffices. */
   private def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    // per-doc histogram rows are already DISTINCT (doc, token) pairs, so
+    // the document frequency is a plain count — the distinct-expand
+    // shuffle the exploded shape needed disappears (tf = Σ in-doc counts)
     val counts = tbl(s, dir, "documents")
       .select(col("doc_id"),
-        explode(TextF.lowerTokens(col("text"))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("dfc"))
+        explode(TextF.termHistogram(TextF.lowerTokens(col("text"))))
+          .as("h"))
+      .groupBy(col("h.term").as("token"))
+      .agg(sum("h.tf").as("tf"), count(lit(1)).as("dfc"))
     counts.orderBy(col("tf").desc, col("token")).limit(VocabV)
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("tf").desc, col("token"))))
@@ -265,12 +269,18 @@ object CurateQueries {
     * at 100 TB that's two corpus scans total (count pass + score pass),
     * each a scan-side broadcast join / map-side-combined aggregation. */
   private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    // per-doc token histogram (codegen expression): the vocabulary
+    // aggregate and the scoring join both consume distinct-terms-per-doc
+    // weighted by in-doc count `c`, not the raw token stream
     val tok = tbl(s, dir, "documents")
       .select(col("doc_id"),
-        explode(TextF.lowerTokens(col("text"))).as("token"))
+        explode(TextF.termHistogram(TextF.lowerTokens(col("text"))))
+          .as("h"))
+      .select(col("doc_id"), col("h.term").as("token"),
+        col("h.tf").as("c"))
     // corpus total = Σ vocab counts — derived from the (tiny) vocabulary
     // aggregate, NOT a second corpus scan
-    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = tok.groupBy("token").agg(sum("c").as("cnt"))
       .localCheckpoint() // vocab-sized; feeds both the total and the lp map
     val tot = vocab.agg(sum("cnt").as("n_total"))
     // floor (not round): Spark's HALF_UP and DuckDB's nearbyint disagree
@@ -284,7 +294,7 @@ object CurateQueries {
           .cast("long").as("lp_q"))
     val perDoc = tok.join(broadcast(lp), "token")
       .groupBy("doc_id")
-      .agg(sum("lp_q").as("sq"), count(lit(1)).as("n_tok"))
+      .agg(sum(col("lp_q") * col("c")).as("sq"), sum("c").as("n_tok"))
     tbl(s, dir, "documents").select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -335,6 +345,12 @@ object CurateQueries {
   private def bigramLmScoreRaw(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+    // bigrams are ~96% unique WITHIN a doc (measured at sf1), so a
+    // per-doc histogram would pay an in-row sort for no compression —
+    // the bigram stream keeps the exploded shape. The VOCABULARY size
+    // does use the unigram histogram: words repeat in-doc ~1.6×, so the
+    // distinct-count shuffle sees distinct-terms-per-doc instead of the
+    // raw token stream.
     val docBg = docs.select(col("doc_id"),
       explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bg"))
     val bgCnt = docBg.groupBy("bg").agg(count(lit(1)).as("cab"))
@@ -342,8 +358,9 @@ object CurateQueries {
     val leftCnt = bgCnt
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .groupBy("w1").agg(sum("cab").as("cw1"))
-    val v = docs.select(explode(col("toks")).as("token"))
-      .agg(countDistinct("token").as("v"))
+    val v = docs
+      .select(explode(TextF.termHistogram(col("toks"))).as("h"))
+      .agg(countDistinct("h.term").as("v"))
     val lp = bgCnt.withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(leftCnt, "w1")
       .crossJoin(broadcast(v))
@@ -467,8 +484,15 @@ object CurateQueries {
   private def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
     val toks = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
-    val uni = toks.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
+    // unigram counts aggregate per-document HISTOGRAMS (the codegen
+    // term-histogram expression): words repeat in-doc ~1.6× so the hash
+    // aggregate sees distinct-terms-per-doc weighted by count (measured
+    // 2.25 → 1.58 s at sf1). Bigrams are 96% unique WITHIN a doc, so a
+    // histogram there pays the in-row sort for no compression (measured
+    // 3.2 → 3.5 s) — the bigram count keeps the exploded-stream shape.
+    val uni = toks
+      .select(explode(TextF.termHistogram(col("toks"))).as("h"))
+      .groupBy(col("h.term").as("w")).agg(sum("h.tf").as("cw"))
     val bi = toks
       .select(explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cab"))
