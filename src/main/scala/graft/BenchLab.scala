@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextF
@@ -31,39 +31,22 @@ object BenchLab {
       }
     }
 
+    // the old interpreted-HOF shingle form, kept here for A/B reference
+    def hofShingles(toks: Column, k: Int): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(o => toks(i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+
+    def shOf(mk: Column => Column): DataFrame = docs
       .select(col("doc_id"),
-        TextF.lowerTokens(col("text")).as("toks"))
+        explode(array_distinct(mk(col("toks")))).as("shingle"))
 
-    // bigram corpus count: exploded-stream aggregate vs in-row histogram
-    def biA = docs
-      .select(explode(TextF.shinglesFromTokens(col("toks"), 2))
-        .as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("cab"))
-    def biH = docs
-      .select(explode(TextF.termHistogram(
-        TextF.shinglesFromTokens(col("toks"), 2))).as("h"))
-      .groupBy(col("h.term").as("bigram")).agg(sum("h.tf").as("cab"))
-    time("bi_explode_agg")(biA)
-    time("bi_histogram")(biH)
-
-    // how much do bigrams even repeat in-doc?
-    val stats = docs.select(
-      size(TextF.shinglesFromTokens(col("toks"), 2)).as("n"),
-      size(array_distinct(TextF.shinglesFromTokens(col("toks"), 2)))
-        .as("d"))
-      .agg(sum("n").as("n"), sum("d").as("d")).collect()(0)
-    println(s"[lab] bigram occurrences=${stats.getLong(0)} " +
-      s"distinct-per-doc=${stats.getLong(1)}")
-
-    // unigram: same comparison (tokens repeat in-doc much more)
-    def uniA = docs.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
-    def uniH = docs
-      .select(explode(TextF.termHistogram(col("toks"))).as("h"))
-      .groupBy(col("h.term").as("w")).agg(sum("h.tf").as("cw"))
-    time("uni_explode_agg")(uniA)
-    time("uni_histogram")(uniH)
+    time("sh3_hof")(shOf(t => hofShingles(t, 3)))
+    time("sh3_codegen")(shOf(t => TextF.shinglesFromTokens(t, 3)))
     spark.stop()
   }
 }

@@ -147,13 +147,14 @@ object TextF {
     * explode the materialized attribute (the pairs queries do the
     * latter).
     *
-    * Deterministic; empty array for docs shorter than k tokens (guards
-    * Spark's descending `sequence`). */
+    * Deterministic; empty array for docs shorter than k tokens.
+    * Backed by the native codegen [[graft.plans.WordShingles]]
+    * expression — the HOF form (`transform(sequence…)` + `concat_ws`)
+    * evaluates interpreted per emitted shingle. */
   def shinglesFromTokens(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(o => toks(i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.WordShingles(
+        org.apache.spark.sql.GraftBridge.expression(toks), k))
 
   /** One-expression convenience form — ONLY for tiny/test inputs; hot
     * paths must project tokens first (see [[shinglesFromTokens]]). */

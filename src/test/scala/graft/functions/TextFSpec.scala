@@ -68,4 +68,16 @@ class TextFSpec extends SparkSpec {
       .select(TextF.wordShingles(col("text"), 3)).as[Seq[String]].head()
     assert(first === Seq("a b c", "b c d"))
   }
+
+  test("wordShingles: exact-k doc, k=1 identity, and NULL propagation") {
+    val r = Seq("x y z").toDF("text")
+      .select(TextF.wordShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(r === Seq("x y z"))
+    val k1 = Seq("a b a").toDF("text")
+      .select(TextF.wordShingles(col("text"), 1)).as[Seq[String]].head()
+    assert(k1 === Seq("a", "b", "a"))
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextF.wordShingles(col("text"), 2).isNull).as[Boolean].head()
+    assert(n)
+  }
 }
