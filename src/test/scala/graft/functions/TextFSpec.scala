@@ -69,6 +69,28 @@ class TextFSpec extends SparkSpec {
     assert(first === Seq("a b c", "b c d"))
   }
 
+  test("wordShingles ≡ the interpreted HOF form on randomized docs") {
+    // reference implementation: the transform(sequence)+concat_ws shape
+    // the codegen expression replaced
+    def hofShingles(toks: org.apache.spark.sql.Column, k: Int) =
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(o => toks(i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val word = org.scalacheck.Gen.oneOf("a", "bb", "ccc", "ü", "x")
+    val doc = org.scalacheck.Gen.choose(0, 9).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = org.scalacheck.Gen.listOfN(40, doc).sample.get
+    for (k <- Seq(1, 2, 3, 5)) {
+      val toks = TextF.lowerTokens(col("text"))
+      val r = docs.toDF("text")
+        .select(TextF.shinglesFromTokens(toks, k).as("a"),
+          hofShingles(toks, k).as("b"))
+        .as[(Seq[String], Seq[String])].collect()
+      r.foreach { case (a, b) => assert(a === b, s"k=$k") }
+    }
+  }
+
   test("wordShingles: exact-k doc, k=1 identity, and NULL propagation") {
     val r = Seq("x y z").toDF("text")
       .select(TextF.wordShingles(col("text"), 3)).as[Seq[String]].head()
