@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextF
@@ -31,22 +31,33 @@ object BenchLab {
       }
     }
 
-    // the old interpreted-HOF shingle form, kept here for A/B reference
-    def hofShingles(toks: Column, k: Int): Column =
-      when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", (0 until k).map(o => toks(i + o)): _*)))
-        .otherwise(array().cast("array<string>"))
+    val K = 3
+    val MaxShingleDf = 100
 
-    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def sh = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
+      .localCheckpoint()
 
-    def shOf(mk: Column => Column): DataFrame = docs
-      .select(col("doc_id"),
-        explode(array_distinct(mk(col("toks")))).as("shingle"))
+    val shC = sh
+    val hot = shC.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > MaxShingleDf).select("shingle")
+      .localCheckpoint()
+    val cold = shC.join(broadcast(hot), Seq("shingle"), "left_anti")
 
-    time("sh3_hof")(shOf(t => hofShingles(t, 3)))
-    time("sh3_codegen")(shOf(t => TextF.shinglesFromTokens(t, 3)))
+    println(s"[lab] sh rows: ${shC.count()}")
+    val a = cold.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = cold.select(col("doc_id").as("doc_b"), col("shingle"))
+    val coocc = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    println(s"[lab] co-occurrence rows: ${coocc.count()}")
+    val pairs = coocc.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    println(s"[lab] distinct pairs: ${pairs.count()}")
+
+    time("selfjoin_only")(coocc)
+    time("selfjoin_groupby")(pairs)
     spark.stop()
   }
 }

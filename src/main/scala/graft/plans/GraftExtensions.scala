@@ -24,5 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WktCentroidLat].getName,
         "wkt_centroid_lat"),
       (children: Seq[Expression]) => WktCentroidLat(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("term_histogram"),
+      new ExpressionInfo(classOf[TermHistogram].getName,
+        "term_histogram"),
+      (children: Seq[Expression]) => TermHistogram(children.head)))
+    // k arrives as a SQL literal; resolve it at registration time so the
+    // expression keeps its compile-time-int fast path
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName,
+        "word_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, org.apache.spark.sql.catalyst.expressions
+          .Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+          WordShingles(arr, k)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(array<string>, <int literal k>)")
+      }))
   }
 }

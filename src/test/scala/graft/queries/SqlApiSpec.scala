@@ -38,4 +38,14 @@ class SqlApiSpec extends SparkSpec {
     assert(topk === 3, "three bounded popularity top-ks")
     assert(bhj >= 4, "zone dims + USING(popularity) joins broadcast")
   }
+
+  test("term_histogram and word_shingles are SQL-callable") {
+    val r = spark.sql(
+      """SELECT h.term, h.tf
+        |FROM (SELECT explode(term_histogram(
+        |        word_shingles(array('a','b','a','b'), 2))) AS h)
+        |ORDER BY h.term""".stripMargin)
+      .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(r === Seq(("a b", 2L), ("b a", 1L)))
+  }
 }
