@@ -31,33 +31,35 @@ object BenchLab {
       }
     }
 
-    val K = 3
-    val MaxShingleDf = 100
+    val PmiMinCount = 3
+    val PmiTopN = 50
 
-    def sh = spark.read.parquet(s"$sfDir/documents.parquet")
+    def docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(array_distinct(
-        TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
-      .localCheckpoint()
 
-    val shC = sh
-    val hot = shC.groupBy("shingle").agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") > MaxShingleDf).select("shingle")
-      .localCheckpoint()
-    val cold = shC.join(broadcast(hot), Seq("shingle"), "left_anti")
+    def pmi(toksDf: DataFrame): DataFrame = {
+      val uni = toksDf
+        .select(explode(TextF.termHistogram(col("toks"))).as("h"))
+        .groupBy(col("h.term").as("w")).agg(sum("h.tf").as("cw"))
+      val bi = toksDf
+        .select(explode(TextF.shinglesFromTokens(col("toks"), 2))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= PmiMinCount)
+      val n = toksDf.agg(sum(size(col("toks"))).as("n"))
+      bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.withColumnsRenamed(Map("w" -> "w1", "cw" -> "c1")), "w1")
+        .join(uni.withColumnsRenamed(Map("w" -> "w2", "cw" -> "c2")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("bigram"), col("cab"),
+          expr("(cab * n * 1000000) div (c1 * c2)").as("ratio_ppm"))
+        .orderBy(col("ratio_ppm").desc, col("bigram"))
+        .limit(PmiTopN)
+    }
 
-    println(s"[lab] sh rows: ${shC.count()}")
-    val a = cold.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = cold.select(col("doc_id").as("doc_b"), col("shingle"))
-    val coocc = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") =!= col("doc_b"))
-    println(s"[lab] co-occurrence rows: ${coocc.count()}")
-    val pairs = coocc.groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    println(s"[lab] distinct pairs: ${pairs.count()}")
-
-    time("selfjoin_only")(coocc)
-    time("selfjoin_groupby")(pairs)
+    time("pmi_retokenize")(pmi(docsRaw))
+    time("pmi_toks_ckpt")(pmi(docsRaw.localCheckpoint()))
     spark.stop()
   }
 }
