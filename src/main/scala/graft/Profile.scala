@@ -20,9 +20,10 @@ object Profile {
 
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchNames
     names.foreach { name =>
-      // time the same plan Bench times (sort-free benchFn when present)
-      SparkEntry.benchQueries.get(name)
-        .orElse(SparkEntry.queries.get(name)) match {
+      // time the same plan Bench times (sort-free benchFn when present) —
+      // resolved through defs.benched so non-bench queries with a
+      // registered raw variant profile that variant too
+      SparkEntry.defs.get(name).map(_.benched) match {
         case None => println(s"[profile] unknown query: $name")
         case Some(fn) =>
           def once(): Double = {

@@ -39,13 +39,19 @@ object ScaleGen {
     def table(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
-    /** Replicate with `keys` shifted by cp·(max+1); leaves other columns
-      * untouched and preserves column order. */
-    def replicate(df: DataFrame, keys: Seq[String],
+    /** Key stride for a replicated id space: one past the PARENT
+      * table's max. FKs must use the parent PK's stride, not their own
+      * column max — a parent key absent from the child (e.g. a customer
+      * with no orders holding the top custkey) would otherwise give the
+      * child a smaller stride and silently mis-join copies. Cast guards
+      * INT32-typed fixture keys. */
+    def stride(tableName: String, k: String): Long =
+      table(tableName).agg(max(col(k).cast("long"))).head.getLong(0) + 1L
+
+    /** Replicate with each key column shifted by cp·stride; leaves other
+      * columns untouched and preserves column order. */
+    def replicate(df: DataFrame, offs: Map[String, Long],
         extra: (DataFrame, Column) => DataFrame = (d, _) => d): DataFrame = {
-      val offs: Map[String, Long] = keys.map { k =>
-        k -> (df.agg(max(col(k))).head.getLong(0) + 1L)
-      }.toMap
       val cols = df.columns
       val cp = col("graft_cp")
       val rep = df.crossJoin(
@@ -61,23 +67,34 @@ object ScaleGen {
       println(s"[scalegen] $name -> $out ($copies x)")
     }
 
+    // FK columns take the PARENT PK's stride so copies stay join-closed
+    val custS = stride("customer", "c_custkey")
+    val suppS = stride("supplier", "s_suppkey")
+    val partS = stride("part", "p_partkey")
+    val ordS = stride("orders", "o_orderkey")
     write("region", table("region"))
     write("nation", table("nation"))
-    write("customer", replicate(table("customer"), Seq("c_custkey")))
-    write("supplier", replicate(table("supplier"), Seq("s_suppkey")))
-    write("part", replicate(table("part"), Seq("p_partkey")))
-    write("orders",
-      replicate(table("orders"), Seq("o_orderkey", "o_custkey")))
+    write("customer", replicate(table("customer"),
+      Map("c_custkey" -> custS)))
+    write("supplier", replicate(table("supplier"),
+      Map("s_suppkey" -> suppS)))
+    write("part", replicate(table("part"), Map("p_partkey" -> partS)))
+    write("orders", replicate(table("orders"),
+      Map("o_orderkey" -> ordS, "o_custkey" -> custS)))
     write("lineitem", replicate(table("lineitem"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    write("events",
-      replicate(table("events"), Seq("event_id", "user_id")))
-    write("documents", replicate(table("documents"), Seq("doc_id"),
+      Map("l_orderkey" -> ordS, "l_partkey" -> partS,
+        "l_suppkey" -> suppS)))
+    write("events", replicate(table("events"),
+      Map("event_id" -> stride("events", "event_id"),
+        "user_id" -> stride("events", "user_id"))))
+    write("documents", replicate(table("documents"),
+      Map("doc_id" -> stride("documents", "doc_id")),
       extra = (d, cp) => d.withColumn("text",
         when(cp === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("w"), cp.cast("string"), lit("x$1")))))))
-    write("embeddings", replicate(table("embeddings"), Seq("vec_id")))
+    write("embeddings", replicate(table("embeddings"),
+      Map("vec_id" -> stride("embeddings", "vec_id"))))
     spark.stop()
   }
 }

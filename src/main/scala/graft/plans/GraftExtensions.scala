@@ -28,7 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("term_histogram"),
       new ExpressionInfo(classOf[TermHistogram].getName,
         "term_histogram"),
-      (children: Seq[Expression]) => TermHistogram(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => TermHistogram(arr)
+        case _ => throw new IllegalArgumentException(
+          "term_histogram(array<string>) takes exactly one argument")
+      }))
     // k arrives as a SQL literal; resolve it at registration time so the
     // expression keeps its compile-time-int fast path
     ext.injectFunction((
