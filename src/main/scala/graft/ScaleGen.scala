@@ -35,7 +35,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, src, out, copies)
+    finally spark.stop()
+  }
 
+  /** Session-borrowing form (specs call this — the caller owns the
+    * session lifecycle). */
+  def run(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
     def table(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
@@ -95,6 +102,5 @@ object ScaleGen {
             concat(lit("w"), cp.cast("string"), lit("x$1")))))))
     write("embeddings", replicate(table("embeddings"),
       Map("vec_id" -> stride("embeddings", "vec_id"))))
-    spark.stop()
   }
 }

@@ -81,4 +81,23 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(0) === 0.5)
     assert(r.getDouble(1) === 4.0)
   }
+
+  test("ScaleGen copies are join-closed: FK joins scale exactly linearly") {
+    import org.apache.spark.sql.functions.col
+    val out = s"${sys.props("user.dir")}/target/qtmp/scalegen2x"
+    graft.ScaleGen.run(spark, sf, out, 2)
+    def cnt(dir: String, a: String, b: String, ka: String, kb: String) =
+      spark.read.parquet(s"$dir/$a.parquet")
+        .join(spark.read.parquet(s"$dir/$b.parquet"),
+          col(ka) === col(kb))
+        .count()
+    // every copy joins only within itself ⇒ join cardinality is exactly
+    // copies × base — the invariant the sf1 measurements depend on
+    assert(cnt(out, "orders", "customer", "o_custkey", "c_custkey") ===
+      2 * cnt(sf, "orders", "customer", "o_custkey", "c_custkey"))
+    assert(cnt(out, "lineitem", "orders", "l_orderkey", "o_orderkey") ===
+      2 * cnt(sf, "lineitem", "orders", "l_orderkey", "o_orderkey"))
+    assert(cnt(out, "lineitem", "supplier", "l_suppkey", "s_suppkey") ===
+      2 * cnt(sf, "lineitem", "supplier", "l_suppkey", "s_suppkey"))
+  }
 }
