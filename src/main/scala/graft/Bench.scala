@@ -15,9 +15,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // min-of-N steady-state sampling; N=1 for one-off scale points (sf1)
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
-    // dev knob: comma-separated query-name subset (default: all)
+    if (samples < 1) {
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_SAMPLES must be ≥ 1")
+      sys.exit(2)
+    }
+    // dev knob: comma-separated query-name subset (default: all);
+    // unknown names are an error, not a silent empty (all-green) run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.benchNames.toSet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown bench queries: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")

@@ -58,11 +58,19 @@ final class Catalog(val spark: SparkSession, val warehouseDir: String) {
   private def schemaPath(name: String): Path =
     new Path(root, s"_schemas/$name.json")
 
-  /** Record `schema` as the table's authoritative read schema. */
+  /** Record `schema` as the table's authoritative read schema.
+    * Write-to-temp + rename: an in-place overwrite would let a
+    * concurrent [[pinnedSchema]] read a truncated JSON (rename is atomic
+    * on the filesystems the catalog targets). */
   def pinSchema(name: String, schema: StructType): Unit = {
-    val out = fs.create(schemaPath(name), true)
+    val dst = schemaPath(name)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"failed to publish schema pin $dst")
   }
 
   def pinnedSchema(name: String): Option[StructType] =

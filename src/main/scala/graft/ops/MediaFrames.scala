@@ -22,9 +22,15 @@ object MediaFrames {
   /** Idempotently make the planner aware of [[FrameStats]] on this
     * session (same per-session hook as [[AsOf.install]]). */
   def install(spark: SparkSession): Unit = synchronized {
-    val cur = spark.experimental.extraStrategies
-    if (!cur.contains(FrameStatsStrategy))
-      spark.experimental.extraStrategies = cur :+ FrameStatsStrategy
+    // planner.strategies covers both experimental.extraStrategies and
+    // extension-injected strategies (GraftExtensions already registers
+    // FrameStatsStrategy on sessions built through GraftSession) — the
+    // old extraStrategies-only probe re-registered on those sessions
+    val already = spark.sessionState.planner.strategies
+      .contains(FrameStatsStrategy)
+    if (!already)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ FrameStatsStrategy
   }
 
   /** Frame statistics over an opaque payload column (`string` payloads

@@ -40,6 +40,13 @@ final case class FrameStats(
   // the stats columns are GENERATED here, not references into the child
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
+  // …but the operator CONSUMES the child's (id, payload) columns even
+  // though no expression mentions them — without this, references is
+  // empty and ColumnPruning rewrites the child to Project(Nil) whenever
+  // a Project sits above this node, crashing planning (caught by review:
+  // frameStats(...).select(...) reproduced it)
+  override def references: AttributeSet = AttributeSet(child.output)
+
   override protected def withNewChildInternal(c: LogicalPlan): FrameStats =
     copy(child = c)
 }

@@ -64,4 +64,19 @@ class FrameStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"child must feed columnar batches, got ${scan.nodeName}")
     assert(scan.output.map(_.name) === Seq("doc_id", "text"))
   }
+
+  test("composes under projection: ColumnPruning must not strip the child") {
+    // regression: FrameStats.references was empty (all output columns are
+    // produced, none referenced), so a Project above it made ColumnPruning
+    // rewrite the child to Project(Nil) and planning crashed
+    val docs = Seq((1L, "abc"), (2L, "d" * 70)).toDF("doc_id", "text")
+    val projected = MediaFrames.frameStats(docs, "doc_id", "text")
+      .select("doc_id", "n_frames")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(projected.toSeq === Seq((1L, 1L), (2L, 2L)))
+    val withCol = MediaFrames.frameStats(docs, "doc_id", "text")
+      .withColumn("big", col("n_frames") > 1)
+      .where(col("big")).select("doc_id").as[Long].collect()
+    assert(withCol.toSeq === Seq(2L))
+  }
 }

@@ -41,6 +41,9 @@ def main(s01p, d01p, s1p, d1p):
               f"| {cell(c)} | {cell(d)} | {ratio(c, d)} |")
     # totals only over queries every engine completed, else they lie
     full = [n for n in names if all(num(q, n) is not None for q in engines)]
+    if not full:
+        print("| **total** | — | — | — | — | — | — |")
+        return
     ta, tb, tc, td = (sum(num(q, n) for n in full) for q in engines)
     mark = "" if complete else " (complete queries only)"
     print(f"| **total**{mark} | **{ta:.1f}** | **{tb:.1f}** "
