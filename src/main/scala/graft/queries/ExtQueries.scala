@@ -583,7 +583,11 @@ object ExtQueries {
       col("bucket"))
     val rn = row_number().over(Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id")))
-    q.join(c, Seq("bucket"))
+    // the query side is NQueries rows by definition — broadcast it so the
+    // corpus never shuffles for the probe (Catalyst can't infer this
+    // through the derived-column filter, so the hint is explicit; same
+    // plan at 100 TB: probes are the small side of an ANN lookup)
+    broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("bucket"),
         simCol(col("qv"), col("cv")).as("sim"))
