@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextF
+import graft.functions.VectorF
 
 /** Scratch harness for isolating bench regressions (not registered).
   * NOTE: never persist() here — CacheManager substitutes matching plan
@@ -31,35 +31,28 @@ object BenchLab {
       }
     }
 
-    val PmiMinCount = 3
-    val PmiTopN = 50
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-    def docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+    // isolate the map-side bucket-assignment scan: interpreted HOF vs
+    // native PlaneSignBits, 8- and 16-plane families
+    time("bucket_composed_8")(
+      emb.select(col("vec_id"),
+        VectorF.lshBucketComposed(col("v"), 8, 64).as("b")))
+    time("bucket_native_8")(
+      emb.select(col("vec_id"),
+        VectorF.lshBucket(col("v"), 8, 64).as("b")))
+    time("bucket_composed_16")(
+      emb.select(col("vec_id"),
+        VectorF.lshBucketComposed(col("v"), 16, 64).as("b")))
+    time("bucket_native_16")(
+      emb.select(col("vec_id"),
+        VectorF.lshBucket(col("v"), 16, 64).as("b")))
 
-    def pmi(toksDf: DataFrame): DataFrame = {
-      val uni = toksDf
-        .select(explode(TextF.termHistogram(col("toks"))).as("h"))
-        .groupBy(col("h.term").as("w")).agg(sum("h.tf").as("cw"))
-      val bi = toksDf
-        .select(explode(TextF.shinglesFromTokens(col("toks"), 2))
-          .as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("cab"))
-        .filter(col("cab") >= PmiMinCount)
-      val n = toksDf.agg(sum(size(col("toks"))).as("n"))
-      bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
-        .withColumn("w2", split(col("bigram"), " ").getItem(1))
-        .join(uni.withColumnsRenamed(Map("w" -> "w1", "cw" -> "c1")), "w1")
-        .join(uni.withColumnsRenamed(Map("w" -> "w2", "cw" -> "c2")), "w2")
-        .crossJoin(broadcast(n))
-        .select(col("bigram"), col("cab"),
-          expr("(cab * n * 1000000) div (c1 * c2)").as("ratio_ppm"))
-        .orderBy(col("ratio_ppm").desc, col("bigram"))
-        .limit(PmiTopN)
-    }
-
-    time("pmi_retokenize")(pmi(docsRaw))
-    time("pmi_toks_ckpt")(pmi(docsRaw.localCheckpoint()))
+    // full registered queries riding the swap
+    time("x_ann_lsh")(SparkEntry.queries("x_ann_lsh")(spark, sfDir))
+    time("x_embed_neardup")(SparkEntry.queries("x_embed_neardup")(spark, sfDir))
+    time("x_knn_graph")(SparkEntry.queries("x_knn_graph")(spark, sfDir))
     spark.stop()
   }
 }

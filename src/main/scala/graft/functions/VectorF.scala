@@ -61,12 +61,33 @@ object VectorF {
     * plane is ONE array literal (`typedlit`), not dim scalar literals —
     * at embedding dims × 16 planes, per-element `lit`s would blow up the
     * plan/constant pool; a single ArrayType literal keeps the codegen'd
-    * dot product and a constant-size plan. */
-  def planeSignBit(v: Column, p: Int, dim: Int): Column =
+    * dot product and a constant-size plan.
+    *
+    * Composed (interpreted-HOF) reference form — production callers go
+    * through [[planeSignBits]], the native codegen expression; the
+    * equivalence is spec-asserted ([[graft.plans.PlaneSignBitsSpec]]). */
+  def planeSignBitComposed(v: Column, p: Int, dim: Int): Column =
     when(dot(v, typedlit(plane(p, dim))) >= 0, 1L).otherwise(0L)
 
-  /** `nPlanes`-bit LSH bucket id for a vector column of dimension `dim`. */
+  /** Packed sign bits of <v, plane_k> for a plane family, as the native
+    * single-scan expression ([[graft.plans.PlaneSignBits]]): bit k of
+    * the result is the sign bit against `planeIdxs(k)`. The coalesce
+    * pins the composed form's NULL-vector edge (dot NULL → when → 0). */
+  def planeSignBits(v: Column, planeIdxs: Seq[Int], dim: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    coalesce(GraftBridge.column(graft.plans.PlaneSignBits(
+      GraftBridge.expression(v), planeIdxs, dim)), lit(0L))
+  }
+
+  /** `nPlanes`-bit LSH bucket id for a vector column of dimension `dim`
+    * (native; bit p = sign against plane p, matching the composed
+    * `Σ signBit(p) · 2^p` exactly). */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map(p => planeSignBit(v, p, dim) * lit(1L << p))
+    planeSignBits(v, 0 until nPlanes, dim)
+
+  /** Composed-HOF reference form of [[lshBucket]], kept for the
+    * native≡composed equivalence spec. */
+  def lshBucketComposed(v: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map(p => planeSignBitComposed(v, p, dim) * lit(1L << p))
       .reduce(_ + _)
 }

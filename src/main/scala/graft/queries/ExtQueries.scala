@@ -633,9 +633,8 @@ object ExtQueries {
   private val NdThreshold = 0.45
 
   private def ndBandCode(v: Column, band: Int): Column =
-    (0 until 2).map { i =>
-      VectorF.planeSignBit(v, 100 + band * 2 + i, Dim) * lit(1L << i)
-    }.reduce(_ + _)
+    VectorF.planeSignBits(
+      v, Seq(100 + band * 2, 100 + band * 2 + 1), Dim)
 
   private def embedNeardupPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
