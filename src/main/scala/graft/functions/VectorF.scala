@@ -37,6 +37,29 @@ object VectorF {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** L2 distance as the composed HOF form — kept as the spec reference
+    * for [[euclideanNative]]. */
+  def euclideanComposed(a: Column, b: Column): Column =
+    sqrt(arraySum(zip_with(a, b, (x, y) => (x - y) * (x - y))))
+
+  /** [[euclideanComposed]] as a native single-pass codegen expression
+    * ([[graft.plans.EuclideanDist]]) — same bits, one fused loop, no
+    * intermediate difference arrays. Inputs must be `array<double>`. */
+  def euclideanNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.EuclideanDist(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** All dot products against a plane family in one native scan
+    * ([[graft.plans.PlaneDots]]); element k is `<v, plane(planeIdxs(k))>`
+    * with the composed fold's bits. */
+  def planeDots(v: Column, planeIdxs: Seq[Int], dim: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.PlaneDots(
+      GraftBridge.expression(v), planeIdxs, dim))
+  }
+
   /** Random-hyperplane LSH bucket: sign-bit signature over `nPlanes`
     * deterministic pseudo-hyperplanes derived from the vector itself is NOT
     * valid LSH — planes must be data-independent. We derive plane p's

@@ -694,7 +694,7 @@ object ExtQueries {
   private val IvfNProbe = 2
 
   private def l2(a: Column, b: Column): Column =
-    sqrt(VectorF.arraySum(zip_with(a, b, (x, y) => (x - y) * (x - y))))
+    VectorF.euclideanNative(a, b)
 
   /** Nearest-centroid assignment (one Lloyd "assign" step): rank over the
     * broadcast centroid set by rounded L2, centroid-id tie-break. */
@@ -906,15 +906,17 @@ object ExtQueries {
     * distortion bound (`JlProjectionSpec` measures the empirical
     * original↔projected distance correlation).
     *
-    * Plan shape: pure scan-side map — [[ProjDim]] codegen'd dot products
-    * against single array-literal planes (no per-component `lit`
-    * blowup), zero shuffles, one pass. Projections round 6dp; the
-    * left-to-right fold matches DuckDB's `list_dot_product` exactly. */
+    * Plan shape: pure scan-side map — ONE native [[graft.plans.PlaneDots]]
+    * scan produces all [[ProjDim]] dot products (the per-plane HOF form
+    * is interpreted and walks the vector twice per plane), zero
+    * shuffles, one pass. Projections round 6dp; the left-to-right fold
+    * matches DuckDB's `list_dot_product` exactly. */
   private def randProjection(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
+      .select(col("vec_id"),
+        VectorF.planeDots(embDouble, 0 until ProjDim, Dim).as("dots"))
       .select(col("vec_id") +: (0 until ProjDim).map(p =>
-        round(VectorF.dot(embDouble, typedlit(VectorF.plane(p, Dim))), 6)
-          .as(s"proj_$p")): _*)
+        round(col("dots").getItem(p), 6).as(s"proj_$p")): _*)
       .orderBy("vec_id")
 
   private val randProjectionSql = {
