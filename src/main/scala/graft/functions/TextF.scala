@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Text-analysis scalar surface for the training-data-pipeline extension ops
   * (tokenization, quality scoring, language-ID, fingerprinting, shingling).
   *
-  * Everything here is built from `org.apache.spark.sql.functions._`
-  * (codegen'd higher-order array functions) — no UDFs — so a 100 TB
+  * Everything here is built from `org.apache.spark.sql.functions._` or
+  * native codegen Expressions (graft.plans) — no UDFs — so a 100 TB
   * documents scan keeps whole-stage codegen end-to-end and the work
-  * parallelizes per input split with zero shuffles.
+  * parallelizes per input split with zero shuffles. Where a built-in
+  * higher-order function (filter/aggregate — INTERPRETED in Catalyst)
+  * sat on the per-token hot path, a native expression replaced it with
+  * the composed form kept as the spec-asserted reference
+  * (TokenStatSpec).
   *
   * All ratio math is pure IEEE-754 over exactly-computed integers with the
   * same expression tree as the DuckDB oracle SQL (graft.queries.ExtQueries),
@@ -33,10 +37,23 @@ object TextF {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
+  /** Count of tokens belonging to a small constant word set, as the
+    * native single-pass expression ([[graft.plans.TokenSetCount]]). */
+  def tokenSetCount(lt: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.TokenSetCount(
+      GraftBridge.expression(lt), words))
+  }
+
+  /** Composed (interpreted-HOF) reference form of [[tokenSetCount]],
+    * kept for the equivalence spec. */
+  def tokenSetCountComposed(lt: Column, words: Seq[String]): Column =
+    size(filter(lt, t => t.isin(words: _*)))
+
   /** stopword tokens / all tokens; NULL for empty docs (0/0 guarded). */
   def stopwordRatio(text: Column): Column = {
     val toks = lowerTokens(text)
-    size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+    tokenSetCount(toks, Stopwords).cast("double") /
       nullif(size(toks), lit(0)).cast("double")
   }
 
@@ -61,7 +78,7 @@ object TextF {
     "fr" -> Seq("le", "et", "les", "un", "est"))
 
   def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(lowerTokens(text), t => t.isin(markers: _*)))
+    tokenSetCount(lowerTokens(text), markers)
 
   /** NULL text → NULL language (not "fr" via the otherwise fallthrough). */
   def langId(text: Column): Column = {
@@ -78,7 +95,7 @@ object TextF {
 
   /** stopwordRatio over a materialized lowercase-token column. */
   def stopwordRatioT(lt: Column): Column =
-    size(filter(lt, t => t.isin(Stopwords: _*))).cast("double") /
+    tokenSetCount(lt, Stopwords).cast("double") /
       nullif(size(lt), lit(0)).cast("double")
 
   /** qualityScore from a materialized token column + raw text. */
@@ -89,7 +106,7 @@ object TextF {
   /** langId over a materialized lowercase-token column. */
   def langIdT(text: Column, lt: Column): Column = {
     val Seq(e, g, s, f) = LangMarkers.map { case (_, m) =>
-      size(filter(lt, t => t.isin(m: _*)))
+      tokenSetCount(lt, m)
     }
     when(text.isNull, lit(null).cast("string"))
       .when(e >= g && e >= s && e >= f, "en")
@@ -115,7 +132,16 @@ object TextF {
     * column. */
   val RollB = 1000003L
   val RollP = 4294967311L
-  def rollingHash(lt: Column): Column =
+  def rollingHash(lt: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.RollingTokenHash(
+      GraftBridge.expression(lt), RollB, RollP))
+  }
+
+  /** Composed (interpreted-HOF) reference form of [[rollingHash]], kept
+    * for the equivalence spec: the `aggregate` lambda re-evaluates the
+    * md5→substring→conv tree interpreted per token. */
+  def rollingHashComposed(lt: Column): Column =
     aggregate(lt, lit(0L), (acc, t) =>
       (acc * RollB + conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
         .cast("long")) % RollP)
