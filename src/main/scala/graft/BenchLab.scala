@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorF
+import graft.ops.DirectAgg
 
 /** Scratch harness for isolating bench regressions (not registered).
   * NOTE: never persist() here — CacheManager substitutes matching plan
@@ -31,28 +31,18 @@ object BenchLab {
       }
     }
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // near-unique-key aggregate: stock partial→final vs DirectCount
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_partkey", "l_suppkey")
+    time("route_agg_stock")(
+      li.groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("n")))
+    time("route_agg_direct")(DirectAgg.countByKeys(li, "n"))
 
-    // isolate the map-side bucket-assignment scan: interpreted HOF vs
-    // native PlaneSignBits, 8- and 16-plane families
-    time("bucket_composed_8")(
-      emb.select(col("vec_id"),
-        VectorF.lshBucketComposed(col("v"), 8, 64).as("b")))
-    time("bucket_native_8")(
-      emb.select(col("vec_id"),
-        VectorF.lshBucket(col("v"), 8, 64).as("b")))
-    time("bucket_composed_16")(
-      emb.select(col("vec_id"),
-        VectorF.lshBucketComposed(col("v"), 16, 64).as("b")))
-    time("bucket_native_16")(
-      emb.select(col("vec_id"),
-        VectorF.lshBucket(col("v"), 16, 64).as("b")))
-
-    // full registered queries riding the swap
-    time("x_ann_lsh")(SparkEntry.queries("x_ann_lsh")(spark, sfDir))
-    time("x_embed_neardup")(SparkEntry.queries("x_embed_neardup")(spark, sfDir))
-    time("x_knn_graph")(SparkEntry.queries("x_knn_graph")(spark, sfDir))
+    // full queries riding the route aggregate
+    time("q_topk_popularity")(
+      SparkEntry.queries("q_topk_popularity")(spark, sfDir))
+    time("x_containment_pairs")(
+      SparkEntry.queries("x_containment_pairs")(spark, sfDir))
     spark.stop()
   }
 }

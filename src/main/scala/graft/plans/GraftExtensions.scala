@@ -11,9 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // whole-operator extensions: as-of join + columnar frame stats
+    // whole-operator extensions: as-of join + columnar frame stats +
+    // skip-partial count
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => FrameStatsStrategy)
+    ext.injectPlannerStrategy(_ => DirectCountStrategy)
     ext.injectFunction((
       FunctionIdentifier("wkt_centroid_lng"),
       new ExpressionInfo(classOf[WktCentroidLng].getName,

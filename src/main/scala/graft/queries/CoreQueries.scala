@@ -255,9 +255,13 @@ object CoreQueries {
     // 4.6 s at sf1) than letting the rollups aggregate the fact table
     // directly, where their tiny key cardinality (~|suppliers|,
     // ~|parts|) map-side-combines to almost nothing per scan partition.
-    val routeAgg = tbl(s, dir, "lineitem")
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(count(lit(1)).as("route_count"))
+    // skip-partial count (graft.plans.DirectCount): near-unique keys mean
+    // the stock map-side partial pass hashes the whole fact scan for ~1.5%
+    // shuffle reduction — the single Complete-mode aggregate measured
+    // 0.38 s vs 0.60 s warm at sf0.1 (BenchLab).
+    val routeAgg = graft.ops.DirectAgg.countByKeys(
+      tbl(s, dir, "lineitem").select("l_partkey", "l_suppkey"),
+      "route_count")
 
     val routes = rankedTopK(
       routeAgg.select(col("l_partkey").cast("string").as("hex_pickup"),

@@ -478,9 +478,15 @@ object ExtQueries {
     val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val a = cold.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = cold.select(col("doc_id").as("doc_b"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("doc_a") =!= col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+    // skip-partial count (graft.plans.DirectCount): the co-occurrence
+    // stream collapses 25.3 M rows to 22.6 M distinct pairs at sf1
+    // (avg group 1.12 — PLANS.md round 6), so the stock partial pass is
+    // a full-stream hash build for an 11% reduction.
+    val inter = graft.ops.DirectAgg.countByKeys(
+      a.join(b, Seq("shingle")).filter(col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b"),
+      "inter")
+    inter
       .join(na, "doc_a")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("na").cast("double"))
