@@ -15,7 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // skip-partial count
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => FrameStatsStrategy)
-    ext.injectPlannerStrategy(_ => DirectCountStrategy)
+    ext.injectPlannerStrategy(_ => DirectAggStrategy)
     ext.injectFunction((
       FunctionIdentifier("wkt_centroid_lng"),
       new ExpressionInfo(classOf[WktCentroidLng].getName,

@@ -151,10 +151,14 @@ object ExtQueries {
     * lowercase text): groupBy fingerprint, keep min doc_id. Scale: one
     * shuffle on the fingerprint — the canonical exact-dedup plan. */
   private def dedupExactRaw(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
-      .select(col("doc_id"), TextF.fingerprint(col("text")).as("fingerprint"))
-      .groupBy("fingerprint")
-      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+    // skip-partial aggregate: fingerprints are ~96% unique (that is what
+    // makes it a dedup), so the stock partial pass hashes every doc for
+    // a few-percent shuffle reduction
+    graft.ops.DirectAgg.aggByKeys(
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextF.fingerprint(col("text")).as("fingerprint")),
+      Seq("fingerprint"),
+      min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     dedupExactRaw(s, dir).orderBy("fingerprint")
@@ -213,9 +217,16 @@ object ExtQueries {
       col("x"), col("y"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"),
       col("x"), col("y"))
-    val cand = a.join(b, Seq("band", "x", "y"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // skip-partial distinct (graft.plans.DirectAggregate): a pair
+    // colliding in several bands duplicates across DIFFERENT union
+    // branches, so the map-side partial can never merge them — within
+    // one band a (doc_a, doc_b, bucket) row is unique by construction.
+    // The partial pass would hash the full candidate stream for zero
+    // reduction.
+    val cand = graft.ops.DirectAgg.distinctByKeys(
+      a.join(b, Seq("band", "x", "y"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b"))
     (sigs, cand)
   }
 

@@ -483,8 +483,11 @@ object TrainPrepQueries {
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), explode(chunks).as("seg"))
-    val d = segs.select(col("doc_id"), md5(col("seg")).as("fp"))
-      .groupBy("doc_id", "fp").agg(count(lit(1)).as("reps"))
+    // skip-partial count (graft.plans.DirectAggregate): chunks are
+    // mostly unique within a doc, so (doc_id, fp) is near-unique and the
+    // map-side partial pass buys ~nothing
+    val d = graft.ops.DirectAgg.countByKeys(
+      segs.select(col("doc_id"), md5(col("seg")).as("fp")), "reps")
     val keeper = d.groupBy("fp").agg(min("doc_id").as("keeper_doc"))
     d.join(keeper, "fp")
       .groupBy("doc_id")

@@ -18,4 +18,10 @@ object GraftBridge {
     * takes is what every local/driver session actually is. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Grouping-key floating-point canonicalization (-0.0 ≡ 0.0, NaN) —
+    * the same `private[sql]` normalization the stock Aggregation strategy
+    * applies before building a physical aggregate. */
+  def normalizeFloat(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.ops.DirectAgg
 
-/** Semantics + plan shape for the skip-partial count operator. */
+/** Semantics + plan shape for the skip-partial aggregate operator. */
 class DirectCountSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
 
@@ -25,6 +25,27 @@ class DirectCountSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.toSeq.map(_._3).sum === 5000L)
   }
 
+  test("general aggregates (min/sum/count) match the stock plan") {
+    val df = (0 until 4000)
+      .map(i => (s"f${i % 1900}", i.toLong, (i % 13).toLong))
+      .toDF("fp", "id", "w")
+    val got = DirectAgg.aggByKeys(df, Seq("fp"),
+      min(col("id")).as("keeper"), sum(col("w")).as("tw"),
+      count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = df.groupBy("fp").agg(min(col("id")).as("keeper"),
+      sum(col("w")).as("tw"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("distinctByKeys matches distinct()") {
+    val df = (0 until 3000).map(i => (i % 1100, i % 7)).toDF("a", "b")
+    val got = DirectAgg.distinctByKeys(df).as[(Int, Int)].collect().toSet
+    val want = df.distinct().as[(Int, Int)].collect().toSet
+    assert(got === want)
+  }
+
   test("plans ONE hash aggregate and ONE key shuffle — no partial phase") {
     val df = (0 until 1000).map(i => (i.toLong, i % 3)).toDF("a", "b")
     val counted = DirectAgg.countByKeys(df.select("a", "b"), "n")
@@ -37,11 +58,36 @@ class DirectCountSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.length === 1, s"want exactly one shuffle:\n$exec")
   }
 
-  test("count column name collision and empty keys are rejected") {
+  test("count column name collision is rejected") {
     val df = Seq((1, 2)).toDF("a", "n")
     intercept[IllegalArgumentException] {
       DirectAgg.countByKeys(df, "n")
     }
+  }
+
+  test("unsupported shapes fall back to the stock two-phase plan, correctly") {
+    val df = (0 until 100).map(i => (i % 10, i % 4)).toDF("a", "n")
+    // DISTINCT aggregate: single-phase path must decline, results stock
+    val d = DirectAgg.aggByKeys(df, Seq("a"), count_distinct(col("n")).as("d"))
+    assert(d.as[(Int, Long)].collect().toSet ===
+      df.groupBy("a").agg(count_distinct(col("n")).as("d"))
+        .as[(Int, Long)].collect().toSet)
+    // non-mutable buffer (collect_list): same fallback
+    val l = DirectAgg.aggByKeys(df, Seq("a"),
+      size(collect_list(col("n"))).as("sz"))
+    assert(l.as[(Int, Int)].collect().toSet ===
+      df.groupBy("a").agg(size(collect_list(col("n"))).as("sz"))
+        .as[(Int, Int)].collect().toSet)
+  }
+
+  test("reused branches (self-join over the aggregate) stay consistent") {
+    // the exact shape that broke the opaque-holder design: the counted
+    // frame feeds two branches that the analyzer dedups independently
+    val df = (0 until 400).map(i => (i % 150, i)).toDF("k", "v")
+    val d = DirectAgg.countByKeys(df.select("k"), "reps")
+    val keeper = d.groupBy("reps").agg(min(col("k")).as("min_k"))
+    val joined = d.join(keeper, "reps").filter(col("k") === col("min_k"))
+    assert(joined.count() === d.select("reps").distinct().count())
   }
 
   test("downstream operators compose over the counted output") {
