@@ -139,10 +139,14 @@ object CurateQueries {
       .localCheckpoint()
       .select(col("doc_id"), col("n_tok"), col("n_utok"), col("n_tri"),
         col("n_utri"), explode_outer(col("bg")).as("bigram"))
-      .groupBy("doc_id", "bigram")
-      .agg(count(lit(1)).as("c"), first("n_tok").as("n_tok"),
-        first("n_utok").as("n_utok"), first("n_tri").as("n_tri"),
-        first("n_utri").as("n_utri"))
+      .transform(d =>
+        // skip-partial (graft.plans.DirectAggStrategy): bigrams are ~96%
+        // unique within a doc, so (doc_id, bigram) is near-unique and the
+        // map-side partial hashes the stream for ~nothing
+        graft.ops.DirectAgg.aggByKeys(d, Seq("doc_id", "bigram"),
+          count(lit(1)).as("c"), first("n_tok").as("n_tok"),
+          first("n_utok").as("n_utok"), first("n_tri").as("n_tri"),
+          first("n_utri").as("n_utri")))
     val agg = perBigram.groupBy("doc_id")
       .agg(max(when(col("bigram").isNotNull, col("c")).otherwise(0L))
           .as("top_bg"),

@@ -332,11 +332,15 @@ object ExtQueries {
       col("simhash").as("sim_a"), col("band"), col("byte"))
     val b = bands.select(col("doc_id").as("doc_b"),
       col("simhash").as("sim_b"), col("band"), col("byte"))
-    a.join(b, Seq("band", "byte"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        HashF.hammingDist(col("sim_a"), col("sim_b")).as("hamming"))
-      .distinct()
+    // skip-partial distinct (graft.plans.DirectAggStrategy): as with the
+    // MinHash candidates, a pair colliding in several byte-bands
+    // duplicates across different join-key partitions, so the map-side
+    // partial could never merge them
+    graft.ops.DirectAgg.distinctByKeys(
+      a.join(b, Seq("band", "byte"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          HashF.hammingDist(col("sim_a"), col("sim_b")).as("hamming")))
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }
