@@ -1,9 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
-import graft.ops.DirectAgg
 
 /** Scratch harness for isolating bench regressions (not registered).
   * NOTE: never persist() here — CacheManager substitutes matching plan
@@ -25,24 +22,31 @@ object BenchLab {
 
     def time(name: String)(df: => DataFrame): Unit = {
       (1 to 3).foreach { i =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"[lab] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
 
-    // near-unique-key aggregate: stock partial→final vs DirectCount
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select("l_partkey", "l_suppkey")
-    time("route_agg_stock")(
-      li.groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("n")))
-    time("route_agg_direct")(DirectAgg.countByKeys(li, "n"))
-
-    // full queries riding the route aggregate
-    time("q_topk_popularity")(
-      SparkEntry.queries("q_topk_popularity")(spark, sfDir))
-    time("x_containment_pairs")(
-      SparkEntry.queries("x_containment_pairs")(spark, sfDir))
+    // deterministic structure probe: jobs + stages per query run
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+        }
+      })
+    jobs.set(0); stages.set(0)
+    SparkEntry.queries("x_shortest_path")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    Thread.sleep(500)
+    println(s"[lab] x_shortest_path jobs=${jobs.get} stages=${stages.get}")
     spark.stop()
   }
 }

