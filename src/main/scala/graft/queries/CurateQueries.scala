@@ -497,11 +497,19 @@ object CurateQueries {
     val uni = toks
       .select(explode(TextF.termHistogram(col("toks"))).as("h"))
       .groupBy(col("h.term").as("w")).agg(sum("h.tf").as("cw"))
+    // NOT checkpointed: AQE's runtime stage reuse already dedups the
+    // identical unigram shuffle across its three consumers, and an eager
+    // checkpoint splits the job so the bigram scan stops overlapping
+    // (measured 2.6 → 4.6 s at sf1 with the checkpoint)
     val bi = toks
       .select(explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= PmiMinCount)
-    val n = toks.agg(sum(size(col("toks"))).as("n"))
+    // N = Σ c_w over the vocabulary — exactly the total token count, but
+    // derived from the unigram aggregate instead of a THIRD corpus
+    // scan+tokenize (the unigram exchange is reused, so this is a
+    // vocabulary-sized fold)
+    val n = uni.agg(sum("cw").as("n"))
     bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
       .join(uni.withColumnsRenamed(Map("w" -> "w1", "cw" -> "c1")), "w1")

@@ -279,17 +279,25 @@ object TrainPrepQueries {
     * cheaper than shuffling text.) Stats stay in exact integer math
     * (counts, token totals) so the composite is hash-comparable. */
   private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
-    // two-step select: `clean` is referenced twice below, and a single
-    // collapsed projection would re-run the regex chain per reference
+    // three-step select: `clean` / `lc` are each referenced twice below,
+    // and a single collapsed projection would re-run the regex chain per
+    // reference. Lowercasing once is also a semantic shortcut:
+    // `clean` is already trimmed and single-spaced, so
+    // fingerprint(clean) = md5(regexp_replace(lower(trim(clean)), …))
+    // reduces to md5(lower(clean)) — the trim and the whitespace regex
+    // are identity passes there (lowercasing creates no whitespace).
+    // Dropping them removes one full regex pass per document; the oracle
+    // keeps the canonical spelling and the row hashes must stay equal.
     val compact = tbl(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         regexp_replace(
           trim(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
             UrlRe, "<URL>")),
           "\\s+", " ").as("clean"))
+      .select(col("doc_id"), col("lang"), lower(col("clean")).as("lc"))
       .select(col("doc_id"), col("lang"),
-        TextF.fingerprint(col("clean")).as("fp"),
-        size(TextF.lowerTokens(col("clean"))).as("n_tokens"))
+        md5(col("lc").cast("binary")).as("fp"),
+        size(TextF.tokens(col("lc"))).as("n_tokens"))
     val byFp = Window.partitionBy(col("fp"))
     val bucket = pmod(HashF.tokenHash(col("doc_id").cast("string")), lit(100))
     compact
