@@ -623,7 +623,123 @@ object TrainPrepQueries {
        |  FROM documents
        |) WHERE h < quality * 4294967296.0 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------ BPE training ----------------------------
+
+  /** Number of byte-pair merges to learn. */
+  private val BpeMerges = 4
+
+  /** Greedy left-to-right application of one learned merge (l, r) → lr
+    * over a symbol array — the standard BPE re-segmentation step: a fold
+    * whose accumulator replaces its last symbol when (last, current)
+    * matches the merge, so overlapping occurrences merge non-overlapping
+    * left-to-right ("aaa" + merge(a,a) → [aa, a], never [aa, aa]).
+    * `l`/`r` are driver-known per round and interpolate as literals
+    * (alphabetic by construction — the word filter admits only
+    * `^[a-z]+$`). */
+  private def bpeApply(l: String, r: String): Column = expr(
+    s"""CASE WHEN size(s) <= 1 THEN s ELSE
+       |  aggregate(slice(s, 2, size(s) - 1), array(element_at(s, 1)),
+       |    (acc, x) -> CASE WHEN element_at(acc, -1) = '$l' AND x = '$r'
+       |      THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+       |      ELSE concat(acc, array(x)) END) END""".stripMargin)
+
+  /** Byte-pair-encoding merge training — the tokenizer-training pass
+    * (Sennrich et al. 2016, as implemented by production tokenizer
+    * trainers): learn the top-[[BpeMerges]] adjacent-symbol merges, each
+    * round counting pair frequencies over the WORD-TYPE table (word,
+    * corpus frequency) and fusing the most frequent pair (ties break on
+    * the pair text, deterministically, both engines).
+    *
+    * Scale: the corpus is scanned ONCE to build the word-frequency
+    * table; every subsequent round is vocabulary-local work (Zipf ⇒ the
+    * word-type table is MBs at 100 TB — this is exactly why production
+    * BPE trainers operate on word counts, and this plan inherits that
+    * property). The per-round top-1 is a `TakeOrderedAndProject` whose
+    * single row comes back to the driver to parameterize the next
+    * round's merge expression — a 1-row collect per round, not a
+    * driver-side data loop. Symbol tables are localCheckpointed per
+    * round (bounded, vocabulary-sized) so round k does not recompute
+    * rounds 1..k-1.
+    *
+    * Output: the learned merge table (merge_rank, left_sym, right_sym,
+    * pair_count) — the BPE artifact a tokenizer ships. */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = tbl(s, dir, "documents")
+      .select(explode(TextF.lowerTokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var syms = words.select(col("f"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("s"))
+      .localCheckpoint()
+    val learned =
+      scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to BpeMerges) {
+      val top = syms
+        .select(col("f"), explode(expr(
+          """CASE WHEN size(s) > 1 THEN
+            |  transform(sequence(1, size(s) - 1),
+            |    i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))
+            |ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"corpus exhausted before merge $rank")
+      val (l, r, cnt) =
+        (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      learned += ((rank, l, r, cnt))
+      syms = syms.select(col("f"), bpeApply(l, r).as("s")).localCheckpoint()
+    }
+    learned.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The same [[BpeMerges]] rounds unrolled as chained DuckDB CTEs — the
+    * oracle re-learns the merges independently (pair counting, top-1
+    * tie-break, and the greedy fold all in SQL; `reduce` with a list
+    * accumulator mirrors the Spark `aggregate` lambda). */
+  private val bpeMergesSql: String = {
+    def round(prev: String, n: Int): String =
+      s"""p$n AS (
+         |  SELECT u.l AS l, u.r AS r, sum(f) AS cnt
+         |  FROM $prev, unnest(list_transform(range(1, len(s)),
+         |    i -> {'l': s[i], 'r': s[i+1]})) AS t(u)
+         |  GROUP BY 1, 2
+         |), t$n AS (
+         |  SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1
+         |), s$n AS (
+         |  SELECT f,
+         |    reduce(list_transform(s, c -> [c]),
+         |      (acc, x) -> CASE WHEN acc[-1] = t.l AND x[1] = t.r
+         |        THEN list_append(acc[1:len(acc)-1], t.l || t.r)
+         |        ELSE list_append(acc, x[1]) END) AS s
+         |  FROM $prev, t$n t
+         |)""".stripMargin
+    val rounds = (1 to BpeMerges).map(n => round(s"s${n - 1}", n))
+      .mkString(",\n")
+    val unioned = (1 to BpeMerges)
+      .map(n => s"SELECT $n AS merge_rank, l AS left_sym, r AS right_sym, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM t$n")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(${OracleSql.lowerToks}) AS w FROM documents)
+       |  WHERE regexp_full_match(w, '[a-z]+')
+       |  GROUP BY w
+       |), s0 AS (
+       |  SELECT f, list_transform(range(1, len(w) + 1),
+       |                           i -> substr(w, i, 1)) AS s
+       |  FROM words
+       |),
+       |$rounds
+       |$unioned
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "x_bpe_merges" -> QueryDef(bpeMerges, Some(bpeMergesSql)),
     "x_weighted_sample" -> QueryDef(weightedSample, Some(weightedSampleSql)),
     "c_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql),
       bench = true),
