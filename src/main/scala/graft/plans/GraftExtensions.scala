@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => FrameStatsStrategy)
     ext.injectPlannerStrategy(_ => DirectAggStrategy)
+    // SQL surface for the skip-partial knob (SELECT /*+ SKIP_PARTIAL_AGG */)
+    ext.injectResolutionRule(_ => SkipPartialHintRule)
     ext.injectFunction((
       FunctionIdentifier("wkt_centroid_lng"),
       new ExpressionInfo(classOf[WktCentroidLng].getName,

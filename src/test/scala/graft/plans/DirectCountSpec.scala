@@ -98,3 +98,35 @@ class DirectCountSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(top === (0L until 5L).map(g => (g, 3L)))
   }
 }
+
+/** SQL-surface form of the skip-partial knob. */
+class SkipPartialHintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("SELECT /*+ SKIP_PARTIAL_AGG */ plans one agg phase, correct rows") {
+    (0 until 900).map(i => (i % 700, i)).toDF("k", "v")
+      .createOrReplaceTempView("skip_hint_t")
+    val df = spark.sql(
+      "SELECT /*+ SKIP_PARTIAL_AGG */ k, count(*) AS n, min(v) AS mn " +
+        "FROM skip_hint_t GROUP BY k")
+    df.write.format("noop").mode("overwrite").save()
+    val aggs = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case h: HashAggregateExec => h
+    }
+    assert(aggs.length === 1, s"hint must skip the partial phase:\n" +
+      df.queryExecution.executedPlan)
+    val want = spark.sql(
+      "SELECT k, count(*) AS n, min(v) AS mn FROM skip_hint_t GROUP BY k")
+      .as[(Int, Long, Int)].collect().toSet
+    assert(df.as[(Int, Long, Int)].collect().toSet === want)
+  }
+
+  test("hint on an unsupported aggregate degrades to the stock plan") {
+    Seq((1, 2), (1, 3), (2, 2)).toDF("k", "v")
+      .createOrReplaceTempView("skip_hint_u")
+    val df = spark.sql(
+      "SELECT /*+ SKIP_PARTIAL_AGG */ k, count(DISTINCT v) AS d " +
+        "FROM skip_hint_u GROUP BY k")
+    assert(df.as[(Int, Long)].collect().toSet === Set((1, 2L), (2, 1L)))
+  }
+}
