@@ -177,7 +177,13 @@ object CoreQueries {
       .filter(col("finish_rank") === 1)
       .select((keys.map(col) :+ col("p_name").as("pickup_zone")): _*)
 
-    doff.join(pup, keys, "inner")
+    // shuffle_hash on the J3 fact-fact edge: both branches shuffle on the
+    // composite key regardless; the hash build skips sorting two
+    // fact-scale inputs (6.1 → 5.5 s at sf1, same rationale as
+    // a3_daily_metrics / w_star_join). Build side is rows/partitions per
+    // task — bounded at 100 TB as partition count scales; AQE re-plans
+    // if runtime stats disagree.
+    doff.join(pup.hint("shuffle_hash"), keys, "inner")
       .select(keys.map(col) :+ col("dropoff_zone") :+ col("pickup_zone") :+
         DateTimeF.daypart(col("l_shipdate")).as("daypart"): _*)
   }
