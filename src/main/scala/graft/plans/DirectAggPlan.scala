@@ -41,12 +41,16 @@ import org.apache.spark.sql.execution.aggregate.HashAggregateExec
   *
   * Falls back to the stock planner (returns Nil) for anything the
   * single-phase hash path cannot honor: DISTINCT or FILTER aggregate
-  * forms, or non-mutable aggregation buffers (collect_list & co).
+  * forms, non-mutable aggregation buffers (collect_list & co), or an
+  * EMPTY grouping list (global aggregates — single-phase would mean
+  * shuffling every raw row to one partition).
   *
   * Scale: identical shuffle volume to the partial plan on near-unique
   * keys (there was nothing to combine), minus one full hash pass over the
   * input. Per-partition memory is distinct-keys/partitions — the same as
-  * the stock final phase; skew keys still split under AQE. For
+  * the stock final phase (note AQE's skew mitigation only splits
+  * join/rebalance shuffles, so a skewed key feeding the final aggregate
+  * is not split in EITHER plan — parity, not an extra risk). For
   * LOW-cardinality keys the stock partial plan is strictly better — the
   * hint is an explicit opt-in for the near-unique regime, not a
   * replacement default.
@@ -62,7 +66,14 @@ object DirectAggStrategy extends SparkStrategy {
     case agg: Aggregate if agg.hint.contains(SkipPartialAggHint) =>
       plan match {
         case PhysicalAggregation(grouping, aggExprs, result, child)
-            if aggExprs.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
+            // grouping.nonEmpty: a GLOBAL aggregate with
+            // requiredChildDistributionExpressions = Some(Nil) would demand
+            // AllTuples — EnsureRequirements would funnel the ENTIRE raw
+            // input to one partition with no partial reduction. Correct but
+            // an OOM/perf cliff; the stock two-phase plan is strictly better
+            // there, so empty grouping falls through.
+            if grouping.nonEmpty &&
+              aggExprs.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
               ae.mode == Complete) &&
               aggExprs.flatMap(_.aggregateFunction.aggBufferAttributes)
                 .forall(a => UnsafeRow.isMutable(a.dataType)) =>

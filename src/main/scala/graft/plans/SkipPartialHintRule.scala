@@ -9,8 +9,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * {{{ SELECT /*+ SKIP_PARTIAL_AGG */ k, count(*) FROM t GROUP BY k }}}
   *
   * Rewrites the `UnresolvedHint` into [[SkipPartialAggHint]] tags on the
-  * aggregates in the hinted scope (subquery aggregates included — the
-  * hint names a scope, like Spark's own join-strategy hints). Runs from
+  * aggregates in the hinted scope. The scope is the operator tree below
+  * the hint — aggregates nested inside scalar/IN subquery EXPRESSIONS are
+  * NOT tagged (`transformUp` does not descend into SubqueryExpression
+  * plans); hint inside the subquery text itself to reach those. Runs from
   * the injected resolution rules, i.e. before the analyzer's trailing
   * remove-unresolved-hints pass warns on and strips unknown hints.
   * Aggregates the single-phase path cannot honor still fall back at
@@ -24,7 +26,10 @@ object SkipPartialHintRule extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case UnresolvedHint(name, Nil, child) if name.equalsIgnoreCase(Name) =>
         child.transformUp {
-          case a: Aggregate if a.hint.isEmpty =>
+          case a: Aggregate if a.hint.isEmpty && a.groupingExpressions.nonEmpty =>
+            // empty grouping skipped: single-phase on a global aggregate
+            // would shuffle all raw rows to one partition (see
+            // DirectAggStrategy guard — defense in both layers)
             a.copy(hint = Some(SkipPartialAggHint))
         }
     }

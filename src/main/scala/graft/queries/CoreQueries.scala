@@ -261,7 +261,7 @@ object CoreQueries {
     // 4.6 s at sf1) than letting the rollups aggregate the fact table
     // directly, where their tiny key cardinality (~|suppliers|,
     // ~|parts|) map-side-combines to almost nothing per scan partition.
-    // skip-partial count (graft.plans.DirectCount): near-unique keys mean
+    // skip-partial count (graft.ops.DirectAgg via graft.plans.DirectAggStrategy): near-unique keys mean
     // the stock map-side partial pass hashes the whole fact scan for ~1.5%
     // shuffle reduction — the single Complete-mode aggregate measured
     // 0.38 s vs 0.60 s warm at sf0.1 (BenchLab).

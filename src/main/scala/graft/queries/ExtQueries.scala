@@ -217,7 +217,7 @@ object ExtQueries {
       col("x"), col("y"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"),
       col("x"), col("y"))
-    // skip-partial distinct (graft.plans.DirectAggregate): a pair
+    // skip-partial distinct (graft.ops.DirectAgg via graft.plans.DirectAggStrategy): a pair
     // colliding in several bands duplicates across DIFFERENT union
     // branches, so the map-side partial can never merge them — within
     // one band a (doc_a, doc_b, bucket) row is unique by construction.
@@ -493,7 +493,7 @@ object ExtQueries {
     val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val a = cold.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = cold.select(col("doc_id").as("doc_b"), col("shingle"))
-    // skip-partial count (graft.plans.DirectCount): the co-occurrence
+    // skip-partial count (graft.ops.DirectAgg via graft.plans.DirectAggStrategy): the co-occurrence
     // stream collapses 25.3 M rows to 22.6 M distinct pairs at sf1
     // (avg group 1.12 — PLANS.md round 6), so the stock partial pass is
     // a full-stream hash build for an 11% reduction.

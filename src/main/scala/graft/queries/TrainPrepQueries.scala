@@ -491,7 +491,7 @@ object TrainPrepQueries {
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), explode(chunks).as("seg"))
-    // skip-partial count (graft.plans.DirectAggregate): chunks are
+    // skip-partial count (graft.ops.DirectAgg via graft.plans.DirectAggStrategy): chunks are
     // mostly unique within a doc, so (doc_id, fp) is near-unique and the
     // map-side partial pass buys ~nothing
     val d = graft.ops.DirectAgg.countByKeys(

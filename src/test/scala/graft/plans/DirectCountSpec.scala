@@ -121,6 +121,23 @@ class SkipPartialHintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.as[(Int, Long, Int)].collect().toSet === want)
   }
 
+  test("hinted GLOBAL aggregate keeps the stock two-phase plan (no " +
+    "all-tuples shuffle of the raw input)") {
+    (0 until 5000).map(i => (i % 7, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("skip_hint_g")
+    val df = spark.sql(
+      "SELECT /*+ SKIP_PARTIAL_AGG */ count(*) AS n, sum(v) AS s " +
+        "FROM skip_hint_g")
+    df.write.format("noop").mode("overwrite").save()
+    val exec = df.queryExecution.executedPlan
+    // two phases = partial reduction happened before the single-partition
+    // exchange; the single-phase cliff would show exactly one
+    val aggs = collectWithSubqueries(exec) { case h: HashAggregateExec => h }
+    assert(aggs.length === 2, s"global agg must stay two-phase:\n$exec")
+    assert(df.as[(Long, Long)].collect().toSeq ===
+      Seq((5000L, (0 until 5000).map(_.toLong).sum)))
+  }
+
   test("hint on an unsupported aggregate degrades to the stock plan") {
     Seq((1, 2), (1, 3), (2, 2)).toDF("k", "v")
       .createOrReplaceTempView("skip_hint_u")
