@@ -138,30 +138,39 @@ object H3 {
     * its SHORT diagonal at (+1,+1) (the IJ direction — i and j axes meet
     * at 120°), so textbook cube-rounding (whose short diagonal is
     * (1,-1)) mis-rounds near the diagonal. Exact nearest-center over the
-    * 4 surrounding lattice candidates instead; ties are measure-zero
-    * cell-boundary inputs. */
-  private def hex2dToIjk(x: Double, y: Double): (Long, Long, Long) = {
+    * 4 corners of the enclosing basis parallelogram instead: the lattice
+    * Delaunay triangulation is equilateral with both triangles of each
+    * parallelogram spanned by its corners, and the max distance from a
+    * triangle-interior point to its nearest vertex (circumradius 0.577)
+    * is far under the min distance to any non-corner site (1.155), so 4
+    * candidates are exact with a wide FP margin. Ties are measure-zero
+    * cell-boundary inputs.
+    *
+    * Returns the nearest center packed as axial coords:
+    * (i << 32) | (j & 0xFFFFFFFF), both offset by +2^30 to stay
+    * non-negative (coords at res 15 reach a few million, well inside
+    * 31 bits). Callers unpack and normalize. */
+  @inline private def hex2dToAxialPacked(x: Double, y: Double): Long = {
     val jf = y / Sin60
     val if_ = x + jf * 0.5
     val i0 = floor(if_).toLong
     val j0 = floor(jf).toLong
     var bi = i0; var bj = j0; var bd = Double.MaxValue
-    // 4x4 window: in the 120° oblique basis the nearest center can sit
-    // outside the enclosing unit parallelogram's corners
-    var di = -1
-    while (di <= 2) {
-      var dj = -1
-      while (dj <= 2) {
-        val ci = i0 + di; val cj = j0 + dj
-        val cx = ci.toDouble - 0.5 * cj.toDouble
-        val cy = cj.toDouble * Sin60
-        val d = (cx - x) * (cx - x) + (cy - y) * (cy - y)
-        if (d < bd) { bd = d; bi = ci; bj = cj }
-        dj += 1
-      }
-      di += 1
+    var c = 0
+    while (c < 4) {
+      val ci = i0 + (c & 1); val cj = j0 + (c >> 1)
+      val cx = ci.toDouble - 0.5 * cj.toDouble
+      val cy = cj.toDouble * Sin60
+      val d = (cx - x) * (cx - x) + (cy - y) * (cy - y)
+      if (d < bd) { bd = d; bi = ci; bj = cj }
+      c += 1
     }
-    normI(bi, bj, 0L)
+    ((bi + 1073741824L) << 32) | (bj + 1073741824L)
+  }
+
+  private def hex2dToIjk(x: Double, y: Double): (Long, Long, Long) = {
+    val p = hex2dToAxialPacked(x, y)
+    normI((p >>> 32) - 1073741824L, (p & 0xFFFFFFFFL) - 1073741824L, 0L)
   }
 
   /** Aperture-7 up-aggregation, counter-clockwise variant (child grid →
@@ -313,7 +322,11 @@ object H3 {
   private val IsPent = new Array[Boolean](NumBaseCells)
   /** cwOffsetPent: for pentagon bc, faces where the leading-K escape
     * rotates CW instead of CCW. Keyed bc*32+face. */
-  private val PentCwOffset = new java.util.HashSet[Integer]()
+  private val PentCwOffset = new Array[Boolean](NumBaseCells * 32)
+  /** Pentagon cell centers (icosahedron vertices), for the rotation
+    * consistency search. */
+  private val PentLat = new Array[Double](NumBaseCells)
+  private val PentLng = new Array[Double](NumBaseCells)
 
   @inline private def tabIdx(f: Int, i: Long, j: Long, k: Long): Int =
     ((f * 3 + i.toInt) * 3 + j.toInt) * 3 + k.toInt
@@ -419,6 +432,11 @@ object H3 {
     require(pentNums == PentagonCells,
       s"pentagon numbering mismatch: derived $pentNums")
     for (n <- pentNums) IsPent(n) = true
+    for ((root, num) <- cellNum if pentNums.contains(num)) {
+      val (la, lo) = reps(root).center
+      PentLat(num) = la
+      PentLng(num) = lo
+    }
 
     // home appearance per cell: hexagons = lowest-face exact appearance;
     // pentagons = lowest face where the vertex is that face's i-vertex
@@ -497,42 +515,103 @@ object H3 {
   deriveTables()
 
   // ------------------------------------------------------------------
-  // Public API
+  // Core pipeline: raw chart-local digits, then table-driven finishing
   // ------------------------------------------------------------------
-  /** (lat°, lng°, res) → H3 index (64-bit). */
-  def latLngToCell(latDeg: Double, lngDeg: Double, res: Int): Long = {
-    require(res >= 0 && res <= MaxRes, s"resolution $res out of [0,15]")
-    val (face, x, y) = geoToHex2d(toRadians(latDeg), toRadians(lngDeg), res)
-    var (i, j, k) = hex2dToIjk(x, y)
+  /** geo (radians) → (face, res-0 i/j/k, raw index). The raw index has
+    * mode/res/digits set with digits in `face`'s own grid orientation;
+    * base-cell bits are still all-1 and no rotation has been applied.
+    *
+    * Results are returned through [[RawOut]] to keep the scan hot path
+    * allocation-free: the digit loop below runs `res` iterations per
+    * row and is written against primitive locals only (the tuple-based
+    * helper algebra above is reserved for derivation-time use). */
+  private final class RawOut {
+    var face: Int = 0
+    var i: Long = 0L; var j: Long = 0L; var k: Long = 0L
+    var h: Long = 0L
+  }
+  private val rawOutTL =
+    ThreadLocal.withInitial[RawOut](() => new RawOut)
+
+  private def rawIndexInto(latR: Double, lngR: Double, res: Int,
+      out: RawOut): Unit = {
+    // geoToHex2d, inlined face pick + projection
+    val face = nearestFace(latR, lngR)
+    val cosLat = cos(latR)
+    val dot = max(-1.0, min(1.0,
+      cosLat * cos(lngR) * FaceX(face) +
+        cosLat * sin(lngR) * FaceY(face) + sin(latR) * FaceZ(face)))
+    val rAng = acos(dot)
+    var x = 0.0; var y = 0.0
+    if (rAng >= 1e-15) {
+      val az = geoAzimuth(FaceLat(face), FaceLng(face), latR, lngR)
+      var theta = posAngle(FaceAz0(face) - posAngle(az))
+      if ((res & 1) == 1) theta = posAngle(theta - Ap7Rot) // Class III
+      var rr = tan(rAng) / Res0UGnomonic
+      var n = 0
+      while (n < res) { rr *= Sqrt7; n += 1 }
+      x = rr * cos(theta); y = rr * sin(theta)
+    }
+    // nearest hex center (4-corner exact rounding), normalized ijk
+    val packed = hex2dToAxialPacked(x, y)
+    var i = (packed >>> 32) - 1073741824L
+    var j = (packed & 0xFFFFFFFFL) - 1073741824L
+    var k = 0L
+    var m = min(i, min(j, k)); i -= m; j -= m; k -= m
     // index skeleton: mode 1, res, all digits 7
     var h = (1L << 59) | (res.toLong << 52) | ((1L << 45) - 1)
     var r = res
     while (r > 0) {
-      val (li, lj, lk) = (i, j, k)
-      val (ci, cj, ck) =
-        if ((r & 1) == 1) { // Class III
-          val up = upAp7(i, j, k); i = up._1; j = up._2; k = up._3
-          downAp7(i, j, k)
-        } else {
-          val up = upAp7r(i, j, k); i = up._1; j = up._2; k = up._3
-          downAp7r(i, j, k)
-        }
-      val (di, dj, dk) = normI(li - ci, lj - cj, lk - ck)
-      h = setDigit(h, r, unitIjkToDigit(di, dj, dk))
+      val li = i; val lj = j; val lk = k
+      // up-aggregate on axial (i-k, j-k), then normalize
+      val ai = (i - k).toDouble
+      val aj = (j - k).toDouble
+      var ui = 0L; var uj = 0L
+      if ((r & 1) == 1) { // Class III (ccw)
+        ui = floor((3.0 * ai - aj) / 7.0 + 0.5).toLong
+        uj = floor((ai + 2.0 * aj) / 7.0 + 0.5).toLong
+      } else { // Class II (cw)
+        ui = floor((2.0 * ai + aj) / 7.0 + 0.5).toLong
+        uj = floor((3.0 * aj - ai) / 7.0 + 0.5).toLong
+      }
+      var uk = 0L
+      m = min(ui, min(uj, uk)); ui -= m; uj -= m; uk -= m
+      // down-scale the parent back to the child grid, normalized
+      var ci = 0L; var cj = 0L; var ck = 0L
+      if ((r & 1) == 1) { ci = 3 * ui + uj; cj = 3 * uj + uk; ck = ui + 3 * uk }
+      else { ci = 3 * ui + uk; cj = ui + 3 * uj; ck = uj + 3 * uk }
+      m = min(ci, min(cj, ck)); ci -= m; cj -= m; ck -= m
+      // unit digit = child − parent-center
+      var di = li - ci; var dj = lj - cj; var dk = lk - ck
+      m = min(di, min(dj, dk)); di -= m; dj -= m; dk -= m
+      if (((di | dj | dk) & ~1L) != 0L)
+        throw new IllegalStateException(
+          s"non-unit digit ijk ($di,$dj,$dk) at res $r")
+      h = setDigit(h, r, (4 * di + 2 * dj + dk).toInt)
+      i = ui; j = uj; k = uk
       r -= 1
     }
     require(i >= 0 && i <= 2 && j >= 0 && j <= 2 && k >= 0 && k <= 2,
-      s"res-0 coords out of range: ($i,$j,$k) face $face for " +
-        s"($latDeg,$lngDeg,$res)")
-    val idx = tabIdx(face, i, j, k)
-    val bc = TabBc(idx)
-    require(bc >= 0, s"unmapped base-cell coord ($face,$i,$j,$k)")
-    val rot = TabRot(idx)
-    h = (h & ~(0x7FL << 45)) | (bc.toLong << 45)
+      s"res-0 coords out of range: ($i,$j,$k) face $face")
+    out.face = face; out.i = i; out.j = j; out.k = k; out.h = h
+  }
+
+  private def rawIndex(latR: Double, lngR: Double,
+      res: Int): (Int, Long, Long, Long, Long) = {
+    val o = rawOutTL.get()
+    rawIndexInto(latR, lngR, res, o)
+    (o.face, o.i, o.j, o.k, o.h)
+  }
+
+  /** Apply base-cell number + orientation to a raw index. Parameterized
+    * so the pentagon consistency search can trial candidate rotations;
+    * runtime calls always pass the resolved table values. */
+  @inline private def finishWith(hRaw: Long, bc: Int, rot: Int,
+      cwEscape: Boolean): Long = {
+    var h = (hRaw & ~(0x7FL << 45)) | (bc.toLong << 45)
     if (IsPent(bc)) {
       if (leadingNonZeroDigit(h) == 1) {
-        h = if (PentCwOffset.contains(bc * 32 + face)) rotate60(h, CwDigit)
-        else rotate60(h, CcwDigit)
+        h = if (cwEscape) rotate60(h, CwDigit) else rotate60(h, CcwDigit)
       }
       var n = 0
       while (n < rot) { h = rotatePent60ccw(h); n += 1 }
@@ -543,9 +622,259 @@ object H3 {
     h
   }
 
+  // ------------------------------------------------------------------
+  // Pentagon rotation resolution (the consistency search promised in
+  // the object scaladoc). The 5 faces around an icosahedron vertex fan
+  // at 72°, so a pentagon appearance's grid rotation cannot be read off
+  // a 60°-quantized bearing mismatch the way hexagon appearances can.
+  // Instead it is pinned empirically: a point pair straddling the
+  // boundary between two faces' nearest-face regions (1e-9 rad apart,
+  // interior to the same res-4 subcell with probability 1) MUST index
+  // identically through both charts. Walking the fan from the home face
+  // (rotation 0 by definition of canonical orientation) and brute-
+  // forcing each next face's (rot ∈ 0..5, cwEscape ∈ {t,f}) against the
+  // shared straddle pairs pins a unique assignment; a final global pass
+  // re-validates every pair and checks no finished index carries a
+  // leading K digit (the deleted subsequence).
+  // ------------------------------------------------------------------
+  private def resolvePentagons(): Unit = {
+    // Class III only: at even (Class II) resolutions the face boundary
+    // rays from a pentagon vertex are hex-lattice mirror lines (30° +
+    // 60°k from the chart axes) and run exactly along subcell edges, so
+    // a straddling pair legitimately sits in two different subcells and
+    // can never agree. The Class III grids are rotated ±19.1° off the
+    // face axes, leaving boundary pairs generically interior to one
+    // subcell — which is what the consistency constraint needs. Two
+    // resolutions: deeper digits discriminate rotations that shallow
+    // near-vertex (leading-zero-heavy) pairs cannot.
+    val SampleResList = Array(5, 7)
+    val NAz = 2048
+    val Radii = Array(0.03, 0.045, 0.06, 0.08, 0.095, 0.115) // rad
+
+    for (bc <- 0 until NumBaseCells if IsPent(bc)) {
+      val vLat = PentLat(bc); val vLng = PentLng(bc)
+
+      // sample: (face, i, j, k, rawH); az-major order per radius
+      case class S(face: Int, i: Long, j: Long, k: Long, raw: Long)
+      def sampleAt(az: Double, rho: Double, res: Int): Option[S] = {
+        val (la, lo) = geoAzDistance(vLat, vLng, az, rho)
+        val (f, i, j, k, raw) = rawIndex(la, lo, res)
+        if (TabBc(tabIdx(f, i, j, k)) == bc) Some(S(f, i, j, k, raw)) else None
+      }
+
+      // ring samples, computed once per (res, radius) and reused by the
+      // pair builder below and the global validation pass at the end
+      val rings: IndexedSeq[(Int, Double, Array[S])] = for {
+        res <- SampleResList.toIndexedSeq; rho <- Radii.toIndexedSeq
+      } yield (res, rho, Array.tabulate(NAz) { n =>
+        sampleAt(n * TwoPi / NAz, rho, res).orNull
+      })
+
+      // straddle pairs across face-region boundaries: bisect between
+      // consecutive ring samples that landed on different faces
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(S, S)]
+      for ((res, rho, ring) <- rings; n <- 0 until NAz) {
+        val a = ring(n); val b = ring((n + 1) % NAz)
+        if (a != null && b != null && a.face != b.face) {
+          var lo = n * TwoPi / NAz; var hi = (n + 1) * TwoPi / NAz
+          var sLo = a; var sHi = b
+          var it = 0
+          while (hi - lo > 1e-9 && it < 64) {
+            val mid = (lo + hi) / 2
+            sampleAt(mid, rho, res) match {
+              case Some(m) if m.face == sLo.face => lo = mid; sLo = m
+              case Some(m) => hi = mid; sHi = m
+              case None => it = 64 // fell out of the cell; drop pair
+            }
+            it += 1
+          }
+          if (hi - lo <= 1e-9 && sLo.face != sHi.face) pairs += ((sLo, sHi))
+        }
+      }
+
+      // member appearances seen in samples, grouped by face; fan order
+      // around the vertex by face-center azimuth
+      val faces = pairs.flatMap(p => Seq(p._1.face, p._2.face)).distinct
+      val homeFace = {
+        // home = the appearance deriveTables marked rot 0 (i-vertex face)
+        val fs = for {
+          f <- 0 until 20; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2
+          if TabBc(tabIdx(f, i, j, k)) == bc && TabRot(tabIdx(f, i, j, k)) == 0
+        } yield f
+        require(fs.nonEmpty, s"pentagon $bc: no home appearance")
+        fs.head
+      }
+      require(faces.contains(homeFace),
+        s"pentagon $bc: home face $homeFace not reached by sampling")
+
+      // candidate state per face: (rot, cwEscape)
+      val assign = scala.collection.mutable.Map.empty[Int, (Int, Boolean)]
+      // home rot is 0 by construction; its cw flag joins the first edge
+      // search below
+      def finishedOf(s: S, st: (Int, Boolean)): Long =
+        finishWith(s.raw, bc, st._1, st._2)
+
+      def consistent(p: (S, S), stA: (Int, Boolean), stB: (Int, Boolean)): Boolean =
+        finishedOf(p._1, stA) == finishedOf(p._2, stB)
+
+      // Joint CSP over the whole fan. A single boundary curve's digit
+      // patterns can be rotation-degenerate (the sampled sliver maps
+      // into a narrow digit sector where escape+rot compositions
+      // coincide), so greedy edge-at-a-time propagation can stall on an
+      // ambiguous edge. Enumerating assignments over all faces at once
+      // uses BOTH edges of every face simultaneously, which pins the
+      // fan uniquely. Home rot is 0 by definition; each other face has
+      // rot ∈ 0..5 and every face an independent cwEscape flag.
+      // cw flags are only constrained by leading-K samples; a genuinely
+      // unconstrained flag survives with both values — survivors must
+      // then agree on all rots, and the ccw default (false) is taken.
+      val otherFaces = faces.filterNot(_ == homeFace).toIndexedSeq
+      val edges: Map[(Int, Int), IndexedSeq[(S, S)]] = pairs.toIndexedSeq
+        .groupBy(p => (min(p._1.face, p._2.face), max(p._1.face, p._2.face)))
+      // rot ∈ 0..4: the pentagon digit rotation has order 5 (five
+      // applications step through the five non-deleted sectors and
+      // return — rot 5 ≡ rot 0), so 5 would only manufacture a
+      // spurious ambiguous duplicate of 0
+      val combos: IndexedSeq[(Int, Boolean)] = for {
+        rot <- 0 to 4; cw <- IndexedSeq(false, true)
+      } yield (rot, cw)
+      val homeCombos: IndexedSeq[(Int, Boolean)] =
+        IndexedSeq((0, false), (0, true))
+      def combosOf(f: Int): IndexedSeq[(Int, Boolean)] =
+        if (f == homeFace) homeCombos else combos
+      // per-edge compatibility tables
+      val compat: Map[(Int, Int), Array[Array[Boolean]]] = edges.map {
+        case ((fA, fB), ps) =>
+          val ca = combosOf(fA); val cb = combosOf(fB)
+          val t = Array.ofDim[Boolean](ca.size, cb.size)
+          for (ia <- ca.indices; ib <- cb.indices) {
+            t(ia)(ib) = ps.forall { p =>
+              val (a, b) = if (p._1.face == fA) (p._1, p._2) else (p._2, p._1)
+              consistent((a, b), ca(ia), cb(ib))
+            }
+          }
+          ((fA, fB), t)
+      }
+      // enumerate joint assignments (≤ 2 × 12^4 = 41k)
+      val faceIdx: Map[Int, Int] =
+        (homeFace +: otherFaces).zipWithIndex.toMap
+      val survivors = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      val cur = new Array[Int]((otherFaces.size + 1))
+      def rec(d: Int): Unit = {
+        if (d > otherFaces.size) { survivors += cur.clone(); return }
+        val f = if (d == 0) homeFace else otherFaces(d - 1)
+        val cs = combosOf(f)
+        var ci = 0
+        while (ci < cs.size) {
+          cur(d) = ci
+          // check edges to already-assigned faces
+          val ok = edges.keys.forall { case (fA, fB) =>
+            val dA = faceIdx(fA); val dB = faceIdx(fB)
+            if (dA > d || dB > d) true
+            else {
+              val t = compat((fA, fB))
+              t(cur(dA))(cur(dB))
+            }
+          }
+          if (ok) rec(d + 1)
+          ci += 1
+        }
+      }
+      rec(0)
+      if (System.getProperty("graft.h3.debug") != null) {
+        println(s"pent $bc home=$homeFace faces=${faces.toList} " +
+          s"edges=${edges.map { case (e, ps) => s"$e:${ps.size}" }.toList}")
+        for (sv <- survivors.take(8)) {
+          val a = (0 to otherFaces.size).map { d =>
+            val f = if (d == 0) homeFace else otherFaces(d - 1)
+            s"$f->${combosOf(f)(sv(d))}"
+          }
+          println(s"  survivor: ${a.mkString(" ")}")
+        }
+      }
+      require(survivors.nonEmpty, s"pentagon $bc: fan CSP has no solution")
+      // rots must be pinned uniquely; cw flags may be unconstrained
+      for (d <- 0 to otherFaces.size) {
+        val f = if (d == 0) homeFace else otherFaces(d - 1)
+        val rots = survivors.map(a => combosOf(f)(a(d))._1).distinct
+        require(rots.size == 1,
+          s"pentagon $bc: rotation ambiguous on face $f: $rots")
+      }
+      // deterministic pick: the first survivor (enumeration order puts
+      // cw=false first at every level)
+      val picked = survivors.head
+      for (d <- 0 to otherFaces.size) {
+        val f = if (d == 0) homeFace else otherFaces(d - 1)
+        assign(f) = combosOf(f)(picked(d))
+      }
+
+      // global validation: every straddle pair agrees; no finished index
+      // leads with K
+      for (p <- pairs) {
+        require(consistent(p, assign(p._1.face), assign(p._2.face)),
+          s"pentagon $bc: global pair validation failed on " +
+            s"${p._1.face}-${p._2.face}")
+      }
+      for ((_, _, ring) <- rings; s <- ring if s != null) {
+        val fin = finishedOf(s, assign(s.face))
+        require(leadingNonZeroDigit(fin) != 1,
+          s"pentagon $bc: finished index leads with K on face ${s.face}")
+      }
+
+      // write through to the runtime tables: every table slot of this bc
+      // on an assigned face gets that face's rotation
+      for {
+        f <- faces; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2
+        idx = tabIdx(f, i, j, k) if TabBc(idx) == bc
+      } {
+        val (rot, cw) = assign(f)
+        TabRot(idx) = rot
+        if (cw) PentCwOffset(bc * 32 + f) = true
+      }
+    }
+  }
+
+  resolvePentagons()
+
+  // ------------------------------------------------------------------
+  // Public API
+  // ------------------------------------------------------------------
+  /** (lat°, lng°, res) → H3 index (64-bit). */
+  def latLngToCell(latDeg: Double, lngDeg: Double, res: Int): Long = {
+    require(res >= 0 && res <= MaxRes, s"resolution $res out of [0,15]")
+    val o = rawOutTL.get()
+    rawIndexInto(toRadians(latDeg), toRadians(lngDeg), res, o)
+    val idx = tabIdx(o.face, o.i, o.j, o.k)
+    val bc = TabBc(idx)
+    require(bc >= 0, s"unmapped base-cell coord (${o.face},${o.i},${o.j},${o.k})")
+    val rot = TabRot(idx)
+    require(rot >= 0,
+      s"unresolved pentagon appearance (${o.face},${o.i},${o.j},${o.k}) for cell $bc")
+    finishWith(o.h, bc, rot, PentCwOffset(bc * 32 + o.face))
+  }
+
   /** (lat°, lng°, res) → canonical lowercase 15-hex-digit cell id. */
   def latLngToCellString(latDeg: Double, lngDeg: Double, res: Int): String =
     java.lang.Long.toHexString(latLngToCell(latDeg, lngDeg, res))
 
   def isPentagonCell(h: Long): Boolean = IsPent(getBaseCell(h))
+
+  /** Pentagon cell centers (icosahedron vertices), degrees — exposed
+    * for tests and for callers that need to locate/avoid pentagons. */
+  def pentagonCenters: IndexedSeq[(Int, Double, Double)] =
+    (0 until NumBaseCells).filter(IsPent).map { bc =>
+      (bc, toDegrees(PentLat(bc)), toDegrees(PentLng(bc)))
+    }
+
+  /** Derived base-cell orientation table dump, for authoring external
+    * oracles: rows (face, i, j, k, baseCell, ccwRot60, isPentagon,
+    * cwOffset). Coordinates are normalized res-0 ijk on `face`. */
+  def baseCellTable: IndexedSeq[(Int, Int, Int, Int, Int, Int, Boolean, Boolean)] =
+    for {
+      f <- 0 until 20; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2
+      idx = tabIdx(f, i, j, k) if TabBc(idx) >= 0
+    } yield {
+      val bc = TabBc(idx)
+      (f, i, j, k, bc, TabRot(idx), IsPent(bc), PentCwOffset(bc * 32 + f))
+    }
 }

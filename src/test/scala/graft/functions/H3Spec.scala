@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fidelity spec for [[H3]] — `latLngToCell` against PUBLISHED H3 test
+  * vectors (Uber H3 docs / h3-js README / deck.gl tutorials), plus the
+  * geometric consistency properties the derivation relies on.
+  *
+  * Externally validated: all hexagon vectors below (resolutions 0, 5, 7,
+  * 9, 10 across four icosahedron faces). Pentagon cells have NO offline
+  * published vectors available here; their orientation is pinned by the
+  * class-init consistency search (straddling face-boundary pairs must
+  * index identically, no finished index may lead with the deleted K
+  * digit — both `require`d at init, so the class failing to load IS the
+  * failing test) and by the internal-consistency tests at the bottom.
+  */
+class H3Spec extends AnyFunSuite {
+
+  // ------------------------------------------------------------------
+  // Published vectors
+  // ------------------------------------------------------------------
+  test("H3 docs quickstart: SF at res 9") {
+    // docs.uber.com h3 'Indexing functions' example
+    assert(H3.latLngToCellString(37.7752702151959, -122.418307270836, 9)
+      === "8928308280fffff")
+  }
+
+  test("h3-js README: Cupertino at res 5 and 7") {
+    assert(H3.latLngToCellString(37.3615593, -122.0553238, 5)
+      === "85283473fffffff")
+    assert(H3.latLngToCellString(37.3615593, -122.0553238, 7)
+      === "87283472bffffff")
+  }
+
+  test("north pole is base cell 1's res-0 cell") {
+    assert(H3.latLngToCellString(90.0, 0.0, 0) === "8001fffffffffff")
+  }
+
+  test("deck.gl/h3 tutorial: Statue of Liberty at res 10") {
+    assert(H3.latLngToCellString(40.689167, -74.044444, 10)
+      === "8a2a1072b59ffff")
+  }
+
+  // ------------------------------------------------------------------
+  // Index structure
+  // ------------------------------------------------------------------
+  test("index layout: mode 1, resolution and base cell fields") {
+    for (res <- 0 to 15) {
+      val h = H3.latLngToCell(40.7, -74.0, res)
+      assert((h >>> 59) === 1L, s"mode bits at res $res")
+      assert(H3.getResolution(h) === res)
+      val bc = H3.getBaseCell(h)
+      assert(bc >= 0 && bc < H3.NumBaseCells)
+      // digits past the resolution are all 7
+      val unusedMask = (1L << ((H3.MaxRes - res) * 3)) - 1
+      assert((h & unusedMask) === unusedMask, s"unused digits at res $res")
+    }
+  }
+
+  test("exactly 12 pentagons at the published base-cell numbers") {
+    val pents = H3.pentagonCenters
+    assert(pents.map(_._1).toSet ===
+      Set(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117))
+  }
+
+  // ------------------------------------------------------------------
+  // Cross-face continuity: a point pair 1e-9 rad apart straddling a
+  // face-boundary resolves through two different charts but must (with
+  // probability 1) land in the same res-7 cell. Walk the bisector of
+  // every adjacent face-center pair; allow the rare genuine cell-edge
+  // hit.
+  // ------------------------------------------------------------------
+  test("base-cell boundary straddle pairs resolve sanely (res 7)") {
+    // walk each parallel to a res-0 cell switch, bisect to 1e-9°, and
+    // check the two sides — which may resolve through two different
+    // face charts — land in exactly the two expected base cells (no
+    // chart-mismatch garbage cells)
+    var checked = 0
+    for (latI <- -8 to 8; lngI <- 0 until 36) {
+      val lat0 = latI * 10.0
+      val lng0 = lngI * 10.0 - 180.0
+      val lng1 = lng0 + 10.0
+      val c0 = H3.latLngToCell(lat0, lng0, 0)
+      val c1 = H3.latLngToCell(lat0, lng1, 0)
+      if (c0 != c1) {
+        var lo = lng0; var hi = lng1
+        while (hi - lo > 1e-9) {
+          val mid = (lo + hi) / 2
+          if (H3.latLngToCell(lat0, mid, 0) == c0) lo = mid else hi = mid
+        }
+        val a = H3.latLngToCell(lat0, lo, 7)
+        val b = H3.latLngToCell(lat0, hi, 7)
+        checked += 1
+        // aperture-7 children overflow their parent's boundary, so the
+        // res-7 base-cell field near a res-0 edge may be EITHER
+        // neighbor (or a third cell at a corner) — check membership in
+        // the local res-0 neighborhood, not equality
+        val nearby = (for {
+          dLat <- Seq(-1.5, 0.0, 1.5); dLng <- Seq(-1.5, 0.0, 1.5)
+        } yield H3.getBaseCell(
+          H3.latLngToCell(lat0 + dLat, lo + dLng, 0))).toSet
+        assert(Set(H3.getBaseCell(a), H3.getBaseCell(b)).subsetOf(nearby))
+      }
+    }
+    assert(checked > 30, s"expected many base-cell switches, got $checked")
+  }
+
+  test("continuity: 1e-9-degree perturbations keep the res-9 cell") {
+    var flips = 0
+    var n = 0
+    for (latI <- -80 to 80 by 7; lngI <- -175 to 175 by 11) {
+      val lat = latI + 0.123456
+      val lng = lngI + 0.654321
+      val a = H3.latLngToCell(lat, lng, 9)
+      val b = H3.latLngToCell(lat + 1e-9, lng + 1e-9, 9)
+      if (a != b) flips += 1
+      n += 1
+    }
+    // res-9 cells are ~1e-3 degrees across; a 1e-9 step straddles a cell
+    // edge with probability ~1e-6 per sample
+    assert(flips <= 1, s"$flips cell flips out of $n")
+  }
+
+  // ------------------------------------------------------------------
+  // Pentagon internal consistency (no offline external vectors; the
+  // orientation search itself is `require`d at class init)
+  // ------------------------------------------------------------------
+  test("pentagon centers index to their own base cell at res 0") {
+    for ((bc, lat, lng) <- H3.pentagonCenters) {
+      val h = H3.latLngToCell(lat, lng, 0)
+      assert(H3.getBaseCell(h) === bc)
+      assert(H3.isPentagonCell(h))
+    }
+  }
+
+  test("pentagon neighborhoods: valid indexes, no leading K digit") {
+    for ((bc, lat, lng) <- H3.pentagonCenters; res <- Seq(3, 6, 9)) {
+      var az = 0
+      while (az < 36) {
+        // ~2.3° ring inside the res-0 pentagon cell
+        val la = lat + 2.3 * math.cos(az * math.Pi / 18)
+        val lo = lng + 2.3 * math.sin(az * math.Pi / 18) /
+          math.max(0.2, math.cos(lat * math.Pi / 180))
+        val h = H3.latLngToCell(la, lo, res)
+        if (H3.isPentagonCell(h) && H3.getBaseCell(h) == bc) {
+          // leading non-zero digit must not be K (=1): the deleted axis
+          var r = 1
+          var lead = 0
+          while (r <= res && lead == 0) {
+            lead = ((h >>> ((H3.MaxRes - r) * 3)) & 7L).toInt
+            r += 1
+          }
+          assert(lead != 1, s"leading K digit near pentagon $bc at res $res")
+        }
+        az += 1
+      }
+    }
+  }
+
+  test("regression pin: base cell stable across resolutions at city points") {
+    // NOT a general H3 invariant (aperture-7 children overflow their
+    // parent, so near res-0 edges the base-cell FIELD may vary with
+    // resolution) — but it holds for these interior points and pins the
+    // digit pipeline against regressions
+    val pts = Seq((40.7128, -74.006), (51.5074, -0.1278), (-33.8688, 151.2093),
+      (35.6762, 139.6503), (-1.2921, 36.8219))
+    for ((lat, lng) <- pts) {
+      val bcs = (0 to 15).map(r => H3.getBaseCell(H3.latLngToCell(lat, lng, r)))
+      assert(bcs.distinct.size === 1, s"base cell drift at ($lat,$lng): $bcs")
+    }
+  }
+}
