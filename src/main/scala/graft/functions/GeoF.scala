@@ -121,7 +121,23 @@ object GeoF {
       graft.plans.WktCentroidLat(
         org.apache.spark.sql.GraftBridge.expression(geom)))
 
-  // ----------------------------- F6: hex index ---------------------------
+  // ----------------------------- F6: H3 index ----------------------------
+
+  /** F6 — `h3Cell(lat, lng, res)`: TRUE H3 cell id (lowercase 15-hex
+    * string), the reference's `H3_FROMGEOGPOINT(point, res)`
+    * (`enrichment_query.py:10,17`). Backed by [[H3.latLngToCell]]
+    * (published-algorithm implementation, validated against published
+    * vectors in `H3Spec`) through the codegen expression
+    * [[graft.plans.H3Cell]] — whole-stage codegen, no UDF. Supersedes
+    * [[hexCell]] (the pre-H3 lattice stand-in, kept below for
+    * continuity). */
+  def h3Cell(lat: Column, lng: Column, res: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3Cell(
+        org.apache.spark.sql.GraftBridge.expression(lat),
+        org.apache.spark.sql.GraftBridge.expression(lng), res))
+
+  // ------------------- legacy hex lattice (pre-H3 stand-in) --------------
 
   /** Mean Earth radius (m), and H3's res-0 edge length (m); each res
     * divides the edge by √7 (aperture-7 schedule, same as H3). */

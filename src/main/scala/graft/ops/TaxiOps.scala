@@ -55,7 +55,7 @@ object TaxiOps {
     * divergence). */
   def zoneHex(zones: DataFrame, res: Int = 9): DataFrame =
     zones.withColumn("hex",
-      GeoF.hexCell(
+      GeoF.h3Cell(
         GeoF.centroidLat(col("zone_geom")),
         GeoF.centroidLng(col("zone_geom")), res))
 

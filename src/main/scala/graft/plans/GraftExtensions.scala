@@ -28,6 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WktCentroidLat].getName,
         "wkt_centroid_lat"),
       (children: Seq[Expression]) => WktCentroidLat(children.head)))
+    // res arrives as a SQL literal (the reference always passes one);
+    // resolve it at registration so the expression keeps its
+    // compile-time-int codegen constant
+    ext.injectFunction((
+      FunctionIdentifier("h3_fromgeogpoint"),
+      new ExpressionInfo(classOf[H3Cell].getName, "h3_fromgeogpoint"),
+      (children: Seq[Expression]) => children match {
+        case Seq(lat, lng, org.apache.spark.sql.catalyst.expressions
+          .Literal(res: Int, org.apache.spark.sql.types.IntegerType)) =>
+          H3Cell(lat, lng, res)
+        case _ => throw new IllegalArgumentException(
+          "h3_fromgeogpoint(<double lat>, <double lng>, <int literal res>)")
+      }))
     ext.injectFunction((
       FunctionIdentifier("term_histogram"),
       new ExpressionInfo(classOf[TermHistogram].getName,

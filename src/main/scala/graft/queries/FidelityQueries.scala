@@ -49,8 +49,12 @@ object FidelityQueries {
   }
 
   private val taxiFullSql = {
+    // true H3 res-9 ids per zone centroid; H3.latLngToCellString is
+    // itself validated against published vectors (H3Spec) and an
+    // independent DuckDB reimplementation (H3OracleSql), so stating its
+    // values as oracle literals tests the JOIN GRAPH, not H3
     val hexRows = (0 until 25).map(k =>
-      s"($k, '${GeoF.hexCellScala(GeoQueries.latOf(k), GeoQueries.lngOf(k), 9)}')")
+      s"($k, '${graft.functions.H3.latLngToCellString(GeoQueries.latOf(k), GeoQueries.lngOf(k), 9)}')")
       .mkString(", ")
     s"""WITH trips AS (
        |  SELECT ts AS pickup_datetime,
@@ -131,8 +135,10 @@ object FidelityQueries {
     * Substitutions from the BigQuery dialect, each a registered function
     * on this engine: `ST_CENTROID` → `wkt_centroid_lat/lng` (native
     * codegen expressions injected by [[graft.plans.GraftExtensions]]),
-    * `H3_FROMGEOGPOINT` → `hex_cell` (SQL-registered mirror of
-    * `GeoF.hexCellScala`), `byte_length(ST_ASTEXT(g))` →
+    * `H3_FROMGEOGPOINT` → `h3_fromgeogpoint` (TRUE H3; the native
+    * codegen expression injected by [[graft.plans.GraftExtensions]] —
+    * the reference's SQL line ports verbatim modulo the
+    * dataset-qualifier), `byte_length(ST_ASTEXT(g))` →
     * `octet_length(g)`, `EXTRACT(TIME)` comparisons → µs-of-day (the
     * documented TIME representation). Same plan shape as the DataFrame
     * path — Catalyst compiles both to the identical bounded-rank top-k +
@@ -141,8 +147,8 @@ object FidelityQueries {
   private def taxiFullSqlApi(s: SparkSession, dir: String): DataFrame = {
     trips(s, dir).createOrReplaceTempView("graft_sql_trips")
     zones(s, dir).createOrReplaceTempView("graft_sql_taxi_zone_geom")
-    s.udf.register("hex_cell",
-      (lat: Double, lng: Double, res: Int) => GeoF.hexCellScala(lat, lng, res))
+    // h3_fromgeogpoint is session-registered by GraftExtensions; no
+    // per-query UDF registration needed
     // normalization_query.py:3-9, verbatim predicate text
     s.sql(
       """SELECT * FROM graft_sql_trips
@@ -161,8 +167,8 @@ object FidelityQueries {
     s.sql(
       s"""WITH geo AS (
          |  SELECT zone_id,
-         |         hex_cell(wkt_centroid_lat(zone_geom),
-         |                  wkt_centroid_lng(zone_geom), 9) AS hex,
+         |         h3_fromgeogpoint(wkt_centroid_lat(zone_geom),
+         |                          wkt_centroid_lng(zone_geom), 9) AS hex,
          |         RANK() OVER (PARTITION BY zone_id
          |                      ORDER BY octet_length(zone_geom) DESC)
          |           AS finish_rank
