@@ -83,30 +83,43 @@ object TaxiOps {
       trips("pickup_location_id") === ranked("zone_id"), "left")
       .filter(col("finish_rank") === 1)
       .select(keys.map(trips(_)) :+ ranked("hex").as("hex_pickup"): _*)
-    doff.join(pup, keys, "inner")
+    // shuffle_hash on the 4-key rejoin: both branches shuffle on the same
+    // composite identity either way; hashing one side skips the two
+    // full-width sorts SMJ would add (same measured win as the
+    // j_enrich_join_graph fact-fact edge, CoreQueries J3).
+    doff.join(pup.hint("shuffle_hash"), keys, "inner")
       .withColumn("daypart", DateTimeF.daypart(col("pickup_datetime")))
   }
 
   /** A1/A2+W2+O1+F7+J4 — the flagship most-populars query
     * (`taxi_trips_etl.py:164-176`): three top-k popularity aggregates
     * joined `USING(popularity)`, with the reference's STRUCT route.
-    * Scale-safe: `orderBy.limit(k)` (TakeOrderedAndProject) before the
-    * bounded RANK — never a global window over unbounded data. */
+    * Scale-safe twice over: `orderBy.limit(k)` (TakeOrderedAndProject)
+    * before the bounded RANK — never a global window over unbounded
+    * data — and the dropoff/pickup counts come from re-aggregating the
+    * (pickup, dropoff) pair counts rather than from `enriched` directly
+    * (count-per-dropoff ≡ Σ pair counts over pickups, exactly — nulls
+    * form their own group on both paths). All three branches then share
+    * ONE identical pair-count Exchange, so ReuseExchange evaluates the
+    * upstream join graph once instead of three times; the marginal
+    * aggregates shuffle only the pair-cardinality-bounded rollup. */
   def mostPopulars(enriched: DataFrame, k: Int = 100): DataFrame = {
     def ranked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
       Ranked.topK(df, cnt, k, tie)
-    val routes = ranked(
-      enriched.groupBy("hex_pickup", "hex_dropoff")
-        .agg(count(lit(1)).as("route_count")),
+    val pairCounts = enriched.groupBy("hex_pickup", "hex_dropoff")
+      .agg(count(lit(1)).as("route_count"))
+    val routes = ranked(pairCounts,
       "route_count", Seq("hex_pickup", "hex_dropoff"))
       .select(struct(col("hex_pickup").as("pickup_hexagons"),
         col("hex_dropoff").as("dropoff_hexagons")).as("route"),
         col("route_count"), col("popularity"))
     val dropoffs = ranked(
-      enriched.groupBy("hex_dropoff").agg(count(lit(1)).as("dropoff_count")),
+      pairCounts.groupBy("hex_dropoff")
+        .agg(sum("route_count").as("dropoff_count")),
       "dropoff_count", Seq("hex_dropoff"))
     val pickups = ranked(
-      enriched.groupBy("hex_pickup").agg(count(lit(1)).as("pickup_count")),
+      pairCounts.groupBy("hex_pickup")
+        .agg(sum("route_count").as("pickup_count")),
       "pickup_count", Seq("hex_pickup"))
     routes
       .join(dropoffs, Seq("popularity"), "inner")

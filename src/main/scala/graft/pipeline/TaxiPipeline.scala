@@ -150,20 +150,26 @@ object TaxiPipeline {
       val trips = c.load(in)
       def topRanked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
         graft.ops.Ranked.topK(df, cnt, 100, tie)
-      val routes = topRanked(
-        trips.groupBy("pickup_zone", "dropoff_zone")
-          .agg(count(lit(1)).as("route_count")),
+      // Same rollup as TaxiOps.mostPopulars: marginal counts derive from
+      // the (pickup, dropoff) pair counts (count-per-zone ≡ Σ pair
+      // counts), so the three branches share one pair-count Exchange and
+      // the trips table is aggregated once.
+      val pairCounts = trips.groupBy("pickup_zone", "dropoff_zone")
+        .agg(count(lit(1)).as("route_count"))
+      val routes = topRanked(pairCounts,
         "route_count", Seq("pickup_zone", "dropoff_zone"))
         .select(col("pickup_zone").as("route_pickup"),
           col("dropoff_zone").as("route_dropoff"),
           col("route_count"), col("popularity"))
       val dropoffs = topRanked(
-        trips.groupBy("dropoff_zone").agg(count(lit(1)).as("dropoff_count")),
+        pairCounts.groupBy("dropoff_zone")
+          .agg(sum("route_count").as("dropoff_count")),
         "dropoff_count", Seq("dropoff_zone"))
         .select(col("dropoff_zone").as("top_dropoff"),
           col("dropoff_count"), col("popularity"))
       val pickups = topRanked(
-        trips.groupBy("pickup_zone").agg(count(lit(1)).as("pickup_count")),
+        pairCounts.groupBy("pickup_zone")
+          .agg(sum("route_count").as("pickup_count")),
         "pickup_count", Seq("pickup_zone"))
         .select(col("pickup_zone").as("top_pickup"),
           col("pickup_count"), col("popularity"))
