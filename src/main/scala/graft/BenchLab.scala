@@ -20,33 +20,51 @@ object BenchLab {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(name: String)(df: => DataFrame): Unit = {
-      (1 to 3).foreach { i =>
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        println(f"[lab] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
-    }
-
     // deterministic structure probe: jobs + stages per query run
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
+    val completed = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
         }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          completed.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks)
+        }
       })
-    jobs.set(0); stages.set(0)
-    SparkEntry.queries("x_shortest_path")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    Thread.sleep(500)
-    println(s"[lab] x_shortest_path jobs=${jobs.get} stages=${stages.get}")
+
+    val name = args.headOption.getOrElse("q_taxi_full")
+    def time(runs: Int): Unit = (1 to runs).foreach { i =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      jobs.set(0); stages.set(0); completed.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      val df = SparkEntry.defs(name).benched(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[lab] $name run$i: $dt%.3f s jobs=${jobs.get} " +
+        f"stages=${stages.get} completed=${completed.get} tasks=${tasks.get}")
+      if (i == runs) {
+        val planStr = df.queryExecution.executedPlan.toString
+        val reused = planStr.linesIterator.count(_.contains("ReusedExchange")) +
+          planStr.linesIterator.count(_.contains("StageReuse"))
+        println(s"[lab] final plan ReusedExchange lines: $reused")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target", "plans"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("target", "plans", s"${name}_final.txt"),
+          planStr.getBytes)
+      }
+    }
+    time(3)
     spark.stop()
   }
 }

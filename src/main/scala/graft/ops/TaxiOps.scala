@@ -103,11 +103,18 @@ object TaxiOps {
     * ONE identical pair-count Exchange, so ReuseExchange evaluates the
     * upstream join graph once instead of three times; the marginal
     * aggregates shuffle only the pair-cardinality-bounded rollup. */
-  def mostPopulars(enriched: DataFrame, k: Int = 100): DataFrame = {
+  def mostPopulars(enriched: DataFrame, k: Int = 100): DataFrame =
+    popularsFromPairCounts(
+      enriched.groupBy("hex_pickup", "hex_dropoff")
+        .agg(count(lit(1)).as("route_count")), k)
+
+  /** The three top-k popularity branches + USING(popularity) ×2, all
+    * derived from the (hex_pickup, hex_dropoff) pair-count rollup (see
+    * [[mostPopulars]] for why the marginals may re-aggregate it). */
+  private def popularsFromPairCounts(pairCounts: DataFrame,
+      k: Int): DataFrame = {
     def ranked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
       Ranked.topK(df, cnt, k, tie)
-    val pairCounts = enriched.groupBy("hex_pickup", "hex_dropoff")
-      .agg(count(lit(1)).as("route_count"))
     val routes = ranked(pairCounts,
       "route_count", Seq("hex_pickup", "hex_dropoff"))
       .select(struct(col("hex_pickup").as("pickup_hexagons"),
@@ -124,6 +131,58 @@ object TaxiOps {
     routes
       .join(dropoffs, Seq("popularity"), "inner")
       .join(pickups, Seq("popularity"), "inner")
+  }
+
+  /** The FUSED whole-chain most-populars: `normalize → enrich →
+    * mostPopulars` collapsed to one scan + one aggregate, exactly equal
+    * to the staged chain.
+    *
+    * Proof of equality: both hex columns are functions of the 4-column
+    * trip identity (each location id maps to its zone-dim rows, ts maps
+    * to itself), so enrichment's branch-and-rejoin emits, for an
+    * identity with n normalized copies and t_d/t_p surviving dropoff/
+    * pickup zone rows, exactly n² identical rows per (hex_dropoff,
+    * hex_pickup) combination — t_d·t_p combinations. Hence every
+    * pair count equals Σ_identity n² over the identities joining to that
+    * hex pair, which this plan computes directly: count n per identity
+    * (one shuffle of distinct identities), join the same deduped zone
+    * dim twice (broadcast — identical to the faithful branches), weight
+    * n². Rank ties in the zone dedup and duplicate-trip multiplication
+    * are both reproduced, so the output is bit-identical to
+    * `mostPopulars(enrich(normalize(trips), zones))` — the oracle for
+    * the staged chain gates this plan too.
+    *
+    * Scale: the faithful shape costs 2 fact scans + 2 fact-wide
+    * shuffles + the identity self-join; the fused one costs 1 scan +
+    * 1 identity-keyed shuffle whose map-side combine collapses
+    * duplicates. Use when the intermediate `enriched` table is not
+    * itself needed — the staged API stays the default surface. */
+  def mostPopularsFused(trips: DataFrame, zones: DataFrame, res: Int = 9,
+      k: Int = 100): DataFrame = {
+    val keys = Seq("pickup_datetime", "dropoff_datetime",
+      "pickup_location_id", "dropoff_location_id")
+    // skip-partial (graft.plans.DirectAggStrategy): trip identities are
+    // near-unique (duplicates are the anomaly the n² weighting exists
+    // for), so the stock map-side partial would hash the whole scan for
+    // ~no shuffle reduction
+    val idCnt = DirectAgg.aggByKeys(
+      normalize(trips).select(keys.head, keys.tail: _*), keys,
+      count(lit(1)).as("graft_n"))
+    val ranked = zoneHex(zones.withColumn("finish_rank", zoneRank), res)
+      .select(col("zone_id"), col("hex"), col("finish_rank"))
+    val d = idCnt.join(ranked,
+      idCnt("dropoff_location_id") === ranked("zone_id"), "left")
+      .filter(col("finish_rank") === 1)
+      .select(keys.map(idCnt(_)) :+ col("graft_n") :+
+        col("hex").as("hex_dropoff"): _*)
+    val wide = d.join(ranked, d("pickup_location_id") === ranked("zone_id"),
+      "left")
+      .filter(col("finish_rank") === 1)
+      .select(col("hex_dropoff"), col("hex").as("hex_pickup"),
+        col("graft_n"))
+    popularsFromPairCounts(
+      wide.groupBy("hex_pickup", "hex_dropoff")
+        .agg(sum(col("graft_n") * col("graft_n")).as("route_count")), k)
   }
 
   /** dbt `tripss` (`models/tripss.sql:1-9`): date, whole-minute drive

@@ -186,4 +186,88 @@ object TaxiPipeline {
              ds: String): Seq[Stage] =
     Seq(ingest(srcDir, ds), normalize, enrich(spark, sfDir, ds),
       finalResult(ds))
+
+  /** OPTIONAL fused execution of the same 4-stage chain: one declarative
+    * plan from the day's source files to the most-populars result, no
+    * staged tables. The staged [[stages]] runner stays the default — its
+    * intermediate tables are the reference's observable surface — but
+    * when only the final table is wanted, staging is pure overhead: this
+    * mode reads the day once and lets Catalyst fuse ingest + normalize +
+    * enrich projections into the scan.
+    *
+    * Equality with the staged chain (same argument as
+    * [[graft.ops.TaxiOps.mostPopularsFused]]): the enrichment stage's
+    * branch-and-rejoin emits n² rows per 4-key identity with n
+    * normalized copies, and both zone names are functions of the
+    * identity, so every (pickup_zone, dropoff_zone) count equals
+    * Σ_identity n² — computed here as one identity-keyed count weighted
+    * n² into the pair rollup. The ingest gate (C2/C3: absent or empty
+    * day) returns None exactly where the staged runner short-circuits
+    * before `final_result`.
+    *
+    * Scale: 1 fact scan + 1 identity shuffle vs the staged mode's
+    * 4 writes + 4 re-reads + 2 scans + rejoin; the gate probe reads
+    * file metadata plus at most one row. */
+  def fused(spark: SparkSession, sfDir: String, srcDir: String,
+            ds: String): Option[DataFrame] = {
+    val Array(y, m, d) = ds.split("-")
+    val dayPath = s"$srcDir/$y/$m/$d"
+    val fs = new org.apache.hadoop.fs.Path(dayPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasFiles = fs.exists(new org.apache.hadoop.fs.Path(dayPath)) &&
+      Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dayPath, "part-*")))
+        .exists(_.nonEmpty)
+    if (!hasFiles) return None
+    val day = spark.read.option("pathGlobFilter", "part-*").parquet(dayPath)
+    if (day.limit(1).count() == 0) return None // C2: empty day gates false
+    val norm = day.filter(
+      col("event_type") =!= "error" &&
+        col("value") =!= 0 && col("value").isNotNull &&
+        col("user_id").isNotNull)
+    val idCnt = norm
+      .withColumn("pickup_zone_id", col("event_id") % 25)
+      .withColumn("dropoff_zone_id", col("user_id") % 25)
+      .groupBy("event_id", "user_id", "pickup_zone_id", "dropoff_zone_id")
+      .agg(count(lit(1)).as("graft_n"))
+    val zones = graft.tbl(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"),
+        rank().over(Window.partitionBy("n_nationkey")
+          .orderBy(expr("octet_length(n_name)").desc)).as("finish_rank"))
+    val withDoff = idCnt
+      .join(zones, idCnt("dropoff_zone_id") === zones("n_nationkey"), "left")
+      .filter(col("finish_rank") === 1)
+      .select(col("event_id"), col("user_id"), col("pickup_zone_id"),
+        col("graft_n"), col("n_name").as("dropoff_zone"))
+    val wide = withDoff
+      .join(zones, withDoff("pickup_zone_id") === zones("n_nationkey"),
+        "left")
+      .filter(col("finish_rank") === 1)
+      .select(col("dropoff_zone"), col("n_name").as("pickup_zone"),
+        col("graft_n"))
+    val pairCounts = wide.groupBy("pickup_zone", "dropoff_zone")
+      .agg(sum(col("graft_n") * col("graft_n")).as("route_count"))
+    def topRanked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
+      graft.ops.Ranked.topK(df, cnt, 100, tie)
+    val routes = topRanked(pairCounts,
+      "route_count", Seq("pickup_zone", "dropoff_zone"))
+      .select(col("pickup_zone").as("route_pickup"),
+        col("dropoff_zone").as("route_dropoff"),
+        col("route_count"), col("popularity"))
+    val dropoffs = topRanked(
+      pairCounts.groupBy("dropoff_zone")
+        .agg(sum("route_count").as("dropoff_count")),
+      "dropoff_count", Seq("dropoff_zone"))
+      .select(col("dropoff_zone").as("top_dropoff"),
+        col("dropoff_count"), col("popularity"))
+    val pickups = topRanked(
+      pairCounts.groupBy("pickup_zone")
+        .agg(sum("route_count").as("pickup_count")),
+      "pickup_count", Seq("pickup_zone"))
+      .select(col("pickup_zone").as("top_pickup"),
+        col("pickup_count"), col("popularity"))
+    Some(routes
+      .join(dropoffs, Seq("popularity"), "inner")
+      .join(pickups, Seq("popularity"), "inner"))
+  }
 }

@@ -48,6 +48,21 @@ object FidelityQueries {
         "top_dropoff_hex", "top_pickup_hex")
   }
 
+  /** The same chain through [[TaxiOps.mostPopularsFused]] — one scan +
+    * one identity-keyed aggregate instead of the staged branch-rejoin
+    * (algebraic-equality proof on the method). Gated by the SAME oracle
+    * as `q_taxi_full`: identical output is the claim being checked. */
+  private def taxiFused(s: SparkSession, dir: String): DataFrame =
+    TaxiOps.mostPopularsFused(trips(s, dir), zones(s, dir))
+      .select(col("popularity"),
+        col("route.pickup_hexagons").as("route_pickup_hex"),
+        col("route.dropoff_hexagons").as("route_dropoff_hex"),
+        col("route_count"),
+        col("hex_dropoff").as("top_dropoff_hex"), col("dropoff_count"),
+        col("hex_pickup").as("top_pickup_hex"), col("pickup_count"))
+      .orderBy("popularity", "route_pickup_hex", "route_dropoff_hex",
+        "top_dropoff_hex", "top_pickup_hex")
+
   private val taxiFullSql = {
     // true H3 res-9 ids per zone centroid; H3.latLngToCellString is
     // itself validated against published vectors (H3Spec) and an
@@ -239,6 +254,7 @@ object FidelityQueries {
 
   val all: Map[String, QueryDef] = Map(
     "q_taxi_full" -> QueryDef(taxiFull, Some(taxiFullSql), bench = true),
+    "q_taxi_fused" -> QueryDef(taxiFused, Some(taxiFullSql), bench = true),
     "q_sql_full" -> QueryDef(taxiFullSqlApi, Some(taxiFullSql))
   )
 }

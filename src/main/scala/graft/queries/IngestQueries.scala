@@ -246,6 +246,20 @@ object IngestQueries {
         "top_dropoff", "top_pickup")
   }
 
+  /** The same chain through [[TaxiPipeline.fused]] — the optional
+    * no-staging mode (C1 fused): identical gates and identical output
+    * (equality proof on the method), gated by the SAME oracle as
+    * `c_pipeline_e2e`. The only writes left are the source-day fixture
+    * this test lays out. */
+  private def pipelineFused(s: SparkSession, dir: String): DataFrame = {
+    val base = qtmp("pipeline_fused")
+    writeDay(s, dir, s"$base/src", Ds)
+    val df = TaxiPipeline.fused(s, dir, s"$base/src", Ds)
+      .getOrElse(sys.error("fused pipeline gated on a day with data"))
+    df.orderBy("popularity", "route_pickup", "route_dropoff",
+      "top_dropoff", "top_pickup")
+  }
+
   private val pipelineE2ESql =
     s"""WITH day AS (
        |  SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '$Ds'
@@ -582,6 +596,8 @@ object IngestQueries {
     "s5_catalog_lifecycle" -> QueryDef(catalogLifecycle,
       Some(catalogLifecycleSql)),
     "c_pipeline_e2e" -> QueryDef(pipelineE2E, Some(pipelineE2ESql),
+      bench = true),
+    "c_pipeline_fused" -> QueryDef(pipelineFused, Some(pipelineE2ESql),
       bench = true)
   )
 }

@@ -65,6 +65,23 @@ class TaxiOpsSpec extends SparkSpec {
     assert(route.getString(0) !== route.getString(1)) // pickup ≠ dropoff hex
   }
 
+  test("mostPopularsFused equals the staged chain on duplicate identities" +
+      " and zone ties") {
+    // duplicate trip identities (n=2 → n²=4 in the staged rejoin) AND a
+    // zone with TWO equal-length WKT geometries (rank tie keeps both) —
+    // the two edge cases the fused algebra must reproduce
+    val dup = trips.union(trips.limit(1))
+    val tiedZones = zones.union(
+      Seq((2L, "POLYGON((9 9, 9.5 9, 9.5 9.5, 9 9.5, 9 9))"))
+        .toDF("zone_id", "zone_geom")) // same byte length as zone 2's row
+    val staged = TaxiOps.mostPopulars(
+      TaxiOps.enrich(TaxiOps.normalize(dup), tiedZones))
+    val fused = TaxiOps.mostPopularsFused(dup, tiedZones)
+    val cols = staged.columns.map(org.apache.spark.sql.functions.col)
+    assert(fused.select(cols: _*).orderBy(cols: _*).collect().toSeq ===
+      staged.select(cols: _*).orderBy(cols: _*).collect().toSeq)
+  }
+
   test("tripss + dailyTripMetrics compute the dbt models") {
     val m = TaxiOps.dailyTripMetrics(
       TaxiOps.tripss(TaxiOps.normalize(trips)))
