@@ -19,6 +19,8 @@ object BenchLab {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same ANALYZE step as Bench so lab plans match bench plans
+    graft.core.TableStats.analyze(spark, sfDir)
 
     // deterministic structure probe: jobs + stages per query run
     val jobs = new java.util.concurrent.atomic.AtomicInteger

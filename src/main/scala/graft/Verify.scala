@@ -28,6 +28,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ANALYZE: catalog stats for the cost-based skip-partial rule — the
+    // once-per-load warehouse step (see Bench for rationale)
+    graft.core.TableStats.analyze(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -103,10 +103,32 @@ object TaxiOps {
     * ONE identical pair-count Exchange, so ReuseExchange evaluates the
     * upstream join graph once instead of three times; the marginal
     * aggregates shuffle only the pair-cardinality-bounded rollup. */
-  def mostPopulars(enriched: DataFrame, k: Int = 100): DataFrame =
-    popularsFromPairCounts(
+  def mostPopulars(enriched: DataFrame, k: Int = 100): DataFrame = {
+    // Authored as the reference's three independent aggregates over
+    // `enriched` — NOT the pair-count rollup (that lives in
+    // [[mostPopularsFused]]): this method is the DataFrame twin of the
+    // SQL-text surface (`q_sql_full`), and the two must keep compiling
+    // to the IDENTICAL plan (SqlApiSpec pins it). At runtime AQE stage
+    // reuse dedups the three branches' shared join-graph map stages.
+    def ranked(df: DataFrame, cnt: String, tie: Seq[String]): DataFrame =
+      Ranked.topK(df, cnt, k, tie)
+    val routes = ranked(
       enriched.groupBy("hex_pickup", "hex_dropoff")
-        .agg(count(lit(1)).as("route_count")), k)
+        .agg(count(lit(1)).as("route_count")),
+      "route_count", Seq("hex_pickup", "hex_dropoff"))
+      .select(struct(col("hex_pickup").as("pickup_hexagons"),
+        col("hex_dropoff").as("dropoff_hexagons")).as("route"),
+        col("route_count"), col("popularity"))
+    val dropoffs = ranked(
+      enriched.groupBy("hex_dropoff").agg(count(lit(1)).as("dropoff_count")),
+      "dropoff_count", Seq("hex_dropoff"))
+    val pickups = ranked(
+      enriched.groupBy("hex_pickup").agg(count(lit(1)).as("pickup_count")),
+      "pickup_count", Seq("hex_pickup"))
+    routes
+      .join(dropoffs, Seq("popularity"), "inner")
+      .join(pickups, Seq("popularity"), "inner")
+  }
 
   /** The three top-k popularity branches + USING(popularity) ×2, all
     * derived from the (hex_pickup, hex_dropoff) pair-count rollup (see

@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => DirectAggStrategy)
     // SQL surface for the skip-partial knob (SELECT /*+ SKIP_PARTIAL_AGG */)
     ext.injectResolutionRule(_ => SkipPartialHintRule)
+    // cost-based skip-partial: near-unique grouping keys per catalog NDV
+    // stats (graft.core.TableStats) get the hint automatically
+    ext.injectOptimizerRule(_ => AutoSkipPartialAgg)
     ext.injectFunction((
       FunctionIdentifier("wkt_centroid_lng"),
       new ExpressionInfo(classOf[WktCentroidLng].getName,

@@ -261,13 +261,19 @@ object CoreQueries {
     // 4.6 s at sf1) than letting the rollups aggregate the fact table
     // directly, where their tiny key cardinality (~|suppliers|,
     // ~|parts|) map-side-combines to almost nothing per scan partition.
-    // skip-partial count (graft.ops.DirectAgg via graft.plans.DirectAggStrategy): near-unique keys mean
-    // the stock map-side partial pass hashes the whole fact scan for ~1.5%
-    // shuffle reduction — the single Complete-mode aggregate measured
-    // 0.38 s vs 0.60 s warm at sf0.1 (BenchLab).
-    val routeAgg = graft.ops.DirectAgg.countByKeys(
-      tbl(s, dir, "lineitem").select("l_partkey", "l_suppkey"),
-      "route_count")
+    // skip-partial decided COST-BASED (graft.plans.AutoSkipPartialAgg,
+    // round 8): with catalog NDV stats registered (TableStats.analyze —
+    // Bench/Verify run it as their ANALYZE step), near-unique (part,
+    // supp) pairs flip this to the single Complete-mode aggregate the
+    // hand hint used to force (0.38 s vs 0.60 s warm at sf0.1,
+    // BenchLab), while at sf0.001 — where only ~2000 distinct pairs
+    // exist for 6000 lineitems — the estimator correctly keeps the
+    // stock two-phase plan the static hint would have skipped
+    // (AutoSkipPartialSpec pins both regimes).
+    val routeAgg = tbl(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("route_count"))
 
     val routes = rankedTopK(
       routeAgg.select(col("l_partkey").cast("string").as("hex_pickup"),

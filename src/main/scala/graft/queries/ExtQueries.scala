@@ -151,14 +151,16 @@ object ExtQueries {
     * lowercase text): groupBy fingerprint, keep min doc_id. Scale: one
     * shuffle on the fingerprint — the canonical exact-dedup plan. */
   private def dedupExactRaw(s: SparkSession, dir: String): DataFrame =
-    // skip-partial aggregate: fingerprints are ~96% unique (that is what
-    // makes it a dedup), so the stock partial pass hashes every doc for
-    // a few-percent shuffle reduction
-    graft.ops.DirectAgg.aggByKeys(
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), TextF.fingerprint(col("text")).as("fingerprint")),
-      Seq("fingerprint"),
-      min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+    // skip-partial decided COST-BASED (graft.plans.AutoSkipPartialAgg):
+    // the md5 fingerprint resolves to ~NDV(text) ≈ 96% of rows through
+    // the rule's hash/normalization whitelist, so with stats registered
+    // the aggregate plans single-phase — the decision the hand
+    // DirectAgg hint used to force (fingerprints near-unique is what
+    // makes it a dedup)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.fingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     dedupExactRaw(s, dir).orderBy("fingerprint")
