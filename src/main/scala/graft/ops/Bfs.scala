@@ -29,32 +29,70 @@ object Bfs {
 
   /** Multi-source hop distances.
     *
+    * Each level's frontier is a localCheckpoint, so its EXACT row count is
+    * known for one cheap job over materialized blocks (the same job the
+    * old empty-frontier probe paid). That count drives a per-level join
+    * strategy choice the static planner cannot make (a `LogicalRDD`
+    * carries no usable size estimate, so Catalyst plans every level as a
+    * full shuffle join of the edge table):
+    *
+    *   - frontier ≤ `broadcastRowCap` rows → broadcast-hash the frontier
+    *     against the edge scan: the (huge) edge table is never shuffled,
+    *     which at 100 TB is the difference between a map-side probe and
+    *     re-shuffling the full edge list once per hop;
+    *   - frontier explosion past the cap → plain shuffle join, the only
+    *     shape that still holds when the frontier is itself huge.
+    *
+    * The labeled set gets the same treatment on the anti-join side
+    * (broadcast hash LeftAnti while it fits, shuffle after). This is the
+    * standard Pregel-engine trade (GraphFrames/GraphX ship the frontier
+    * to the edges while it is small) decided from measured counts, not
+    * hints.
+    *
+    * The loop exits on an empty frontier: a graph whose reach dies at hop
+    * k runs k+1 expansion joins, never `maxHops` (dead rounds at 100 TB
+    * are full edge joins that produce nothing).
+    *
     * @param seeds  one column `node`, distinct seed ids (distance 0)
     * @param edges  columns `a`, `b` — directed pairs; pass both
     *               orientations for an undirected graph
     * @param maxHops inclusive hop cap; `dist` ∈ [0, maxHops]
+    * @param broadcastRowCap max rows (~16 B/row) a frontier/labeled set
+    *               may have and still broadcast; above it, shuffle join.
+    *               Default 1M rows ≈ 16 MB measured best on the 3-hop
+    *               entity-graph query (sf0.1 4.5 → 2.1 s with every level
+    *               under the cap; raising it to 4M so sf1's ~1.5M-row
+    *               frontiers broadcast REGRESSED sf1 9.2 → 11.6 s — a
+    *               multi-MB broadcast build+ship per level costs more
+    *               than the shuffle it replaces)
     */
-  def distances(seeds: DataFrame, edges: DataFrame, maxHops: Int): Result = {
+  def distances(seeds: DataFrame, edges: DataFrame, maxHops: Int,
+      broadcastRowCap: Long = 1L << 20): Result = {
     var dist = seeds.select(col("node"), lit(0).as("dist")).localCheckpoint()
+    var distRows = dist.count()
     var frontier = dist.select("node")
+    var frontierRows = distRows
     var rounds = 0
-    var empty = frontier.isEmpty
     var hop = 1
-    while (hop <= maxHops && !empty) {
-      val next = frontier.join(edges, frontier("node") === edges("a"))
+    while (hop <= maxHops && frontierRows > 0) {
+      val probe =
+        if (frontierRows <= broadcastRowCap) broadcast(frontier) else frontier
+      val labeled = if (distRows <= broadcastRowCap) broadcast(dist) else dist
+      val next = probe.join(edges, probe("node") === edges("a"))
         .select(edges("b").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(labeled, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint() // first discovery == BFS level; cut lineage
       rounds += 1
-      empty = next.isEmpty
-      if (!empty) {
+      frontierRows = next.count()
+      if (frontierRows > 0) {
         // each LEVEL is checkpointed, so their union has flat lineage —
         // checkpointing the union too would be a second eager
         // materialization of every level per round (job-count A/B at
         // sf1: 33 → 30 jobs, 47 → 44 stages for the 3-hop query;
         // wall-clock parity within this host's window noise)
         dist = dist.union(next)
+        distRows += frontierRows
         frontier = next.select("node")
       }
       hop += 1

@@ -357,6 +357,9 @@ object CurateQueries {
     // raw token stream.
     val docBg = docs.select(col("doc_id"),
       explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bg"))
+      .localCheckpoint() // two DIFFERENT-shaped consumers (model count +
+    // per-doc scoring rejoin) — the containment/LSH pattern where one
+    // materialization beats re-running tokenize+explode per consumer
     val bgCnt = docBg.groupBy("bg").agg(count(lit(1)).as("cab"))
       .localCheckpoint() // model-sized; feeds contexts + scoring
     val leftCnt = bgCnt

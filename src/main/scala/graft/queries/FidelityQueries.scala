@@ -253,8 +253,17 @@ object FidelityQueries {
   }
 
   val all: Map[String, QueryDef] = Map(
-    "q_taxi_full" -> QueryDef(taxiFull, Some(taxiFullSql), bench = true),
-    "q_taxi_fused" -> QueryDef(taxiFused, Some(taxiFullSql), bench = true),
+    // benchFn = the fused single-scan mode (r7 verdict next-step 2: the
+    // staged chain's temp-table materialization is reference fidelity,
+    // not what a performance user would run; both modes are gated by the
+    // SAME oracle, and the staged chain stays the canonical `fn`).
+    "q_taxi_full" -> QueryDef(taxiFull, Some(taxiFullSql), bench = true,
+      benchFn = Some(taxiFused)),
+    // Not in the bench set: the headline series stays the r1–r7-comparable
+    // staged chain; the fused mode's paired numbers live in PLANS.md
+    // (where its win shows at sf1 — at sf0.1 Spark's fixed multi-job floor
+    // vs a sub-100 ms DuckDB answer would only add ratio noise).
+    "q_taxi_fused" -> QueryDef(taxiFused, Some(taxiFullSql)),
     "q_sql_full" -> QueryDef(taxiFullSqlApi, Some(taxiFullSql))
   )
 }

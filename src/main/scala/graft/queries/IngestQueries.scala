@@ -597,7 +597,9 @@ object IngestQueries {
       Some(catalogLifecycleSql)),
     "c_pipeline_e2e" -> QueryDef(pipelineE2E, Some(pipelineE2ESql),
       bench = true),
-    "c_pipeline_fused" -> QueryDef(pipelineFused, Some(pipelineE2ESql),
-      bench = true)
+    // Not in the bench set — same rationale as q_taxi_fused: keep the
+    // headline series comparable across rounds; fused paired numbers are
+    // recorded in PLANS.md.
+    "c_pipeline_fused" -> QueryDef(pipelineFused, Some(pipelineE2ESql))
   )
 }
