@@ -78,9 +78,14 @@ object Bfs {
       val probe =
         if (frontierRows <= broadcastRowCap) broadcast(frontier) else frontier
       val labeled = if (distRows <= broadcastRowCap) broadcast(dist) else dist
+      // anti-join BEFORE distinct: with `labeled` broadcast the anti is
+      // map-side, so the distinct's shuffle carries only genuinely-new
+      // nodes — in late levels most candidates are already labeled, and
+      // shuffling them just to drop them after was the bigger stream
       val next = probe.join(edges, probe("node") === edges("a"))
-        .select(edges("b").as("node")).distinct()
+        .select(edges("b").as("node"))
         .join(labeled, Seq("node"), "left_anti")
+        .distinct()
         .withColumn("dist", lit(hop))
         .localCheckpoint() // first discovery == BFS level; cut lineage
       rounds += 1

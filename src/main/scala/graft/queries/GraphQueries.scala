@@ -98,10 +98,13 @@ object GraphQueries {
     val co = tbl(s, dir, "orders")
       .select(tagged(TagC, col("o_custkey")).as("a"),
         tagged(TagO, col("o_orderkey")).as("b"))
+    // no edge-level distinct: an order repeating a supplier across lines
+    // is rare (~5% dup multiplicity measured at sf0.1), and BFS dedups
+    // candidates per level anyway — the distinct's full shuffle of the
+    // edge stream cost more than the duplicates it removed
     val os = tbl(s, dir, "lineitem")
       .select(tagged(TagO, col("l_orderkey")).as("a"),
         tagged(TagS, col("l_suppkey")).as("b"))
-      .distinct()
     val fwd = co.union(os)
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint() // scanned once per BFS level
