@@ -246,6 +246,26 @@ object IngestQueries {
         "top_dropoff", "top_pickup")
   }
 
+  /** Bench variant of [[pipelineE2E]]: identical 4-stage staged run (all
+    * catalog writes — the operator — stay inside the timed region), but
+    * the SOURCE-day parquet fixture is laid out once and reused across
+    * passes instead of rewritten per pass — the one-time-setup-write
+    * carve-out the [[QueryDef.benchFn]] contract names (a warehouse's
+    * source landing zone is not re-ingested per query). */
+  private def pipelineE2EBench(s: SparkSession, dir: String): DataFrame = {
+    // keyed by source dir: the bench warms plans at sf0.001 before timing
+    // the target SF — the two must not share a fixture path
+    val base = qtmp("pipeline_bench_" + java.lang.Integer.toHexString(
+      dir.hashCode & 0x7fffffff))
+    val Array(y, m, d) = Ds.split("-")
+    if (!new java.io.File(s"$base/src/$y/$m/$d").exists())
+      writeDay(s, dir, s"$base/src", Ds)
+    val cat = new Catalog(s, s"$base/wh")
+    val ran = Runner.run(cat, TaxiPipeline.stages(s, dir, s"$base/src", Ds))
+    require(ran.size == 4, s"pipeline short-circuited: ran only $ran")
+    cat.load(s"most_populars_${TaxiPipeline.dsNoDash(Ds)}")
+  }
+
   /** The same chain through [[TaxiPipeline.fused]] — the optional
     * no-staging mode (C1 fused): identical gates and identical output
     * (equality proof on the method), gated by the SAME oracle as
@@ -596,7 +616,7 @@ object IngestQueries {
     "s5_catalog_lifecycle" -> QueryDef(catalogLifecycle,
       Some(catalogLifecycleSql)),
     "c_pipeline_e2e" -> QueryDef(pipelineE2E, Some(pipelineE2ESql),
-      bench = true),
+      bench = true, benchFn = Some(pipelineE2EBench)),
     // Not in the bench set — same rationale as q_taxi_fused: keep the
     // headline series comparable across rounds; fused paired numbers are
     // recorded in PLANS.md.

@@ -41,16 +41,16 @@ object ScaleQueries {
       val (liT, ordT) = (s"graft_li_b_$suffix", s"graft_ord_b_$suffix")
       tbl(sess, d, "lineitem")
         .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/li_b").saveAsTable(liT)
       tbl(sess, d, "orders")
         .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/ord_b").saveAsTable(ordT)
       (liT, ordT)
     })
 
-  /** lineitem ⋈ orders on the order key, both sides pre-bucketed (8
+  /** lineitem ⋈ orders on the order key, both sides pre-bucketed (32
     * buckets) through the session catalog; the `merge` hint pins SMJ so
     * the plan's shuffle-freeness is attributable to bucketing, not to a
     * broadcast. Output: per-status counts + exact decimal quantity sums. */
