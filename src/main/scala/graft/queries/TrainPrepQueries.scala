@@ -298,18 +298,24 @@ object TrainPrepQueries {
       .select(col("doc_id"), col("lang"),
         md5(col("lc").cast("binary")).as("fp"),
         size(TextF.tokens(col("lc"))).as("n_tokens"))
-    val byFp = Window.partitionBy(col("fp"))
-    val bucket = pmod(HashF.tokenHash(col("doc_id").cast("string")), lit(100))
+    // representative-per-fingerprint via groupBy + min_by, not a window:
+    // a Window.partitionBy(fp) shuffles AND SORTS every row by fp just to
+    // tag each with min(doc_id); the aggregate form is the same shuffle
+    // without the sort, and emits one row per group directly (no
+    // tag-then-filter pass). doc_id is unique, so min_by is deterministic.
+    val bucket = pmod(HashF.tokenHash(col("keep_id").cast("string")), lit(100))
     compact
-      .withColumn("keep_id", min("doc_id").over(byFp))
-      .filter(col("doc_id") === col("keep_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
       .filter(col("n_tokens") >= 5)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens_total"),
-        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        min("keep_id").as("min_doc"), max("keep_id").as("max_doc"))
       .orderBy("lang", "split")
   }
 

@@ -38,6 +38,20 @@ class GraphIterSpec extends SparkSpec {
     assert(r.dist.isEmpty)
   }
 
+  test("BFS shuffle arm (cap 0) labels identically to the broadcast arm") {
+    // diamond + tail: multiple discovery paths, dup candidates per level
+    val g = und(Seq("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d",
+      "d" -> "e"))
+    val seeds = Seq("a").toDF("node")
+    val bcast = Bfs.distances(seeds, g, maxHops = 3)
+    val shuffle = Bfs.distances(seeds, g, maxHops = 3, broadcastRowCap = 0)
+    assert(bcast.roundsRun === shuffle.roundsRun)
+    assert(shuffle.dist.as[(String, Int)].collect().toMap ===
+      bcast.dist.as[(String, Int)].collect().toMap)
+    assert(bcast.dist.as[(String, Int)].collect().toMap ===
+      Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3))
+  }
+
   test("PageRank stops at the exact integer fixpoint with identical ranks") {
     val nodes = Seq(0L, 1L, 2L).toDF("node")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
