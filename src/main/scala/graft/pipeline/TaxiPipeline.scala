@@ -10,6 +10,29 @@ import graft.functions.DateTimeF
 /** One pipeline stage: returns false to short-circuit the rest (C2). */
 final case class Stage(name: String, run: Catalog => Boolean)
 
+/** Per-stage failure policy (C5) mirroring the reference DAG's
+  * `default_args` (`taxi_trips_etl.py:17-20`): `retries: 1`,
+  * `retry_delay: 3 minutes`, `execution_timeout: 3 hours`. A stage
+  * attempt that throws OR exceeds the timeout is retried after the
+  * delay; once retries are exhausted the run fails (Airflow marks the
+  * task failed and, with `depends_on_past`, nothing downstream runs). */
+final case class RetryPolicy(
+    retries: Int = 1,
+    retryDelay: scala.concurrent.duration.FiniteDuration =
+      scala.concurrent.duration.Duration(3, "min"),
+    timeout: scala.concurrent.duration.FiniteDuration =
+      scala.concurrent.duration.Duration(3, "h"))
+
+/** Stage exhausted its retries (the DAG-run failure, C5). */
+final class StageFailedException(val stage: String, cause: Throwable)
+  extends RuntimeException(
+    s"stage '$stage' failed after retries: ${cause.getMessage}", cause)
+
+/** One attempt exceeded the execution timeout (C5). */
+final class StageTimeoutException(val stage: String, timeoutMs: Long)
+  extends RuntimeException(
+    s"stage '$stage' exceeded its ${timeoutMs} ms execution timeout")
+
 /** Linear short-circuiting stage runner (SURVEY.md §2.11 C1–C3).
   *
   * Reference behavior: Airflow chains
@@ -21,20 +44,70 @@ final case class Stage(name: String, run: Catalog => Boolean)
   * last-blob-only flag (C2 note in SURVEY §2.11).
   */
 object Runner {
-  /** Runs stages in order; returns names of stages that ran. */
-  def run(catalog: Catalog, stages: Seq[Stage]): Seq[String] = {
+  /** Runs stages in order; returns names of stages that ran. Each stage
+    * gets the [[RetryPolicy]]'s attempt budget and per-attempt timeout;
+    * a timed-out attempt has its Spark jobs cancelled via a job group
+    * before the retry, so a hung stage cannot also hold the cluster. */
+  def run(catalog: Catalog, stages: Seq[Stage],
+          policy: RetryPolicy = RetryPolicy()): Seq[String] = {
     val ran = Seq.newBuilder[String]
     var go = true
     stages.foreach { st =>
       if (go) {
         ran += st.name
-        go = st.run(catalog)
+        go = runWithPolicy(catalog, st, policy)
         if (!go)
           catalog.spark.sparkContext.setJobDescription(
             s"pipeline short-circuited after ${st.name}")
       }
     }
     ran.result()
+  }
+
+  /** One stage attempt on a daemon thread with the policy timeout; the
+    * attempt thread tags its Spark jobs with a unique job group so a
+    * timeout can interrupt the actual running tasks, not just abandon
+    * the thread. */
+  private def attempt(catalog: Catalog, st: Stage,
+                      timeoutMs: Long): Boolean = {
+    val sc = catalog.spark.sparkContext
+    val group = s"graft-stage-${st.name}-${System.nanoTime()}"
+    val task = new java.util.concurrent.FutureTask[Boolean](() => {
+      sc.setJobGroup(group, s"pipeline stage ${st.name}",
+        interruptOnCancel = true)
+      try st.run(catalog) finally sc.clearJobGroup()
+    })
+    val t = new Thread(task, group)
+    t.setDaemon(true)
+    t.start()
+    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        task.cancel(true)
+        sc.cancelJobGroup(group)
+        throw new StageTimeoutException(st.name, timeoutMs)
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause // the stage's own failure, not the wrapper's
+    }
+  }
+
+  private def runWithPolicy(catalog: Catalog, st: Stage,
+                            policy: RetryPolicy): Boolean = {
+    var attempts = 0
+    while (true) {
+      try return attempt(catalog, st, policy.timeout.toMillis)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          attempts += 1
+          if (attempts > policy.retries)
+            throw new StageFailedException(st.name, e)
+          System.err.println(s"[pipeline] stage '${st.name}' attempt " +
+            s"$attempts failed (${e.getMessage}); retrying in " +
+            s"${policy.retryDelay.toMillis} ms")
+          Thread.sleep(policy.retryDelay.toMillis)
+      }
+    }
+    sys.error("unreachable")
   }
 }
 

@@ -258,8 +258,19 @@ object IngestQueries {
     val base = qtmp("pipeline_bench_" + java.lang.Integer.toHexString(
       dir.hashCode & 0x7fffffff))
     val Array(y, m, d) = Ds.split("-")
-    if (!new java.io.File(s"$base/src/$y/$m/$d").exists())
+    // Reuse the laid-out source day only if it is COMPLETE (_SUCCESS from
+    // a finished write, not a crashed partial) and FRESH (the stamp of
+    // the source events files it was derived from still matches — the
+    // dataset at `dir` can be regenerated in place by ScaleGen). This
+    // benched fn is not oracle-gated itself, so a silent stale reuse
+    // would time wrong data undetected (round-8 advice).
+    val dayDir = s"$base/src/$y/$m/$d"
+    val stamp = graft.core.FixtureMeta.sourceStamp(s, dir, Seq("events"))
+    if (!(graft.core.FixtureMeta.complete(s, dayDir) &&
+          graft.core.FixtureMeta.valid(s, s"$base/src/.stamp", stamp))) {
       writeDay(s, dir, s"$base/src", Ds)
+      graft.core.FixtureMeta.write(s, s"$base/src/.stamp", stamp)
+    }
     val cat = new Catalog(s, s"$base/wh")
     val ran = Runner.run(cat, TaxiPipeline.stages(s, dir, s"$base/src", Ds))
     require(ran.size == 4, s"pipeline short-circuited: ran only $ran")

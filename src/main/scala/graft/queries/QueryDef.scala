@@ -21,7 +21,13 @@ final case class QueryDef(
 
   /** What the bench times: `benchFn` when the canonical `fn` carries
     * oracle-only artifacts (a total ORDER BY that exists solely so the
-    * hash compare is deterministic, or one-time setup writes), else `fn`
-    * itself. Correctness always runs `fn`. */
+    * hash compare is deterministic, or one-time setup writes), OR when
+    * the bench runs an equality-proven alternate execution mode of the
+    * same operator (e.g. `q_taxi_full` benches the fused single-scan
+    * mode while the staged chain stays the canonical correctness fn —
+    * sanctioned only if the alternate mode is itself oracle-gated under
+    * its own registered name, and the mode switch is disclosed wherever
+    * the bench series is compared across rounds). Else `fn` itself.
+    * Correctness always runs `fn`. */
   def benched: (SparkSession, String) => DataFrame = benchFn.getOrElse(fn)
 }

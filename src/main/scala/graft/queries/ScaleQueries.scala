@@ -21,34 +21,61 @@ object ScaleQueries {
   private def qtmp(name: String): String =
     s"${sys.props("user.dir")}/target/qtmp/$name"
 
-  /** Bucketed-table prep, memoized per (session, source dir) — bucketing
-    * is a one-time LAYOUT decision (like the reference's materialized
-    * BigQuery tables), so the bench must time the JOIN that benefits,
-    * not the table construction it amortizes. Table/path names carry a
-    * per-(session, dir) suffix so concurrent sessions in one JVM (which
-    * share the local metastore) never collide on the global name. */
-  private val bucketedTables =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), (String, String)]()
+  /** Bucketed-table prep — bucketing is a one-time LAYOUT decision (like
+    * the reference's materialized BigQuery tables), so the bench must
+    * time the JOIN that benefits, not the table construction it
+    * amortizes. The layout is keyed on the SOURCE DIR only and persists
+    * under `target/qtmp` across JVMs: a fresh driver session (each
+    * driver bench/verify run is one) finds the prior layout on disk,
+    * validates it against a [[graft.core.FixtureMeta]] stamp of the
+    * source files plus `_SUCCESS` markers, and re-registers the existing
+    * files as bucketed catalog tables via DDL — milliseconds, not a
+    * rewrite. (Round-8 driver bench regression: the per-(session, dir)
+    * identity key put the full layout write inside the timed region on
+    * every fresh session.) Rebuilds only when the source actually
+    * changed (ScaleGen regenerating `target/sf1` in place) or a prior
+    * write died before its `_SUCCESS`. Serialized under a JVM-wide lock:
+    * sessions in one JVM share the catalog, and the table content for a
+    * given dir is identical, so last-writer-wins is safe — but two
+    * concurrent writers to one path are not. */
+  private val bucketLock = new Object
 
-  private def ensureBucketed(
-      s: SparkSession, dir: String): (String, String) =
-    bucketedTables.computeIfAbsent((s, dir), { key =>
-      val (sess, d) = key
-      val suffix = java.lang.Integer.toHexString(
-        (d + "#" + System.identityHashCode(sess)).hashCode & 0x7fffffff)
-      val wh = qtmp(s"bucketed_$suffix")
-      val (liT, ordT) = (s"graft_li_b_$suffix", s"graft_ord_b_$suffix")
-      tbl(sess, d, "lineitem")
+  private[queries] def ensureBucketed(
+      s: SparkSession, dir: String): (String, String) = bucketLock.synchronized {
+    import graft.core.FixtureMeta
+    val suffix = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    val wh = qtmp(s"bucketed_$suffix")
+    val (liT, ordT) = (s"graft_li_b_$suffix", s"graft_ord_b_$suffix")
+    val stamp = FixtureMeta.sourceStamp(s, dir, Seq("lineitem", "orders"))
+    val layoutOk = FixtureMeta.valid(s, s"$wh/.stamp", stamp) &&
+      FixtureMeta.complete(s, s"$wh/li_b") &&
+      FixtureMeta.complete(s, s"$wh/ord_b")
+    def register(name: String, src: DataFrame, key: String,
+                 path: String): Unit =
+      if (!s.catalog.tableExists(name))
+        s.sql(s"""CREATE TABLE $name (${src.schema.toDDL})
+                 |USING PARQUET
+                 |CLUSTERED BY ($key) SORTED BY ($key) INTO 32 BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+    if (layoutOk) {
+      register(liT, tbl(s, dir, "lineitem"), "l_orderkey", s"$wh/li_b")
+      register(ordT, tbl(s, dir, "orders"), "o_orderkey", s"$wh/ord_b")
+    } else {
+      // stale/partial layout: drop any catalog entry pointing at it, then
+      // rebuild the files and re-register in one saveAsTable
+      Seq(liT, ordT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      tbl(s, dir, "lineitem")
         .write.mode("overwrite").format("parquet")
         .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/li_b").saveAsTable(liT)
-      tbl(sess, d, "orders")
+      tbl(s, dir, "orders")
         .write.mode("overwrite").format("parquet")
         .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/ord_b").saveAsTable(ordT)
-      (liT, ordT)
-    })
+      FixtureMeta.write(s, s"$wh/.stamp", stamp)
+    }
+    (liT, ordT)
+  }
 
   /** lineitem ⋈ orders on the order key, both sides pre-bucketed (32
     * buckets) through the session catalog; the `merge` hint pins SMJ so
@@ -65,6 +92,48 @@ object ScaleQueries {
           .as("sum_qty"))
       .orderBy("o_orderstatus")
   }
+
+  /** Bucketed-layout star join (TPC-H Q5 shape, same semantics and SAME
+    * oracle as `w_star_join`): all three dims collapse into one ≤|customer|
+    * broadcast, the orders scan comes from the bucketed layout, the
+    * broadcast join PRESERVES that bucketing (a BroadcastHashJoin's
+    * output partitioning is its streamed side's), and the fact⋈fact edge
+    * is then a bucket-local sort-merge — ZERO exchanges anywhere below
+    * the final dimension-sized aggregation. This is the 100 TB shape:
+    * the raw-fixture `w_star_join` pays one shuffle per fact side every
+    * query; a warehouse that buckets its fact tables on the order key
+    * pays it once at load. Registered separately so the raw-fixture
+    * oracle contract of `w_star_join` stays intact; `ScaleSpec` asserts
+    * the fact-side exchange count is zero. */
+  private def starBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (liT, ordT) = ensureBucketed(s, dir)
+    val dims = tbl(s, dir, "region")
+      .join(tbl(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+      .join(tbl(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("r_name"), col("n_name"))
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+    s.table(ordT)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .hint("merge")
+      .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(rev).cast("double").as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val starBucketedSql =
+    """SELECT r_name, n_name, count(*) AS n_lineitems,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM region
+      |JOIN nation   ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
   private val bucketedJoinSql =
     """SELECT o_orderstatus, count(*) AS n,
@@ -238,6 +307,8 @@ object ScaleQueries {
 
   val all: Map[String, QueryDef] = Map(
     "b_bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql),
+      bench = true),
+    "b_star_bucketed" -> QueryDef(starBucketed, Some(starBucketedSql),
       bench = true),
     "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql)),
     "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql)),

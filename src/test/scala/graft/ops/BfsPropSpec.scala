@@ -56,8 +56,15 @@ class BfsPropSpec extends SparkSpec {
         .dist.as[(String, Int)].collect().toMap
       val shuffle = Bfs.distances(seedDf, und, maxHops, broadcastRowCap = 0)
         .dist.as[(String, Int)].collect().toMap
+      // cap=3: on these graphs the frontier stays under the cap while the
+      // accumulated labeling quickly exceeds it — the MIXED state (frontier
+      // broadcast probe + shuffled anti-join against labels) plus per-level
+      // arm switching mid-run, which neither pure arm reaches
+      val mixed = Bfs.distances(seedDf, und, maxHops, broadcastRowCap = 3)
+        .dist.as[(String, Int)].collect().toMap
       Prop(bcast == expect) :| s"broadcast arm: got $bcast want $expect" &&
-        Prop(shuffle == expect) :| s"shuffle arm: got $shuffle want $expect"
+        Prop(shuffle == expect) :| s"shuffle arm: got $shuffle want $expect" &&
+        Prop(mixed == expect) :| s"mixed arm (cap=3): got $mixed want $expect"
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)

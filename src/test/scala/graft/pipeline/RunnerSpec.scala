@@ -46,6 +46,56 @@ class RunnerSpec extends SparkSpec {
     assert(!cat.exists("normalized_trips"))
   }
 
+  private val fastPolicy = RetryPolicy(
+    retries = 1,
+    retryDelay = scala.concurrent.duration.Duration(10, "ms"),
+    timeout = scala.concurrent.duration.Duration(30, "s"))
+
+  test("retry policy (C5): a stage that fails once succeeds on retry") {
+    var calls = 0
+    var downstream = false
+    val ran = Runner.run(freshCatalog(), Seq(
+      Stage("flaky", { _ =>
+        calls += 1
+        if (calls == 1) sys.error("transient")
+        true
+      }),
+      Stage("after", { _ => downstream = true; true })), fastPolicy)
+    assert(calls === 2)
+    assert(ran === Seq("flaky", "after"))
+    assert(downstream)
+  }
+
+  test("retry policy (C5): exhausted retries fail the run and halt") {
+    var calls = 0
+    var downstream = false
+    val e = intercept[StageFailedException] {
+      Runner.run(freshCatalog(), Seq(
+        Stage("broken", { _ => calls += 1; sys.error("always") }),
+        Stage("never", { _ => downstream = true; true })), fastPolicy)
+    }
+    assert(e.stage === "broken")
+    assert(calls === 2) // initial attempt + 1 retry, like the reference
+    assert(!downstream)
+  }
+
+  test("execution timeout (C5): a hung stage times out, retries, fails") {
+    var calls = 0
+    val policy = fastPolicy.copy(
+      timeout = scala.concurrent.duration.Duration(200, "ms"))
+    val e = intercept[StageFailedException] {
+      Runner.run(freshCatalog(), Seq(
+        Stage("hung", { _ =>
+          calls += 1
+          try Thread.sleep(60000) catch { case _: InterruptedException => }
+          true
+        })), policy)
+    }
+    assert(e.stage === "hung")
+    assert(e.getCause.isInstanceOf[StageTimeoutException])
+    assert(calls === 2)
+  }
+
   test("catalog lifecycle: truncate/append/exists/drop (S5–S8)") {
     import spark.implicits._
     val cat = freshCatalog()

@@ -24,6 +24,42 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join must not shuffle its inputs:\n${smjs.head}")
   }
 
+  test("bucketed star join: zero exchanges on the fact side") {
+    // The whole point of b_star_bucketed: the dim broadcast preserves the
+    // orders scan's bucket partitioning, so the orders⋈lineitem edge is a
+    // bucket-local SMJ — the only shuffle in the plan is the final
+    // dimension-sized aggregation exchange ABOVE the join.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = graft.SparkEntry.queries("b_star_bucketed")(s, sf)
+    val plan = df.queryExecution.executedPlan
+    val smjs = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge fact join:\n$plan")
+    val exchangesBelowFactJoin = smjs.head.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchangesBelowFactJoin.isEmpty,
+      s"bucketed star join must not shuffle either fact side:\n${smjs.head}")
+  }
+
+  test("bucketed layout is re-registered, not rewritten, by a new session") {
+    // ensureBucketed keys the layout on the source dir and persists it
+    // across sessions/JVMs; a fresh session must pick it up via DDL
+    // registration (milliseconds) instead of re-running the layout write
+    // (the round-8 driver-bench regression).
+    graft.SparkEntry.queries("b_bucketed_join")(spark, sf).collect()
+    val suffix = java.lang.Integer.toHexString(sf.hashCode & 0x7fffffff)
+    val liPath = new java.io.File(
+      s"${sys.props("user.dir")}/target/qtmp/bucketed_$suffix/li_b")
+    val before = liPath.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val s2 = spark.newSession()
+    s2.sql(s"DROP TABLE IF EXISTS graft_li_b_$suffix")
+    s2.sql(s"DROP TABLE IF EXISTS graft_ord_b_$suffix")
+    graft.SparkEntry.queries("b_bucketed_join")(s2, sf).collect()
+    val after = liPath.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after === before, "fresh session rewrote an up-to-date layout")
+  }
+
   test("bucketed join result matches the plain-join answer") {
     val expected = graft.tbl(spark, sf, "lineitem")
       .join(graft.tbl(spark, sf, "orders"),
