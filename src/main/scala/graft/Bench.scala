@@ -117,8 +117,51 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+
+    // Paired comparator IN THE SAME WINDOW: this host's DuckDB totals
+    // drift 11.9–15.6 s at sf0.1 with zero code change on either side
+    // (round-8 measurements), so a bare Spark total is uninterpretable —
+    // the artifact must carry both sides of the ratio from one window.
+    // Best-effort: a box without python3/duckdb still emits the Spark
+    // side. Disable with SPARK_GRAFT_PAIRED=0 (e.g. when a driver
+    // timeout budget can't absorb the comparator's extra wall-clock).
+    val paired: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_PAIRED").contains("0")) None
+      else try {
+        def esc(str: String): String = "\"" + str.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val oracleJson = SparkEntry.oracleSql
+          .filter { case (k, _) => results.exists(_._1 == k) }
+          .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+          .mkString("{", ",", "}")
+        val tmpO = java.nio.file.Files.createTempFile("oracle_bench", ".json")
+        val tmpB = java.nio.file.Files.createTempFile("bench_names", ".json")
+        java.nio.file.Files.writeString(tmpO, oracleJson)
+        java.nio.file.Files.writeString(tmpB, s"""{"queries":$qs}""")
+        val pb = new ProcessBuilder("python3",
+          s"${sys.props("user.dir")}/tools/duckbench.py",
+          sfDir, tmpO.toString, tmpB.toString)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        val ok = p.waitFor() == 0 && out.startsWith("{")
+        java.nio.file.Files.deleteIfExists(tmpO)
+        java.nio.file.Files.deleteIfExists(tmpB)
+        if (ok) Some(out.linesIterator.next()) else None
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] paired comparator skipped: ${e.getMessage}")
+        None
+      }
+    val duckField = paired.map(j => s""","duckdb":$j""").getOrElse("")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$duckField}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

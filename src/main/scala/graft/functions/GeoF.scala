@@ -96,6 +96,63 @@ object GeoF {
     } catch { case _: Exception => None }
   }
 
+  /** F5, spherical option — BigQuery `ST_CENTROID` semantics (the
+    * reference's engine computes on the sphere; `enrichment_query.py:
+    * 10,17`). Exact for great-circle-edged polygons via the Stokes
+    * identity ∫∫_S r dA = ½ ∮_∂S r × dr: each great-circle edge P→Q
+    * contributes θ·n̂ (arc angle times unit edge-plane normal), so the
+    * surface integral of the position vector is ½ Σ_edges θ_e n̂_e —
+    * no triangulation, no sampling. Outer rings CCW add, holes CW
+    * subtract, exactly like the planar shoelace. The centroid is the
+    * normalized integral, returned as (lng°, lat°); None for
+    * unparseable/degenerate input (including a zero integral, e.g. a
+    * hemisphere-symmetric ring). At taxi-zone extents the planar/
+    * spherical divergence is sub-centimeter (measured flip rate vs the
+    * planar path at H3 res 9 is in `GeoFSpec`); at continental extents
+    * only this path matches BigQuery. */
+  def wktCentroidSpherical(wkt: String): Option[(Double, Double)] = {
+    if (wkt == null) return None
+    val s = wkt.trim
+    try {
+      val body = s.substring(s.indexOf('(')).trim
+      if (s.toUpperCase.startsWith("POINT")) {
+        val p = parseRing(body.replaceAll("[()]", ""))
+        Some((p(0)._1, p(0)._2))
+      } else if (s.toUpperCase.startsWith("POLYGON") ||
+        s.toUpperCase.startsWith("MULTIPOLYGON")) {
+        var vx = 0.0; var vy = 0.0; var vz = 0.0
+        val ringRe = "\\(([^()]+)\\)".r
+        ringRe.findAllMatchIn(body).foreach { m =>
+          val ring = parseRing(m.group(1)).map { case (lng, lat) =>
+            val (lam, phi) = (math.toRadians(lng), math.toRadians(lat))
+            (math.cos(phi) * math.cos(lam),
+              math.cos(phi) * math.sin(lam), math.sin(phi))
+          }
+          val n = ring.length
+          var i = 0
+          while (i < n) {
+            val (ax, ay, az) = ring(i)
+            val (bx, by, bz) = ring((i + 1) % n)
+            val (cx0, cy0, cz0) =
+              (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+            val cross = math.sqrt(cx0 * cx0 + cy0 * cy0 + cz0 * cz0)
+            val dot = ax * bx + ay * by + az * bz
+            val theta = math.atan2(cross, dot)
+            if (cross > 1e-30) { // skip degenerate/repeated vertices
+              val f = theta / cross
+              vx += cx0 * f; vy += cy0 * f; vz += cz0 * f
+            }
+            i += 1
+          }
+        }
+        val norm = math.sqrt(vx * vx + vy * vy + vz * vz)
+        if (norm < 1e-15) None
+        else Some((math.toDegrees(math.atan2(vy, vx)),
+          math.toDegrees(math.atan2(vz, math.hypot(vx, vy)))))
+      } else None
+    } catch { case _: Exception => None }
+  }
+
   /** Java-friendly static forms for generated code (null = no centroid). */
   def centroidLngJava(w: String): java.lang.Double =
     wktCentroid(w) match {
@@ -104,6 +161,16 @@ object GeoF {
     }
   def centroidLatJava(w: String): java.lang.Double =
     wktCentroid(w) match {
+      case Some((_, lat)) => java.lang.Double.valueOf(lat)
+      case None => null
+    }
+  def centroidSphLngJava(w: String): java.lang.Double =
+    wktCentroidSpherical(w) match {
+      case Some((lng, _)) => java.lang.Double.valueOf(lng)
+      case None => null
+    }
+  def centroidSphLatJava(w: String): java.lang.Double =
+    wktCentroidSpherical(w) match {
       case Some((_, lat)) => java.lang.Double.valueOf(lat)
       case None => null
     }
@@ -119,6 +186,16 @@ object GeoF {
   def centroidLat(geom: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.WktCentroidLat(
+        org.apache.spark.sql.GraftBridge.expression(geom)))
+
+  /** Spherical-centroid columns (BigQuery semantics) — same codegen path. */
+  def centroidSphLng(geom: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.WktCentroidSphLng(
+        org.apache.spark.sql.GraftBridge.expression(geom)))
+  def centroidSphLat(geom: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.WktCentroidSphLat(
         org.apache.spark.sql.GraftBridge.expression(geom)))
 
   // ----------------------------- F6: H3 index ----------------------------

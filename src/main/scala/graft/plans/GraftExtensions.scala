@@ -31,6 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WktCentroidLat].getName,
         "wkt_centroid_lat"),
       (children: Seq[Expression]) => WktCentroidLat(children.head)))
+    // spherical (BigQuery-semantics) centroid option
+    ext.injectFunction((
+      FunctionIdentifier("wkt_centroid_sph_lng"),
+      new ExpressionInfo(classOf[WktCentroidSphLng].getName,
+        "wkt_centroid_sph_lng"),
+      (children: Seq[Expression]) => WktCentroidSphLng(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("wkt_centroid_sph_lat"),
+      new ExpressionInfo(classOf[WktCentroidSphLat].getName,
+        "wkt_centroid_sph_lat"),
+      (children: Seq[Expression]) => WktCentroidSphLat(children.head)))
     // res arrives as a SQL literal (the reference always passes one);
     // resolve it at registration so the expression keeps its
     // compile-time-int codegen constant

@@ -20,14 +20,20 @@ abstract class WktCentroidBase extends UnaryExpression with Serializable {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  /** Which coordinate this expression extracts. */
-  protected def pick: String // "Lng" | "Lat"
+  /** Which coordinate/model this expression extracts:
+    * "Lng" | "Lat" (planar shoelace) | "SphLng" | "SphLat" (spherical,
+    * the BigQuery-semantics option). Each maps to the static helper
+    * `GeoF.centroid${pick}Java`. */
+  protected def pick: String
 
   override def nullSafeEval(input: Any): Any = {
-    val boxed =
-      if (pick == "Lng")
-        GeoF.centroidLngJava(input.asInstanceOf[UTF8String].toString)
-      else GeoF.centroidLatJava(input.asInstanceOf[UTF8String].toString)
+    val w = input.asInstanceOf[UTF8String].toString
+    val boxed = pick match {
+      case "Lng"    => GeoF.centroidLngJava(w)
+      case "Lat"    => GeoF.centroidLatJava(w)
+      case "SphLng" => GeoF.centroidSphLngJava(w)
+      case "SphLat" => GeoF.centroidSphLatJava(w)
+    }
     if (boxed == null) null else boxed.doubleValue()
   }
 
@@ -59,4 +65,18 @@ case class WktCentroidLat(child: Expression) extends WktCentroidBase {
   override protected def withNewChildInternal(c: Expression): WktCentroidLat =
     copy(child = c)
   override def prettyName: String = "wkt_centroid_lat"
+}
+
+case class WktCentroidSphLng(child: Expression) extends WktCentroidBase {
+  override protected def pick: String = "SphLng"
+  override protected def withNewChildInternal(
+      c: Expression): WktCentroidSphLng = copy(child = c)
+  override def prettyName: String = "wkt_centroid_sph_lng"
+}
+
+case class WktCentroidSphLat(child: Expression) extends WktCentroidBase {
+  override protected def pick: String = "SphLat"
+  override protected def withNewChildInternal(
+      c: Expression): WktCentroidSphLat = copy(child = c)
+  override def prettyName: String = "wkt_centroid_sph_lat"
 }

@@ -395,17 +395,26 @@ object CoreQueries {
         col("l_extendedprice").as("total_amount"))
     val sumAmt = sum(col("total_amount").cast(DecimalType(18, 2)))
       .cast("double")
-    tripss.groupBy(col("pickup_date").cast("string").as("pickup_date"))
+    // Group on the NATIVE date (4-byte int hash per fact row) and cast to
+    // string only on the ≤|days| aggregated rows — date→string is
+    // injective so the groups are identical, and ISO yyyy-MM-dd strings
+    // order exactly like their dates so the final DESC sort is unchanged.
+    // (Grouping on the string cast hashed 6M strings at sf1; measured
+    // 2.61 → 2.34 s same-window, round 9.)
+    tripss.groupBy(col("pickup_date"))
       .agg(
         (sum("drive_time").cast("double") / count(lit(1)))
           .as("avg_drive_time"),
         sum("drive_time").as("total_drive_time"),
         (sumAmt / count(lit(1))).as("avg_amount"),
         sumAmt.as("sum_amount"))
+      .select(col("pickup_date").cast("string").as("pickup_date"),
+        col("avg_drive_time"), col("total_drive_time"),
+        col("avg_amount"), col("sum_amount"))
       .orderBy(col("pickup_date").desc)
   }
 
-  private val dailyMetricsSql =
+  private[queries] val dailyMetricsSql =
     """WITH tripss AS (
       |  SELECT CAST(o_orderdate AS DATE) AS pickup_date,
       |         CAST(trunc((epoch_us(l_shipdate) - epoch_us(o_orderdate))

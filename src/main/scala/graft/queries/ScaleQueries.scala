@@ -40,7 +40,7 @@ object ScaleQueries {
     * concurrent writers to one path are not. */
   private val bucketLock = new Object
 
-  private[queries] def ensureBucketed(
+  private[graft] def ensureBucketed(
       s: SparkSession, dir: String): (String, String) = bucketLock.synchronized {
     import graft.core.FixtureMeta
     val suffix = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
@@ -134,6 +134,41 @@ object ScaleQueries {
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Bucketed-layout twin of `a3_daily_metrics` (same semantics, SAME
+    * oracle SQL): the lineitem⋈orders fact edge reads both sides from the
+    * bucketed layout, so the join is a bucket-local SMJ with zero
+    * exchanges below the date aggregation — at sf1 this is the 2.5 s →
+    * ~1.0 s difference (round-9 A/B), because the raw-fixture plan's
+    * residual IS the two fact-side shuffles. Registered separately: the
+    * raw plan stays the honest per-query cost on unprepared data; this is
+    * what the same query costs once the warehouse pays the one-time
+    * layout, which is how the reference's BigQuery tables behave (every
+    * stage pre-materialized). */
+  private def dailyBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (liT, ordT) = ensureBucketed(s, dir)
+    val tripss = s.table(liT).hint("merge")
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        graft.functions.DateTimeF.toDateCol(col("o_orderdate"))
+          .as("pickup_date"),
+        graft.functions.DateTimeF.timestampDiffMinutes(
+          col("l_shipdate"), col("o_orderdate")).as("drive_time"),
+        col("l_extendedprice").as("total_amount"))
+    val sumAmt = sum(col("total_amount").cast(DecimalType(18, 2)))
+      .cast("double")
+    tripss.groupBy(col("pickup_date"))
+      .agg(
+        (sum("drive_time").cast("double") / count(lit(1)))
+          .as("avg_drive_time"),
+        sum("drive_time").as("total_drive_time"),
+        (sumAmt / count(lit(1))).as("avg_amount"),
+        sumAmt.as("sum_amount"))
+      .select(col("pickup_date").cast("string").as("pickup_date"),
+        col("avg_drive_time"), col("total_drive_time"),
+        col("avg_amount"), col("sum_amount"))
+      .orderBy(col("pickup_date").desc)
+  }
 
   private val bucketedJoinSql =
     """SELECT o_orderstatus, count(*) AS n,
@@ -310,6 +345,8 @@ object ScaleQueries {
       bench = true),
     "b_star_bucketed" -> QueryDef(starBucketed, Some(starBucketedSql),
       bench = true),
+    "a3_daily_bucketed" -> QueryDef(dailyBucketed,
+      Some(CoreQueries.dailyMetricsSql), bench = true),
     "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql)),
     "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql)),
     "b_zorder_layout" -> QueryDef(zorderLayout, Some(zorderLayoutSql))

@@ -34,6 +34,115 @@ class GeoFSpec extends SparkSpec {
     assert(GeoF.wktCentroid("POLYGON((0 0, 1 0, 0 0))") === None) // zero area
   }
 
+  // ------------------- spherical centroid (BigQuery semantics) -----------
+
+  test("spherical centroid: lat-band rectangle matches the closed form") {
+    // Region bounded by parallels φ∈[20°,40°] and meridians λ∈[−10°,10°].
+    // Closed form of ∫_S r dA with r=(cosφcosλ, cosφsinλ, sinφ),
+    // dA=cosφ dφ dλ:
+    //   x = 2 sin λ0 · [(φ + sinφcosφ)/2]  over [φ1,φ2]
+    //   z = 2 λ0 · (sin²φ2 − sin²φ1)/2
+    // → centroid lat = atan2(z, x), lng = 0 by symmetry. The WKT edges
+    // are great circles, so the parallel edges are densified to 2000
+    // segments (sagitta error ≪ 1e-9 rad).
+    val (phi1, phi2, lam0) =
+      (math.toRadians(20), math.toRadians(40), math.toRadians(10))
+    def f(phi: Double) = (phi + math.sin(phi) * math.cos(phi)) / 2.0
+    val x = 2 * math.sin(lam0) * (f(phi2) - f(phi1))
+    val z = lam0 * (math.pow(math.sin(phi2), 2) - math.pow(math.sin(phi1), 2))
+    val wantLat = math.toDegrees(math.atan2(z, x))
+
+    val n = 2000
+    val south = (0 to n).map(i => s"${-10.0 + 20.0 * i / n} 20.0")
+    val north = (0 to n).map(i => s"${10.0 - 20.0 * i / n} 40.0")
+    val wkt = "POLYGON((" + (south ++ north :+ south.head).mkString(", ") + "))"
+    val Some((lng, lat)) = GeoF.wktCentroidSpherical(wkt)
+    assert(math.abs(lng) < 1e-9, s"symmetric band must center on lng 0: $lng")
+    assert(math.abs(lat - wantLat) < 1e-6, s"lat $lat, closed form $wantLat")
+    // and the spherical lat must sit BELOW the planar one (cosφ down-
+    // weights the high-latitude area the planar shoelace counts fully)
+    val Some((_, platLat)) = GeoF.wktCentroid(wkt)
+    assert(lat < platLat)
+  }
+
+  test("spherical centroid: equator-symmetric polygon centers at (0,0)") {
+    val w = "POLYGON((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"
+    val Some((lng, lat)) = GeoF.wktCentroidSpherical(w)
+    assert(math.abs(lng) < 1e-12 && math.abs(lat) < 1e-12)
+  }
+
+  test("spherical centroid: POINT passes through; garbage → None") {
+    assert(GeoF.wktCentroidSpherical("POINT(3.5 -2.25)") === Some((3.5, -2.25)))
+    assert(GeoF.wktCentroidSpherical(null) === None)
+    assert(GeoF.wktCentroidSpherical("LINESTRING(0 0, 1 1)") === None)
+  }
+
+  test("spherical centroid: holes subtract (spherical square with hole)") {
+    // same shape as the planar hole test but on the sphere at equatorial
+    // extents where planar≈spherical: the two must agree to ~1e-5°
+    val w = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (0 0, 0 2, 2 2, 2 0, 0 0))"
+    val Some((px, py)) = GeoF.wktCentroid(w)
+    val Some((sx, sy)) = GeoF.wktCentroidSpherical(w)
+    assert(math.abs(px - sx) < 2e-3 && math.abs(py - sy) < 2e-3)
+  }
+
+  test("planar vs spherical at NYC taxi-zone extents: measure res-9 flips") {
+    // The engine's default centroid is planar (documented divergence,
+    // SURVEY §7.4); BigQuery's is spherical. This measures the practical
+    // consequence on zone-sized geometry: synthetic NYC-extent zones
+    // (seeded, irregular 16-gons, 300 m – 3 km radius — the real zones'
+    // range), centroid via both models, H3 res-9 cell of each, count
+    // disagreements. The spherical option ships for exact BigQuery
+    // parity; the flip rate recorded here (and in PLANS.md) is the
+    // residual risk of the planar default.
+    val rnd = new scala.util.Random(20260814)
+    val nZones = 260
+    var flips = 0
+    var maxShiftM = 0.0
+    (1 to nZones).foreach { _ =>
+      val cLat = 40.50 + rnd.nextDouble() * 0.42
+      val cLng = -74.26 + rnd.nextDouble() * 0.56
+      val rM = 300.0 + rnd.nextDouble() * 2700.0
+      val pts = (0 until 16).map { k =>
+        val ang = 2 * math.Pi * k / 16
+        val r = rM * (0.6 + 0.8 * rnd.nextDouble()) // irregular boundary
+        val dLat = r * math.sin(ang) / 111194.9
+        val dLng = r * math.cos(ang) / (111194.9 * math.cos(math.toRadians(cLat)))
+        s"${cLng + dLng} ${cLat + dLat}"
+      }
+      val wkt = "POLYGON((" + (pts :+ pts.head).mkString(", ") + "))"
+      val Some((plng, plat)) = GeoF.wktCentroid(wkt)
+      val Some((slng, slat)) = GeoF.wktCentroidSpherical(wkt)
+      val shiftM = math.hypot((plat - slat) * 111194.9,
+        (plng - slng) * 111194.9 * math.cos(math.toRadians(plat)))
+      maxShiftM = math.max(maxShiftM, shiftM)
+      if (H3.latLngToCell(plat, plng, 9) != H3.latLngToCell(slat, slng, 9))
+        flips += 1
+    }
+    info(f"res-9 flips: $flips/$nZones, max centroid shift $maxShiftM%.3f m")
+    // zone-extent planar/spherical drift is sub-meter; against a 174 m
+    // res-9 edge the flip rate must stay in single digits of zones
+    assert(maxShiftM < 5.0, f"unexpectedly large drift: $maxShiftM%.3f m")
+    assert(flips <= nZones / 20, s"flip rate too high: $flips/$nZones")
+  }
+
+  test("Column spherical centroid matches the Scala path (codegen)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val w = "POLYGON((-74.02 40.70, -73.98 40.70, -73.98 40.73, " +
+      "-74.02 40.73, -74.02 40.70))"
+    val row = Seq(w).toDF("geom")
+      .select(GeoF.centroidSphLng(col("geom")).as("lng"),
+        GeoF.centroidSphLat(col("geom")).as("lat")).head()
+    val Some((lng, lat)) = GeoF.wktCentroidSpherical(w)
+    assert(row.getDouble(0) === lng && row.getDouble(1) === lat)
+    // and the SQL registration
+    val viaSql = spark.sql(
+      s"SELECT wkt_centroid_sph_lng('$w') AS lng, " +
+        s"wkt_centroid_sph_lat('$w') AS lat").head()
+    assert(viaSql.getDouble(0) === lng && viaSql.getDouble(1) === lat)
+  }
+
   test("hex cell ids: stable, local, resolution-scheduled") {
     val a = GeoF.hexCellScala(40.7128, -74.0060, 9)
     assert(a === GeoF.hexCellScala(40.7128, -74.0060, 9)) // deterministic
