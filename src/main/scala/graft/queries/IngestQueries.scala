@@ -291,6 +291,24 @@ object IngestQueries {
       "top_dropoff", "top_pickup")
   }
 
+  /** Bench variant of [[pipelineFused]]: same gated fused chain, with
+    * the source-day fixture laid out once per SF dir under the stamped
+    * completeness/freshness gate (the [[pipelineE2EBench]] pattern) and
+    * the oracle-only total ORDER BY dropped. */
+  private def pipelineFusedBench(s: SparkSession, dir: String): DataFrame = {
+    val base = qtmp("pipeline_fused_bench_" + java.lang.Integer.toHexString(
+      dir.hashCode & 0x7fffffff))
+    val Array(y, m, d) = Ds.split("-")
+    val stamp = graft.core.FixtureMeta.sourceStamp(s, dir, Seq("events"))
+    if (!(graft.core.FixtureMeta.complete(s, s"$base/src/$y/$m/$d") &&
+          graft.core.FixtureMeta.valid(s, s"$base/src/.stamp", stamp))) {
+      writeDay(s, dir, s"$base/src", Ds)
+      graft.core.FixtureMeta.write(s, s"$base/src/.stamp", stamp)
+    }
+    TaxiPipeline.fused(s, dir, s"$base/src", Ds)
+      .getOrElse(sys.error("fused pipeline gated on a day with data"))
+  }
+
   private val pipelineE2ESql =
     s"""WITH day AS (
        |  SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '$Ds'
@@ -631,6 +649,7 @@ object IngestQueries {
     // Not in the bench set — same rationale as q_taxi_fused: keep the
     // headline series comparable across rounds; fused paired numbers are
     // recorded in PLANS.md.
-    "c_pipeline_fused" -> QueryDef(pipelineFused, Some(pipelineE2ESql))
+    "c_pipeline_fused" -> QueryDef(pipelineFused, Some(pipelineE2ESql),
+      benchFn = Some(pipelineFusedBench))
   )
 }

@@ -669,19 +669,26 @@ object TrainPrepQueries {
     *
     * Output: the learned merge table (merge_rank, left_sym, right_sym,
     * pair_count) — the BPE artifact a tokenizer ships. */
-  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val words = tbl(s, dir, "documents")
+  /** The ONE corpus scan both BPE arms share: (word-type, frequency). */
+  private def bpeWordFreqs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
       .select(explode(TextF.lowerTokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** The distributed merge loop (one pair-count job + 1-row collect per
+    * round) over an arbitrary (w, f) word-frequency table — factored out
+    * so `BpeSpec` can prove it equal to [[graft.ops.Bpe.trainLocal]] on
+    * inputs beyond the fixture. */
+  private[queries] def bpeLearnDistributed(
+      words: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
     var syms = words.select(col("f"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("s"))
       .localCheckpoint()
     val learned =
       scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (rank <- 1 to BpeMerges) {
+    for (rank <- 1 to merges) {
       val top = syms
         .select(col("f"), explode(expr(
           """CASE WHEN size(s) > 1 THEN
@@ -698,7 +705,44 @@ object TrainPrepQueries {
       learned += ((rank, l, r, cnt))
       syms = syms.select(col("f"), bpeApply(l, r).as("s")).localCheckpoint()
     }
-    learned.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    learned.toSeq
+  }
+
+  /** Word-type count above which the driver-resident arm is refused —
+    * a 32M-type table at ~16 B/entry is ~512 MB of driver heap, already
+    * far past any natural-language vocabulary (Zipf keeps real corpora
+    * to low millions of types even at 100 TB). */
+  private[queries] val BpeDriverTypeCap = 32L * 1000 * 1000
+
+  /** Production-merge-count arm: collect the (tiny, Zipf-bounded)
+    * word-type table once and run [[graft.ops.Bpe.trainLocal]] — zero
+    * Spark jobs per merge round, so 30k merges are minutes of driver
+    * CPU instead of 30k cluster jobs. Falls back to the distributed
+    * loop above the type cap. Equality of the two arms is
+    * property-tested in `BpeSpec`; this arm is also oracle-gated
+    * end-to-end as `x_bpe_local` (same unrolled-SQL oracle as
+    * `x_bpe_merges`). */
+  private[queries] def bpeLearnAuto(s: SparkSession, words: DataFrame,
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
+    val nTypes = words.count()
+    if (nTypes <= BpeDriverTypeCap)
+      graft.ops.Bpe.trainLocal(
+        words.select("w", "f").as[(String, Long)].collect().toSeq, merges)
+    else bpeLearnDistributed(words, merges)
+  }
+
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeLearnDistributed(bpeWordFreqs(s, dir), BpeMerges)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  private def bpeMergesLocal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeLearnAuto(s, bpeWordFreqs(s, dir), BpeMerges)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy("merge_rank")
   }
 
@@ -746,6 +790,7 @@ object TrainPrepQueries {
 
   val all: Map[String, QueryDef] = Map(
     "x_bpe_merges" -> QueryDef(bpeMerges, Some(bpeMergesSql)),
+    "x_bpe_local" -> QueryDef(bpeMergesLocal, Some(bpeMergesSql)),
     "x_weighted_sample" -> QueryDef(weightedSample, Some(weightedSampleSql)),
     "c_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql),
       bench = true),

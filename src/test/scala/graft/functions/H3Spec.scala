@@ -157,6 +157,29 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  test("all 12 pentagons: center indexes equal getPentagons' derived form") {
+    // What IS externally validated here, for every one of the 12
+    // pentagons: the published `getPentagons(res)` output is, by the H3
+    // index spec, the all-zero-digit child of each pentagon base cell —
+    // mode 1, the res field, the base cell, digits 1..res all 0, unused
+    // digits all 7 (e.g. res 0 → 8009fffffffffff…80ebfffffffffff, res 1
+    // → 81083ffffffffff…). A pentagon's center is an icosahedron vertex,
+    // and its IJK center must map to digit 0 at EVERY resolution, so
+    // indexing the center must reproduce exactly those published values.
+    // What is NOT externally validated (no offline off-center pentagon
+    // vectors exist in this build): the CCW sub-digit rotation within
+    // each pentagon — that orientation is pinned by the class-init
+    // consistency search (face-straddle equality + no leading K digit,
+    // both `require`d at load) and the neighborhood test above.
+    for ((bc, lat, lng) <- H3.pentagonCenters; res <- 0 to 4) {
+      val want = (1L << 59) | (res.toLong << 52) | (bc.toLong << 45) |
+        ((1L << ((H3.MaxRes - res) * 3)) - 1)
+      assert(H3.latLngToCell(lat, lng, res) === want,
+        f"pentagon $bc center at res $res: " +
+          f"got ${H3.latLngToCell(lat, lng, res)}%015x want $want%015x")
+    }
+  }
+
   test("regression pin: base cell stable across resolutions at city points") {
     // NOT a general H3 invariant (aperture-7 children overflow their
     // parent, so near res-0 edges the base-cell FIELD may vary with

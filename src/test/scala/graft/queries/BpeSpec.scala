@@ -31,5 +31,56 @@ class BpeSpec extends SparkSpec {
       (2, "ab", "c", 3L),
       (3, "a", "a", 2L),
       (4, "aa", "a", 1L)))
+
+    // the driver-resident arm (x_bpe_local → Bpe.trainLocal) learns the
+    // identical table on the same fixture
+    val local = SparkEntry.queries("x_bpe_local")(spark, dir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(local === got)
+  }
+
+  test("driver-resident trainer ≡ distributed trainer on random corpora") {
+    // The 30k-merge scale arm must be the SAME function as the per-round
+    // Spark loop: random word-frequency tables (small alphabet so pair
+    // collisions, ties, chained merges and greedy overlaps all occur),
+    // 8 merge rounds, full merge-table equality.
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 6) {
+      val nWords = 12 + rnd.nextInt(20)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        w
+      }.distinct.map(w => (w, 1L + rnd.nextInt(9)))
+      val merges = 8
+      val dist = TrainPrepQueries.bpeLearnDistributed(
+        words.toDF("w", "f"), merges)
+      val local = graft.ops.Bpe.trainLocal(words, merges)
+      assert(local === dist, s"trial $trial diverged on $words")
+    }
+  }
+
+  test("driver-resident trainer handles production-scale merge counts") {
+    // 2000 merges over a synthetic Zipf-ish vocabulary in well under a
+    // second of driver CPU — the property that makes the two-stage split
+    // viable where 2000 Spark jobs are not. (2000, not 30k, to keep the
+    // suite fast; the incremental update makes cost per round O(affected
+    // words), so rounds get CHEAPER as counts shrink.)
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 5000).map { i =>
+      val len = 2 + rnd.nextInt(10)
+      ((1 to len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString,
+        (10000.0 / i).toLong + 1)
+    }.distinct
+    val t0 = System.nanoTime()
+    val merges = graft.ops.Bpe.trainLocal(vocab, 2000)
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"2000 merges over ${vocab.size} types in $dt%.2f s")
+    assert(merges.size === 2000)
+    assert(merges.map(_._1) === (1 to 2000))
+    // counts are non-increasing? NOT a BPE invariant (a merge can create
+    // a new high-frequency pair), but every count is positive
+    assert(merges.forall(_._4 > 0))
+    assert(dt < 30.0, f"driver-resident arm too slow: $dt%.2f s")
   }
 }
