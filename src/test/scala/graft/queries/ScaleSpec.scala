@@ -48,7 +48,9 @@ class ScaleSpec extends SparkSpec {
     // registration (milliseconds) instead of re-running the layout write
     // (the round-8 driver-bench regression).
     graft.SparkEntry.queries("b_bucketed_join")(spark, sf).collect()
-    val suffix = java.lang.Integer.toHexString(sf.hashCode & 0x7fffffff)
+    val nb = ScaleQueries.autoBuckets(spark, sf)
+    val suffix = java.lang.Integer.toHexString(
+      (sf + "#" + nb).hashCode & 0x7fffffff)
     val liPath = new java.io.File(
       s"${sys.props("user.dir")}/target/qtmp/bucketed_$suffix/li_b")
     val before = liPath.listFiles().map(f => f.getName -> f.lastModified).toMap
