@@ -38,6 +38,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // data-sized initial shuffle partitions — rationale + A/B numbers
+      // on GraftSession.initialShufflePartitions
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+          graft.core.GraftSession.initialShufflePartitions(sfDir, cpus.toInt)
+            .toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -15,6 +15,11 @@ object BenchLab {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // data-sized initial shuffle partitions — rationale + A/B numbers
+      // on GraftSession.initialShufflePartitions
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.core.GraftSession.initialShufflePartitions(sfDir, cpus.toInt)
+          .toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

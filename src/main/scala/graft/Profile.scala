@@ -13,6 +13,11 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // data-sized initial shuffle partitions — rationale + A/B numbers
+      // on GraftSession.initialShufflePartitions
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.core.GraftSession.initialShufflePartitions(sfDir,
+          32).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,6 +24,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // data-sized initial shuffle partitions — rationale + A/B numbers
+      // on GraftSession.initialShufflePartitions
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.core.GraftSession.initialShufflePartitions(sfDir, cpus.toInt)
+          .toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
