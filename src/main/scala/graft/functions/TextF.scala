@@ -23,8 +23,20 @@ object TextF {
 
   /** Whitespace tokenizer: trim then split on runs of whitespace.
     * Empty/whitespace-only input tokenizes to an EMPTY array (a bare
-    * split("") would yield [""], a phantom token); NULL stays NULL. */
-  def tokens(text: Column): Column =
+    * split("") would yield [""], a phantom token); NULL stays NULL.
+    * Since round 9 this is the byte-level codegen scanner
+    * ([[graft.plans.WsTokens]]) — identical semantics to the composed
+    * trim+split form (including its leading/trailing-empty-token quirks
+    * for non-space whitespace at the ends), property-proven in
+    * `WsTokensSpec`; no java.util.regex on any tokenizing scan. */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.WsTokens(GraftBridge.expression(text)))
+  }
+
+  /** The composed reference form of [[tokens]], kept for the
+    * equivalence spec. */
+  def tokensComposed(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
@@ -36,6 +48,15 @@ object TextF {
     * with the SQL in `graft.queries.ExtQueries`). */
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Fused corpus-clean transform — mask emails then URLs then
+    * trim+collapse whitespace — as the single-pass codegen scanner
+    * ([[graft.plans.CleanText]] / [[TextMaskF]]); property-proven equal
+    * to the regexp_replace chain it replaces (`TextMaskSpec`). */
+  def cleanText(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.CleanText(GraftBridge.expression(text)))
+  }
 
   /** Count of tokens belonging to a small constant word set, as the
     * native single-pass expression ([[graft.plans.TokenSetCount]]). */

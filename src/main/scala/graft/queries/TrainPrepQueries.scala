@@ -232,12 +232,11 @@ object TrainPrepQueries {
   private def textClean(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          UrlRe, "<URL>").as("masked"),
+        // the fused single-pass scanner (TextF.cleanText), replacing the
+        // regexp_replace×3 chain — property-proven equal in TextMaskSpec;
+        // the oracle SQL below keeps the regex spelling as the spec
+        TextF.cleanText(col("text")).as("clean"),
         length(col("text")).as("n_chars_raw"))
-      .select(col("doc_id"),
-        regexp_replace(trim(col("masked")), "\\s+", " ").as("clean"),
-        col("n_chars_raw"))
       .select(col("doc_id"),
         substring(col("clean"), 1, 80).as("head"),
         length(col("clean")).as("n_chars_clean"),
@@ -290,10 +289,8 @@ object TrainPrepQueries {
     // keeps the canonical spelling and the row hashes must stay equal.
     val compact = tbl(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        regexp_replace(
-          trim(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-            UrlRe, "<URL>")),
-          "\\s+", " ").as("clean"))
+        // fused single-pass clean (TextF.cleanText) — see textClean
+        TextF.cleanText(col("text")).as("clean"))
       .select(col("doc_id"), col("lang"), lower(col("clean")).as("lc"))
       .select(col("doc_id"), col("lang"),
         md5(col("lc").cast("binary")).as("fp"),
