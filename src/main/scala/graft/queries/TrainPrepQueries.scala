@@ -70,11 +70,9 @@ object TrainPrepQueries {
     * re-running the tokenize scan. tf is the per-doc distinct-term
     * table, typically 5–10× smaller than the token stream, so it is
     * the cheap side to materialize. Both groupBys are
-    * map-side-combined shuffles on high-cardinality keys; df is NOT
-    * broadcast (vocabulary at corpus scale is itself huge) — the tf⋈df
-    * join shuffles on `term`, which the df aggregation already
-    * clustered, so AQE plans it exchange-free on the df side. The
-    * top-k window partitions by doc_id (no global sort). */
+    * map-side-combined shuffles on high-cardinality keys; the tf⋈df
+    * join broadcasts the vocabulary-sized df (rationale on the join
+    * below). The top-k window partitions by doc_id (no global sort). */
   private def tfidfTopTermsRaw(s: SparkSession, dir: String): DataFrame = {
     // tf is computed IN-ROW by the codegen term-histogram expression —
     // per-document counts are document-local, so the token stream never
@@ -91,7 +89,15 @@ object TrainPrepQueries {
     val n = tf.select(countDistinct("doc_id").as("n"))
     val rn = row_number().over(Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term")))
-    tf.join(df, "term")
+    // df is VOCABULARY-sized (Zipf keeps word types to MBs even at
+    // 100 TB — the same bound the BPE driver-resident arm rests on), so
+    // broadcasting it spares the full per-(doc,term) tf stream its
+    // term-keyed exchange; the only big shuffle left is the doc_id
+    // window. Alternating A/B: sf10 18.5/18.6 s broadcast vs 22.2/22.6 s
+    // shuffled (−17%, reproducible); sf1 parity within noise — the win
+    // grows with data because the spared exchange does while the
+    // broadcast stays vocabulary-sized.
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(n)) // single-row corpus size, never shuffled
       .select(col("doc_id"), col("term"), col("tf"),
         (col("tf") * expr(s"($IdfScale * (n + 1)) div (df + 1)"))
@@ -171,7 +177,8 @@ object TrainPrepQueries {
     // round (binary-double ·10⁶ then nearbyint) disagree when score·10⁶
     // lands on a .5 boundary, which ~10⁶-magnitude scores make reachable
     // (one observed at sf0.001). floor(score·10⁶) < 2⁵³ through sf0.1.
-    tf.join(df, "term").join(dl, "doc_id")
+    // vocabulary-sized df broadcast — same A/B'd rationale as tfidf
+    tf.join(broadcast(df), "term").join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),
         (floor(expr(s"($IdfScale * (n + 1)) div (df + 1)").cast("double") *
