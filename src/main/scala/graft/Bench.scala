@@ -155,6 +155,10 @@ object Bench {
           s"${sys.props("user.dir")}/tools/duckbench.py",
           sfDir, tmpO.toString, tmpB.toString)
         pb.redirectErrorStream(false)
+        // Inherit stderr (round-9 advice): without a drain, a chatty
+        // comparator (per-query DuckDB warnings) fills the ~64 KB pipe
+        // buffer and deadlocks the bench against our stdout read.
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         val ok = p.waitFor() == 0 && out.startsWith("{")

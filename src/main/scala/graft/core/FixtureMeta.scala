@@ -55,9 +55,14 @@ object FixtureMeta {
     fs.exists(p) && {
       val in = fs.open(p)
       try {
+        // Read to EOF (round-9 advice): a single read() may legally
+        // return short, which would spuriously invalidate a fresh
+        // layout and trigger a full rebuild inside a bench pass.
+        val bos = new java.io.ByteArrayOutputStream(256)
         val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        n > 0 && new String(buf, 0, n, "UTF-8") == stamp
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.size > 0 && bos.toString("UTF-8") == stamp
       } finally in.close()
     }
   }

@@ -121,6 +121,11 @@ object GeoF {
       } else if (s.toUpperCase.startsWith("POLYGON") ||
         s.toUpperCase.startsWith("MULTIPOLYGON")) {
         var vx = 0.0; var vy = 0.0; var vz = 0.0
+        // Vertex-direction sum: orientation witness for the winding fix
+        // below. For any sub-hemisphere geometry all vertices lie within
+        // 90° of the true centroid, so the summed unit vectors point
+        // into the region's hemisphere regardless of ring winding.
+        var sx = 0.0; var sy = 0.0; var sz = 0.0
         val ringRe = "\\(([^()]+)\\)".r
         ringRe.findAllMatchIn(body).foreach { m =>
           val ring = parseRing(m.group(1)).map { case (lng, lat) =>
@@ -128,6 +133,7 @@ object GeoF {
             (math.cos(phi) * math.cos(lam),
               math.cos(phi) * math.sin(lam), math.sin(phi))
           }
+          ring.foreach { case (x, y, z) => sx += x; sy += y; sz += z }
           val n = ring.length
           var i = 0
           while (i < n) {
@@ -145,6 +151,17 @@ object GeoF {
             i += 1
           }
         }
+        // Winding normalization (round-9 advice): the Stokes edge-sum is
+        // winding-SENSITIVE — a CW-wound outer ring (the common ESRI/
+        // shapefile convention) yields the ANTIPODAL vector. The planar
+        // path divides by signed area and is winding-agnostic, and
+        // BigQuery ST_CENTROID on unoriented WKT takes the smaller
+        // region; match both by flipping when the integral points away
+        // from the vertex hemisphere. Valid for sub-hemisphere input
+        // (every vertex within 90° of the centroid — all real zone/
+        // region geometries); a super-hemisphere polygon is ambiguous
+        // from unoriented WKT anyway.
+        if (vx * sx + vy * sy + vz * sz < 0) { vx = -vx; vy = -vy; vz = -vz }
         val norm = math.sqrt(vx * vx + vy * vy + vz * vz)
         if (norm < 1e-15) None
         else Some((math.toDegrees(math.atan2(vy, vx)),

@@ -81,7 +81,12 @@ object Bpe {
 
     val learned = mutable.ListBuffer.empty[Merge]
     var rank = 1
-    while (rank <= merges && counts.nonEmpty) {
+    while (rank <= merges) {
+      // Exhaustion parity with the distributed arm (round-9 advice):
+      // bpeLearnDistributed throws "corpus exhausted before merge N"
+      // when no pair remains; silently truncating here would make the
+      // two "property-proven equal" arms diverge on small corpora.
+      require(counts.nonEmpty, s"corpus exhausted before merge $rank")
       // top pair by (count DESC, l ASC, r ASC) — the oracle's tie-break.
       // A linear scan of the pair map per round; a heap would be faster
       // still, but the pair map is vocabulary-alphabet-sized and this

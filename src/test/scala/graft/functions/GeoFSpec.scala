@@ -86,6 +86,34 @@ class GeoFSpec extends SparkSpec {
     assert(math.abs(px - sx) < 2e-3 && math.abs(py - sy) < 2e-3)
   }
 
+  test("spherical centroid: winding-agnostic (CW outer ring, ESRI style)") {
+    // Round-9 advice: the Stokes edge-sum flips sign under a CW-wound
+    // outer ring — without normalization the result is ANTIPODAL. The
+    // planar path is winding-agnostic (signed-area division), and
+    // BigQuery on unoriented WKT takes the smaller region; the vertex-
+    // hemisphere flip must make the spherical path agree for all three
+    // winding conventions on sub-hemisphere input.
+    val ccw = "POLYGON((0 20, 10 20, 10 40, 0 40, 0 20))"
+    val cw  = "POLYGON((0 20, 0 40, 10 40, 10 20, 0 20))" // reversed
+    val Some((x1, y1)) = GeoF.wktCentroidSpherical(ccw)
+    val Some((x2, y2)) = GeoF.wktCentroidSpherical(cw)
+    assert(math.abs(x1 - x2) < 1e-12 && math.abs(y1 - y2) < 1e-12,
+      s"CW ring diverged: ($x1,$y1) vs ($x2,$y2)")
+    assert(y1 > 20 && y1 < 40 && x1 > 0 && x1 < 10, s"not in region: ($x1,$y1)")
+
+    // mixed/flipped hole conventions: CCW outer + CW hole (canonical),
+    // CW outer + CCW hole (wholesale-reversed shapefile) — identical.
+    val canonical =
+      "POLYGON((0 0, 8 0, 8 8, 0 8, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1))"
+    val reversed =
+      "POLYGON((0 0, 0 8, 8 8, 8 0, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    val Some((cx1, cy1)) = GeoF.wktCentroidSpherical(canonical)
+    val Some((cx2, cy2)) = GeoF.wktCentroidSpherical(reversed)
+    assert(math.abs(cx1 - cx2) < 1e-12 && math.abs(cy1 - cy2) < 1e-12)
+    // hole pulls the centroid away from the (1..3,1..3) corner
+    assert(cx1 > 4.0 && cy1 > 4.0)
+  }
+
   test("planar vs spherical at NYC taxi-zone extents: measure res-9 flips") {
     // The engine's default centroid is planar (documented divergence,
     // SURVEY §7.4); BigQuery's is spherical. This measures the practical

@@ -60,6 +60,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("both arms fail identically when the corpus exhausts early") {
+    // Round-9 advice: trainLocal used to silently truncate where the
+    // distributed arm throws "corpus exhausted before merge N" — the
+    // arms must be equal on ALL inputs, including pathological ones.
+    // "ab" ×1 admits exactly one merge; asking for 3 must throw the
+    // same message from both.
+    val words = Seq(("ab", 1L))
+    val exLocal = intercept[IllegalArgumentException] {
+      graft.ops.Bpe.trainLocal(words, 3)
+    }
+    val exDist = intercept[IllegalArgumentException] {
+      TrainPrepQueries.bpeLearnDistributed(words.toDF("w", "f"), 3)
+    }
+    assert(exLocal.getMessage.contains("corpus exhausted before merge 2"))
+    assert(exDist.getMessage.contains("corpus exhausted before merge 2"))
+  }
+
   test("driver-resident trainer handles production-scale merge counts") {
     // 2000 merges over a synthetic Zipf-ish vocabulary in well under a
     // second of driver CPU — the property that makes the two-stage split
