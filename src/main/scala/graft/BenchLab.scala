@@ -32,6 +32,7 @@ object BenchLab {
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val completed = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -42,6 +43,10 @@ object BenchLab {
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           completed.incrementAndGet()
           tasks.addAndGet(s.stageInfo.numTasks)
+          // shuffle bytes: the window-drift-immune A/B signal — wall
+          // clock moves with co-tenant noise, bytes written do not
+          shuffleBytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
       })
 
@@ -52,13 +57,15 @@ object BenchLab {
         .foreach(_.unpersist(blocking = false))
       System.gc()
       jobs.set(0); stages.set(0); completed.set(0); tasks.set(0)
+      shuffleBytes.set(0)
       val t0 = System.nanoTime()
       val df = SparkEntry.defs(name).benched(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"[lab] $name run$i: $dt%.3f s jobs=${jobs.get} " +
-        f"stages=${stages.get} completed=${completed.get} tasks=${tasks.get}")
+        f"stages=${stages.get} completed=${completed.get} tasks=${tasks.get} " +
+        f"shuffleMB=${shuffleBytes.get / 1048576.0}%.1f")
       if (i == runs) {
         val planStr = df.queryExecution.executedPlan.toString
         val reused = planStr.linesIterator.count(_.contains("ReusedExchange")) +

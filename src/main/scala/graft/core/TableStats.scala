@@ -4,8 +4,8 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{approx_count_distinct, count, lit}
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, max, min}
+import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, MapType, ShortType, StructType}
 
 /** Session-wide table statistics for cost-based planning — the ANALYZE
   * side of [[graft.plans.AutoSkipPartialAgg]].
@@ -25,8 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   */
 object TableStats {
 
-  /** rows + per-column approximate NDV, keyed by column name. */
-  final case class Stat(rows: Long, ndv: Map[String, Long])
+  /** rows + per-column approximate NDV, keyed by column name.
+    * `range`: EXACT (min, max) of integral columns from the same scan —
+    * unlike NDV these gate value-domain rewrites (e.g. packing two key
+    * columns into one 64-bit shuffle key), so they must be exact, and
+    * min/max over integers costs nothing extra in the ANALYZE pass. */
+  final case class Stat(rows: Long, ndv: Map[String, Long],
+      range: Map[String, (Long, Long)] = Map.empty)
 
   private val registry = TrieMap.empty[String, Stat]
 
@@ -49,6 +54,15 @@ object TableStats {
 
   def lookup(key: String): Option[Stat] = registry.get(key)
 
+  /** Exact (min, max) of an integral column of `df`'s single scan, when
+    * ANALYZE has run over it — the query-builder-side mirror of the
+    * optimizer rules' [[keyOf]]+[[lookup]] path. None (no rewrite) when
+    * stats are absent: value-domain rewrites must be provably safe. */
+  def columnRange(df: DataFrame, column: String): Option[(Long, Long)] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: LogicalRelation => keyOf(r)
+    }.flatten.flatMap(lookup).flatMap(_.range.get(column))
+
   def clear(): Unit = registry.clear()
 
   /** Collect + register stats for one DataFrame under the root path of
@@ -64,11 +78,23 @@ object TableStats {
           case _: ArrayType | _: MapType | _: StructType => false
           case _ => true
         }).map(_.name).toSeq
+        val intCols = df.schema.fields.filter(f => f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }).map(_.name).toSeq
         val aggs = count(lit(1)).as("graft_rows") +:
-          cols.map(c => approx_count_distinct(c).as(c))
+          (cols.map(c => approx_count_distinct(c).as(c)) ++
+            intCols.flatMap(c => Seq(
+              min(col(c)).cast("long").as(s"__min__$c"),
+              max(col(c)).cast("long").as(s"__max__$c"))))
         val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val ranges = intCols.flatMap { c =>
+          val (i, j) = (row.fieldIndex(s"__min__$c"), row.fieldIndex(s"__max__$c"))
+          if (row.isNullAt(i) || row.isNullAt(j)) None
+          else Some(c -> (row.getLong(i), row.getLong(j)))
+        }.toMap
         registry.put(k, Stat(row.getLong(0),
-          cols.map(c => c -> row.getAs[Long](c)).toMap))
+          cols.map(c => c -> row.getAs[Long](c)).toMap, ranges))
       }
     }
   }

@@ -149,7 +149,31 @@ object AutoSkipPartialAgg extends Rule[LogicalPlan] {
       case c: Concat => product(c.children)
       case c: ConcatWs => product(c.children.drop(1))
       case s: CreateNamedStruct => product(s.valExprs)
+      // Disjoint-bit key pack `(a << k) | b`: injective — hence NDV =
+      // product — ONLY when the exact range stats prove a ≥ 0 and
+      // 0 ≤ b < 2^k (disjoint bit fields). BitwiseOr in general admits
+      // no honest estimate; the range proof is what licenses this one.
+      case bo: BitwiseOr => (bo.left, bo.right) match {
+        case (ShiftLeft(a, Literal(k: Int, _)), b) if k > 0 && k < 63 =>
+          for {
+            na <- ndvOf(a, stat)
+            nb <- ndvOf(b, stat)
+            (aLo, _) <- rangeOf(a, stat)
+            (bLo, bHi) <- rangeOf(b, stat)
+            if aLo >= 0 && bLo >= 0 && bHi < (1L << k)
+          } yield math.min(na * nb, stat.rows.toDouble)
+        case _ => None
+      }
       case _ => None
     }
+  }
+
+  /** Exact value range of an expression, when it is (a cast of) a
+    * stats-registered column. */
+  private def rangeOf(e: Expression,
+      stat: TableStats.Stat): Option[(Long, Long)] = e match {
+    case a: Attribute => stat.range.get(a.name)
+    case c: Cast => rangeOf(c.child, stat)
+    case _ => None
   }
 }

@@ -261,6 +261,11 @@ object CoreQueries {
     // 4.6 s at sf1) than letting the rollups aggregate the fact table
     // directly, where their tiny key cardinality (~|suppliers|,
     // ~|parts|) map-side-combines to almost nothing per scan partition.
+    // RE-MEASURED at sf10 (round 10, same-session BenchLab A/B): the
+    // rejection does NOT invert — rollup-of-routes 33–65 s / 870 MB
+    // shuffle vs 8.7–10.3 s / 665 MB for this shape; exchange reuse
+    // can't share the 59M-key aggregate itself (only its shuffle
+    // files), so each rollup branch would re-hash all routes.
     // skip-partial decided COST-BASED (graft.plans.AutoSkipPartialAgg,
     // round 8): with catalog NDV stats registered (TableStats.analyze —
     // Bench/Verify run it as their ANALYZE step), near-unique (part,
@@ -270,10 +275,35 @@ object CoreQueries {
     // exist for 6000 lineitems — the estimator correctly keeps the
     // stock two-phase plan the static hint would have skipped
     // (AutoSkipPartialSpec pins both regimes).
-    val routeAgg = tbl(s, dir, "lineitem")
-      .select("l_partkey", "l_suppkey")
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(count(lit(1)).as("route_count"))
+    // Pack the two route keys into ONE 64-bit shuffle key when catalog
+    // range stats PROVE the pack injective (0 ≤ partkey < 2^31,
+    // 0 ≤ suppkey < 2^32 — exact min/max from the ANALYZE pass,
+    // `TableStats.columnRange`): the near-unique route aggregate's cost
+    // IS its exchange, and one long row (8 B key + 8 B count) replaces
+    // the two-long row — a third less shuffle width on the query's only
+    // large exchange. Keys unpack AFTER the aggregate, so groups are
+    // bitwise-identical and the ≤route-cardinality output is unchanged.
+    // Without stats (or out-of-range keys, e.g. a hypothetical sf100k
+    // where partkey ≥ 2^31) the unpacked shape stands — the rewrite
+    // must be provably safe, never assumed.
+    val li = tbl(s, dir, "lineitem")
+    val packable = (for {
+      (pLo, pHi) <- graft.core.TableStats.columnRange(li, "l_partkey")
+      (sLo, sHi) <- graft.core.TableStats.columnRange(li, "l_suppkey")
+    } yield pLo >= 0 && pHi < (1L << 31) && sLo >= 0 && sHi < (1L << 32))
+      .getOrElse(false)
+    val routeAgg =
+      if (packable)
+        li.select(shiftleft(col("l_partkey"), 32)
+            .bitwiseOR(col("l_suppkey")).as("rk"))
+          .groupBy("rk").agg(count(lit(1)).as("route_count"))
+          .select(shiftright(col("rk"), 32).as("l_partkey"),
+            col("rk").bitwiseAND(lit(0xFFFFFFFFL)).as("l_suppkey"),
+            col("route_count"))
+      else
+        li.select("l_partkey", "l_suppkey")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(count(lit(1)).as("route_count"))
 
     val routes = rankedTopK(
       routeAgg.select(col("l_partkey").cast("string").as("hex_pickup"),

@@ -110,6 +110,42 @@ class AutoSkipPartialSpec extends SparkSpec {
     assert(!hinted(joined))
   }
 
+  test("ANALYZE registers exact integral ranges (columnRange)") {
+    ensureStats()
+    val li = tbl(spark, sf, "lineitem")
+    val Some((lo, hi)) = TableStats.columnRange(li, "l_linenumber")
+    val row = li.agg(min("l_linenumber").cast("long"),
+      max("l_linenumber").cast("long")).head()
+    assert(lo === row.getLong(0) && hi === row.getLong(1))
+    // ranges are integral-only: no value-domain proof for doubles
+    assert(TableStats.columnRange(li, "l_quantity").isEmpty)
+  }
+
+  test("disjoint-bit key pack is hinted only when ranges prove it") {
+    ensureStats()
+    // pk pack: (l_orderkey << 32) | l_linenumber — exact ranges prove
+    // the bit fields disjoint, so NDV = product ⇒ near-unique ⇒ hint
+    val packed = tbl(spark, sf, "lineitem")
+      .select(shiftleft(col("l_orderkey"), 32)
+        .bitwiseOR(col("l_linenumber")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(hinted(packed), "provably-injective pack should be hinted")
+    assert(aggExecCount(packed) === 1)
+    // overlapping bits: linenumber reaches ≥ 2 ≥ 2^1, so `<< 1 |` is
+    // NOT provably injective ⇒ no estimate ⇒ no hint
+    val overlap = tbl(spark, sf, "lineitem")
+      .select(shiftleft(col("l_orderkey"), 1)
+        .bitwiseOR(col("l_linenumber")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(!hinted(overlap), "overlapping-bit pack must not be hinted")
+    // non-integral right operand: no range stat ⇒ no hint
+    val noRange = tbl(spark, sf, "lineitem")
+      .select(shiftleft(col("l_orderkey"), 32)
+        .bitwiseOR(col("l_quantity").cast("long")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(!hinted(noRange), "rangeless operand must not be hinted")
+  }
+
   test("threshold conf flips the decision") {
     ensureStats()
     val df = () => tbl(spark, sf, "lineitem")

@@ -44,6 +44,22 @@ class QuerySpec extends SparkSpec {
     assert(pops.forall(p => p >= 1 && p <= 100))
   }
 
+  test("route-key pack: packed and unpacked shapes return identical rows") {
+    import graft.core.TableStats
+    // no range stats → the builder must take the provably-safe unpacked
+    // shape; with ANALYZE ranges the 64-bit pack is proven injective
+    TableStats.clear()
+    val unpackedDf = run("q_topk_popularity")
+    assert(!unpackedDf.queryExecution.optimizedPlan.toString
+      .contains("shiftleft"), "without stats the pack must not fire")
+    val unpacked = unpackedDf.collect().toSeq
+    TableStats.analyze(spark, sf)
+    val packedDf = run("q_topk_popularity")
+    assert(packedDf.queryExecution.optimizedPlan.toString
+      .contains("shiftleft"), "with proven ranges the pack must fire")
+    assert(packedDf.collect().toSeq === unpacked)
+  }
+
   test("minhash est_jaccard is consistent with true jaccard for near-dups") {
     val est = run("x_minhash_lsh_pairs").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
