@@ -37,7 +37,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.timeType.enabled", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // data-sized initial shuffle partitions — rationale + A/B numbers
       // on GraftSession.initialShufflePartitions
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",

@@ -68,7 +68,10 @@ object Bfs {
     */
   def distances(seeds: DataFrame, edges: DataFrame, maxHops: Int,
       broadcastRowCap: Long = 1L << 20): Result = {
-    var dist = seeds.select(col("node"), lit(0).as("dist")).localCheckpoint()
+    // lazy checkpoints (round 10): the level-count action is the
+    // materializer, so each level costs one driver job, not two
+    var dist = seeds.select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(false)
     var distRows = dist.count()
     var frontier = dist.select("node")
     var frontierRows = distRows
@@ -87,7 +90,7 @@ object Bfs {
         .join(labeled, Seq("node"), "left_anti")
         .distinct()
         .withColumn("dist", lit(hop))
-        .localCheckpoint() // first discovery == BFS level; cut lineage
+        .localCheckpoint(false) // level; cut lineage (count materializes)
       rounds += 1
       frontierRows = next.count()
       if (frontierRows > 0) {

@@ -40,12 +40,22 @@ object Components {
     * concern — they are their own component. */
   def connected(spark: SparkSession, edges: DataFrame): DataFrame = {
     // canonical down-edges: hi > lo, self-loops dropped, deduplicated
+    // Checkpoints are LAZY (eager=false, round 10): the convergence
+    // checksum is the materializing action, so each round runs ONE
+    // action instead of checkpoint + checksum — 4 fewer driver-side
+    // jobs per query at the bench floor (39 → 35 jobs at sf0.001),
+    // identical lineage truncation. (An explicit repartition-sharing
+    // restructure of the two half-rounds was A/B'd at sf0.001/sf0.1/
+    // sf10 and measured byte- and time-neutral — the min-join's
+    // broadcast-vs-SMJ choice shifts with scale and the exchanges
+    // the restructure saves are the map-combined metadata-sized ones;
+    // rejected, naive authoring kept.)
     var e = edges
       .select(greatest(col("src"), col("dst")).as("hi"),
         least(col("src"), col("dst")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var rounds = 0
     var prev = checksum(e)
@@ -68,7 +78,7 @@ object Components {
         .filter(col("hi") =!= col("lo"))
         .unionAll(withM.select(col("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val cur = checksum(next)
       converged = cur == prev
       prev = cur

@@ -357,11 +357,13 @@ object CurateQueries {
     // raw token stream.
     val docBg = docs.select(col("doc_id"),
       explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bg"))
-      .localCheckpoint() // two DIFFERENT-shaped consumers (model count +
+      .localCheckpoint(false) // two DIFFERENT-shaped consumers (model count +
     // per-doc scoring rejoin) — the containment/LSH pattern where one
     // materialization beats re-running tokenize+explode per consumer
     val bgCnt = docBg.groupBy("bg").agg(count(lit(1)).as("cab"))
-      .localCheckpoint() // model-sized; feeds contexts + scoring
+      .localCheckpoint(false) // model-sized; feeds contexts + scoring
+    // (both checkpoints LAZY: deterministic frames, so the first
+    // consuming action materializes them — one fewer driver job each)
     val leftCnt = bgCnt
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .groupBy("w1").agg(sum("cab").as("cw1"))
