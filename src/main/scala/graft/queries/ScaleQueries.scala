@@ -237,6 +237,95 @@ object ScaleQueries {
   private def dailyBucketed(s: SparkSession, dir: String): DataFrame =
     dailyBucketedRaw(s, dir).orderBy(col("pickup_date").desc)
 
+  /** Events layout for window queries: bucketed by `user_id` AND sorted
+    * by (user_id, us, event_id), ONE file per bucket — `repartition` on
+    * the bucket key before the bucketed write puts each bucket's rows in
+    * exactly one task (Spark's repartition and bucket-id hashes are the
+    * same Murmur3), which is the precondition for the scan to expose
+    * both the hash partitioning and the per-file sort order. A per-user
+    * window over this table then plans with ZERO exchange and ZERO sort:
+    * the sort tax the raw `w_moving_agg` pays per query (the round-9
+    * verdict's sf10 residual) is paid once at load, exactly like the
+    * join-side bucketing above. `us` (µs since epoch) is materialized as
+    * a stored column because ordering must be on the STORED sort key —
+    * Catalyst does not infer monotone-function orderings. */
+  private[graft] def ensureEventsBucketed(s: SparkSession, dir: String): String = {
+    import graft.core.FixtureMeta
+    val conf = s.sessionState.newHadoopConf()
+    val evP = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = evP.getFileSystem(conf)
+    val bytes = if (fs.exists(evP)) fs.getContentSummary(evP).getLength else 0L
+    val buckets = math.min(4096,
+      math.max(s.sparkContext.defaultParallelism,
+        math.ceil(bytes / (8.0 * 1024 * 1024)).toInt))
+    val suffix = java.lang.Integer.toHexString(
+      (dir + "#ev#" + buckets).hashCode & 0x7fffffff)
+    val evT = s"graft_ev_b_$suffix"
+    val memoKey = s"graft.bucketed.ok.$suffix"
+    if (s.conf.getOption(memoKey).isDefined && s.catalog.tableExists(evT))
+      return evT
+    bucketLock.synchronized {
+      val wh = qtmp(s"bucketed_$suffix")
+      val stamp = FixtureMeta.sourceStamp(s, dir, Seq("events"))
+      val src = eventsTbl(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      if (FixtureMeta.valid(s, s"$wh/.stamp", stamp) &&
+          FixtureMeta.complete(s, s"$wh/ev_b")) {
+        if (!s.catalog.tableExists(evT))
+          s.sql(s"""CREATE TABLE $evT (${src.schema.toDDL})
+                   |USING PARQUET
+                   |CLUSTERED BY (user_id)
+                   |SORTED BY (user_id, us, event_id) INTO $buckets BUCKETS
+                   |LOCATION '$wh/ev_b'""".stripMargin)
+      } else {
+        s.sql(s"DROP TABLE IF EXISTS $evT")
+        src.repartition(buckets, col("user_id"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "user_id")
+          .sortBy("user_id", "us", "event_id")
+          .option("path", s"$wh/ev_b").saveAsTable(evT)
+        FixtureMeta.write(s, s"$wh/.stamp", stamp)
+      }
+    }
+    s.conf.set(memoKey, "1")
+    evT
+  }
+
+  /** Sorted-bucketed-layout twin of `w_moving_agg` (same semantics, SAME
+    * oracle SQL): all three frames read the pre-sorted bucketed events
+    * table, so the plan is scan → window → window — no exchange, no
+    * sort (`ScaleSpec` asserts both). This is the 100 TB answer to the
+    * window-sort tax: a time-series warehouse stores event streams
+    * clustered by entity and ordered by time once, instead of re-sorting
+    * per query. The raw `w_moving_agg` stays registered as the honest
+    * unprepared-data cost. */
+  private def movingBucketedRaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evT = ensureEventsBucketed(s, dir)
+    // Sort propagation from bucketed scans is conf-gated (Spark lists
+    // each bucket's files at planning to prove the one-file-per-bucket
+    // invariant the ordering rests on — a deliberate planning-time
+    // cost). The listing is InMemoryFileIndex-cached, and this layout
+    // writes exactly one file per bucket (repartition on the bucket key
+    // before the write), so the proof always succeeds here.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val byTime = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val rows7 = byTime.rowsBetween(-6, Window.currentRow)
+    val hour = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    val dec = col("value").cast(DecimalType(18, 2))
+    s.table(evT)
+      .select(col("user_id"), col("event_id"),
+        sum(dec).over(rows7).cast("double").as("mov7_sum"),
+        (sum(dec).over(rows7).cast("double") /
+          count(lit(1)).over(rows7)).as("mov7_avg"),
+        sum(dec).over(hour).cast("double").as("hour_sum"))
+  }
+
+  private def movingBucketed(s: SparkSession, dir: String): DataFrame =
+    movingBucketedRaw(s, dir).orderBy("user_id", "event_id")
+
   private val bucketedJoinSql =
     """SELECT o_orderstatus, count(*) AS n,
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -415,6 +504,9 @@ object ScaleQueries {
     "a3_daily_bucketed" -> QueryDef(dailyBucketed,
       Some(CoreQueries.dailyMetricsSql), bench = true,
       benchFn = Some(dailyBucketedRaw)),
+    "w_moving_bucketed" -> QueryDef(movingBucketed,
+      Some(WarehouseQueries.movingAggSql), bench = true,
+      benchFn = Some(movingBucketedRaw)),
     "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql)),
     "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql)),
     "b_zorder_layout" -> QueryDef(zorderLayout, Some(zorderLayoutSql))

@@ -1158,7 +1158,7 @@ object WarehouseQueries {
   private def movingAgg(s: SparkSession, dir: String): DataFrame =
     movingAggRaw(s, dir).orderBy("user_id", "event_id")
 
-  private val movingAggSql =
+  private[queries] val movingAggSql =
     """WITH x AS (
       |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
       |)

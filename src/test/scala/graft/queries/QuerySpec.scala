@@ -22,6 +22,7 @@ class QuerySpec extends SparkSpec {
     // ingest/stream jobs run inside the builder) are excluded here —
     // Verify executes them for real.
     val sideEffecting = Set("c_pipeline_e2e", "b_bucketed_join",
+      "w_moving_bucketed",
       "b_salted_join", "s1_s2_datepath_glob", "s4_csv_roundtrip",
       "s5_catalog_lifecycle", "st_stream_ingest", "st_stream_window",
       "x_minhash_lsh_pairs", "x_ngram_jaccard_pairs", "x_embed_neardup",

@@ -24,6 +24,31 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join must not shuffle its inputs:\n${smjs.head}")
   }
 
+  test("sorted-bucketed moving agg: zero exchange, zero sort in the plan") {
+    // The whole point of w_moving_bucketed: the scan exposes the bucket
+    // hash partitioning AND the (user_id, us, event_id) file sort, so
+    // all three window frames run directly over the scan — the raw
+    // twin's exchange + sort tax is paid once at load.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = graft.SparkEntry.defs("w_moving_bucketed").benched(s, sf)
+    val plan = df.queryExecution.executedPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, s"expected window operators: $plan")
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"sorted-bucketed window must not shuffle: $plan")
+    assert(plan.collect {
+      case so: org.apache.spark.sql.execution.SortExec => so }.isEmpty,
+      s"sorted-bucketed window must not sort: $plan")
+    // and it computes exactly what the raw twin computes
+    val raw = graft.SparkEntry.queries("w_moving_agg")(s, sf)
+      .collect().toSeq
+    val bucketed = graft.SparkEntry.queries("w_moving_bucketed")(s, sf)
+      .collect().toSeq
+    assert(bucketed === raw)
+  }
+
   test("bucketed star join: zero exchanges on the fact side") {
     // The whole point of b_star_bucketed: the dim broadcast preserves the
     // orders scan's bucket partitioning, so the orders⋈lineitem edge is a
