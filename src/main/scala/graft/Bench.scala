@@ -171,8 +171,21 @@ object Bench {
         None
       }
     val duckField = paired.map(j => s""","duckdb":$j""").getOrElse("")
+    // per-query interpretation notes (QueryDef.benchNote): the artifact
+    // must self-explain structurally-unequal comparisons
+    def escJ(str: String): String = "\"" + str.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val notes = SparkEntry.defs
+      .filter { case (k, d) => d.benchNote.isDefined && results.exists(_._1 == k) }
+      .map { case (k, d) => s"${escJ(k)}:${escJ(d.benchNote.get)}" }
+    val notesField =
+      if (notes.isEmpty) "" else notes.mkString(""","notes":{""", ",", "}")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$duckField}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$duckField$notesField}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

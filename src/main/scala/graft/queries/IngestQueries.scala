@@ -645,7 +645,13 @@ object IngestQueries {
     "s5_catalog_lifecycle" -> QueryDef(catalogLifecycle,
       Some(catalogLifecycleSql)),
     "c_pipeline_e2e" -> QueryDef(pipelineE2E, Some(pipelineE2ESql),
-      bench = true, benchFn = Some(pipelineE2EBench)),
+      bench = true, benchFn = Some(pipelineE2EBench),
+      benchNote = Some("fidelity contract: the timed region stages 4 " +
+        "catalog write+read materializations (the reference DAG's " +
+        "table-per-stage shape); the comparator runs ONE fused SQL " +
+        "statement and pays no staging I/O. Oracle-equal fused twin " +
+        "registered as c_pipeline_fused; paired fused numbers in " +
+        "PLANS.md.")),
     // Not in the bench set — same rationale as q_taxi_fused: keep the
     // headline series comparable across rounds; fused paired numbers are
     // recorded in PLANS.md.

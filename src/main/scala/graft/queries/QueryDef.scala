@@ -17,7 +17,12 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     bench: Boolean = false,
-    benchFn: Option[(SparkSession, String) => DataFrame] = None) {
+    benchFn: Option[(SparkSession, String) => DataFrame] = None,
+    // rides into the bench artifact's "notes" field, so a reader of the
+    // JSON alone can interpret structurally-unequal numbers (e.g. a
+    // fidelity-contract query whose timed region stages materializations
+    // the single-statement comparator does not pay)
+    benchNote: Option[String] = None) {
 
   /** What the bench times: `benchFn` when the canonical `fn` carries
     * oracle-only artifacts (a total ORDER BY that exists solely so the

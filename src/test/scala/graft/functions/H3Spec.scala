@@ -171,12 +171,65 @@ class H3Spec extends AnyFunSuite {
     // each pentagon — that orientation is pinned by the class-init
     // consistency search (face-straddle equality + no leading K digit,
     // both `require`d at load) and the neighborhood test above.
-    for ((bc, lat, lng) <- H3.pentagonCenters; res <- 0 to 4) {
+    for ((bc, lat, lng) <- H3.pentagonCenters; res <- 0 to 15) {
       val want = (1L << 59) | (res.toLong << 52) | (bc.toLong << 45) |
         ((1L << ((H3.MaxRes - res) * 3)) - 1)
       assert(H3.latLngToCell(lat, lng, res) === want,
         f"pentagon $bc center at res $res: " +
           f"got ${H3.latLngToCell(lat, lng, res)}%015x want $want%015x")
+    }
+  }
+
+  test("res-9 pentagon cells: published center form + tight-ring digits") {
+    // Closes the round-9 residual scope: the reference indexes at RES 9
+    // (`enrichment_query.py:10,17`), and the center-form test above now
+    // covers res 0–15, so the published getPentagons-derived index is
+    // reproduced at the use resolution for all 12 pentagons. The ring
+    // sweep here exercises the OFF-CENTER res-9 digit pipeline around
+    // each icosahedron vertex (the pentagon distortion region proper):
+    // every index must be structurally valid at res 9, indexes in the
+    // pentagon base cell must never carry a leading K digit (the
+    // deleted subsequence, per the published index spec), and the
+    // ~2-cell-radius ring must resolve to many distinct cells (a
+    // collapsed/degenerate chart would funnel them into few).
+    //
+    // Remaining gap, stated precisely: the CCW sub-digit ORIENTATION of
+    // off-center cells inside a pentagon base cell at res ≥ 1 has no
+    // offline published vectors in this build — it is pinned by the
+    // class-init consistency search (`require`d face-straddle equality,
+    // no-leading-K) and these structural invariants, not by an external
+    // oracle. No NYC fixture geometry touches a pentagon.
+    for ((bc, lat, lng) <- H3.pentagonCenters) {
+      val h9 = H3.latLngToCell(lat, lng, 9)
+      assert(H3.isPentagonCell(h9) && H3.getBaseCell(h9) === bc)
+      val d = 0.004 // ~2.3 res-9 cells (edge ~1.7e-3 deg)
+      val ring = (0 until 720).map { i =>
+        val az = i * math.Pi / 360
+        val la = lat + d * math.cos(az)
+        val lo = lng + d * math.sin(az) /
+          math.max(0.2, math.cos(math.toRadians(lat)))
+        H3.latLngToCell(la, lo, 9)
+      }
+      ring.foreach { h =>
+        assert(H3.getResolution(h) === 9)
+        val mask = (1L << ((H3.MaxRes - 9) * 3)) - 1
+        assert((h & mask) === mask, f"unused digits in $h%015x")
+        if (H3.getBaseCell(h) == bc) {
+          var r = 1; var lead = 0
+          while (r <= 9 && lead == 0) {
+            lead = ((h >>> ((H3.MaxRes - r) * 3)) & 7L).toInt
+            r += 1
+          }
+          assert(lead !== 1,
+            f"leading K digit at res 9 near pentagon $bc: $h%015x")
+        }
+      }
+      assert(ring.distinct.size >= 8,
+        s"degenerate ring around pentagon $bc: ${ring.distinct.size} cells")
+      // off-center = same base cell, digits not all zero (isPentagonCell
+      // is the base-cell-membership predicate here, not digit-zero-ness)
+      assert(ring.exists(h => H3.getBaseCell(h) == bc && h != h9),
+        s"ring around pentagon $bc never hit an off-center in-cell index")
     }
   }
 

@@ -60,6 +60,45 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("auto-selector: cap routes the arm, outputs equal either way") {
+    // x_bpe_merges now routes through bpeLearnAuto (round-10 verdict
+    // item 8): driver-resident under the type cap, distributed above.
+    // Pin the SWITCH itself, not just output equality: the distributed
+    // loop runs at least one Spark job per merge round, the driver arm
+    // a constant couple (count + collect) — observable via the
+    // scheduler. Then pin equality across the boundary.
+    val words = Seq(("abab", 4L), ("abc", 3L), ("bca", 2L), ("aa", 5L))
+      .toDF("w", "f")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    def jobsDuring(body: => Unit): Int = {
+      // listener events are async; a short settle keeps counts honest
+      Thread.sleep(300)
+      jobs.set(0); body
+      Thread.sleep(300)
+      jobs.get
+    }
+    val merges = 5
+    var local: Seq[(Int, String, String, Long)] = null
+    var dist: Seq[(Int, String, String, Long)] = null
+    val jLocal = jobsDuring {
+      local = TrainPrepQueries.bpeLearnAuto(spark, words, merges)
+    }
+    val jDist = jobsDuring {
+      dist = TrainPrepQueries.bpeLearnAuto(spark, words, merges, cap = -1L)
+    }
+    assert(local === dist, "arms diverged across the cap boundary")
+    assert(jLocal < merges,
+      s"driver arm ran $jLocal jobs — looks like the distributed loop")
+    assert(jDist >= merges,
+      s"forced-distributed arm ran only $jDist jobs for $merges rounds")
+  }
+
   test("both arms fail identically when the corpus exhausts early") {
     // Round-9 advice: trainLocal used to silently truncate where the
     // distributed arm throws "corpus exhausted before merge N" — the
