@@ -17,6 +17,54 @@ package object graft {
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Ensure a scan-rooted frame enters heavy per-row compute at cluster
+    * parallelism. Parquet scan splits are ROW-GROUP-bound: a
+    * legitimately written 78 MB single-row-group file (well inside one
+    * 128 MB parquet block) is ONE Spark task no matter how many cores —
+    * a vectorized single-process engine parallelizes inside a row
+    * group, Spark's unit is the row group (measured at sf10: the whole
+    * 2M-document tokenize pass ran single-task). When the frame's scan
+    * parallelism is below half the cluster's, pay one round-robin
+    * shuffle of the (column-pruned) input — O(bytes) moved once versus
+    * the per-row compute it unlocks. NO-OP on well-laid-out inputs: a
+    * real 100 TB table has thousands of splits, so this never fires
+    * there; it exists for the pathological-but-legal layouts small
+    * replication jobs produce. Call it on the pruned projection (after
+    * selecting only needed columns), never on `SELECT *`. */
+  def parallelScan(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    // Effective parallelism = files × row-groups-per-file, NOT the
+    // planner's split count: Spark happily plans 20 byte-range splits
+    // over a 1-row-group file, but every row lands in the ONE task
+    // whose range holds the row group's midpoint — the other 19 are
+    // empty (measured: a "20-split" single-row-group scan ran
+    // single-task). One footer read (driver-side, ~ms, files from one
+    // writer are homogeneous) gives the true split unit.
+    val files = df.inputFiles
+    val effSplits =
+      if (files.isEmpty) Int.MaxValue
+      else {
+        val rgs = try {
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(files.head),
+              spark.sessionState.newHadoopConf()))
+          try in.getFooter.getBlocks.size finally in.close()
+        } catch { case _: Throwable => Int.MaxValue } // non-parquet: trust splits
+        if (rgs == Int.MaxValue) Int.MaxValue
+        else files.length * math.max(1, rgs)
+      }
+    // size gate: below ~32 MB the added exchange's stage floor costs
+    // more than the single task's compute; above it, per-row compute on
+    // one core is seconds-to-minutes while the one-time shuffle is
+    // ~0.1 s per 32 MB. Catalyst's pruned-scan size estimate is exact
+    // enough (file bytes × column-width ratio) for a 2× threshold.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (effSplits * 2 < target && bytes > BigInt(32L * 1024 * 1024))
+      df.repartition(target)
+    else df
+  }
+
   /** `events` with `ts` as TimestampType. The fixture stores TIMESTAMP
     * (NANOS), which Spark only reads with legacy.parquet.nanosAsLong (set
     * in every session builder) — convert epoch-nanos → µs timestamp here.

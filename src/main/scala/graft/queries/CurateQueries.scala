@@ -55,7 +55,8 @@ object CurateQueries {
     * again broadcast-sized (hit rows ≪ corpus). */
   private def decontaminateRaw(s: SparkSession, dir: String): DataFrame = {
     val isBench = (col("doc_id") % BenchMod) === BenchRem
-    val sh = tbl(s, dir, "documents")
+    val sh = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         TextF.shinglesFromTokens(col("toks"), DK))).as("shingle"))
@@ -347,7 +348,8 @@ object CurateQueries {
     * on the bigram, or the model is pruned to top-k continuations per
     * context (the standard KenLM trim) to stay broadcastable. */
   private def bigramLmScoreRaw(s: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(s, dir, "documents")
+    val docs = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
     // bigrams are ~96% unique WITHIN a doc (measured at sf1), so a
     // per-doc histogram would pay an in-row sort for no compression —
@@ -491,7 +493,8 @@ object CurateQueries {
     * c_ab·N·10⁶ < 2⁶³ up to ~10¹² total tokens; past that the ratio
     * computes in decimal(38). */
   private def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
-    val toks = tbl(s, dir, "documents")
+    val toks = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
     // unigram counts aggregate per-document HISTOGRAMS (the codegen
     // term-histogram expression): words repeat in-doc ~1.6× so the hash

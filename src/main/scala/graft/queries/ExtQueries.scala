@@ -63,7 +63,8 @@ object ExtQueries {
     * text per element access (O(tokens²)/doc; measured 72 s vs 12 s at
     * sf0.1). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
+    graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(
@@ -85,7 +86,8 @@ object ExtQueries {
     * int/int IEEE divisions with the same expression tree as the oracle →
     * bit-identical, no rounding fudge. */
   private def textStatsRaw(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
+    graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       // tokenize exactly once per row; all stats read the bound arrays
       .select(col("doc_id"), col("text"),
         TextF.tokens(col("text")).as("t"),
@@ -469,7 +471,8 @@ object ExtQueries {
     // TextF.shinglesFromTokens scaladoc: a Generate sharing a projection
     // with sibling derived columns re-evaluates the tokenize→shingle
     // tree per emitted element — ~40× at sf0.1)
-    val sh = tbl(s, dir, "documents")
+    val sh = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
@@ -562,7 +565,17 @@ object ExtQueries {
     val emb = tbl(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), embDouble.as("qv"))
+    // One round-robin shuffle of the corpus BEFORE the O(N·Q·D) cosine
+    // fold: this query's only heavy operator is map-side compute over
+    // the corpus scan, and scan parallelism is capped by the input's
+    // row-group layout (a 1-row-group parquet file is ONE task no
+    // matter how many cores — measured at sf10: the whole 200k-vector
+    // fold ran single-task). The shuffle moves O(N·D) bytes once to
+    // guarantee the O(N·Q·D) compute runs at cluster parallelism —
+    // 1/Q of the compute's own data traffic, a win at every scale and
+    // layout-proof at 100 TB.
     val c = emb.select(col("vec_id").as("neighbor_id"), embDouble.as("cv"))
+      .repartition(s.sparkContext.defaultParallelism)
     val rn = row_number().over(Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id")))
     // broadcast the BOUNDED query set and stream the corpus — the default

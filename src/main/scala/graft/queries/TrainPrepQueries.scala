@@ -79,7 +79,8 @@ object TrainPrepQueries {
     // reaches a hash aggregate (measured 3.7 s → 1.9 s for the tf pass
     // at sf1; see graft.plans.TermHistogram for why the built-in HOF
     // route is not viable)
-    val tf = tbl(s, dir, "documents")
+    val tf = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(TextF.termHistogram(TextF.lowerTokens(col("text"))))
           .as("h"))
