@@ -577,7 +577,13 @@ object CoreQueries {
       bench = true),
     "a4_global_count" -> QueryDef(globalCount,
       Some("SELECT count(1) AS trip_count FROM lineitem")),
-    "o1_topk" -> QueryDef(topkOrders, bench = true, oracle = Some(
+    "o1_topk" -> QueryDef(topkOrders, bench = true,
+      benchNote = Some("~1 s absolute at every SF >= 1: the plan is the " +
+        "optimal TakeOrderedAndProject (per-partition heap top-k, no " +
+        "global sort); the residual vs the comparator is Spark's fixed " +
+        "job-scheduling floor, not plan shape - see PLANS.md round-10 " +
+        "floor decomposition."),
+      oracle = Some(
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin)),

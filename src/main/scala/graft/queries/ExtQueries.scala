@@ -1390,7 +1390,11 @@ object ExtQueries {
       bench = true),
     "x_embed_neardup" -> QueryDef(embedNeardupPairs,
       Some(embedNeardupPairsSql)),
-    "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true),
+    "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true,
+      benchNote = Some("sub-second absolute at every SF: banded " +
+        "hyperplane-LSH probe (bucket-join, never all-pairs); the " +
+        "residual vs the comparator is Spark's fixed job floor - see " +
+        "PLANS.md round-10 floor decomposition.")),
     "x_rand_projection" -> QueryDef(randProjection,
       Some(randProjectionSql)),
     "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
