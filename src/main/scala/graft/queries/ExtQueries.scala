@@ -502,10 +502,28 @@ object ExtQueries {
     // stream collapses 25.3 M rows to 22.6 M distinct pairs at sf1
     // (avg group 1.12 — PLANS.md round 6), so the stock partial pass is
     // a full-stream hash build for an 11% reduction.
-    val inter = graft.ops.DirectAgg.countByKeys(
-      a.join(b, Seq("shingle")).filter(col("doc_a") =!= col("doc_b"))
-        .select("doc_a", "doc_b"),
-      "inter")
+    // Pair-key pack (round 10, same proof discipline as the
+    // q_topk_popularity route key): the near-unique pair aggregate's
+    // cost is its exchange, and when the ANALYZE range stats prove
+    // 0 ≤ doc_id < 2^31 the (doc_a, doc_b) pair packs into one long —
+    // a third less width on the query's dominant shuffle. Unpacked
+    // fallback when stats are absent or out of range.
+    val pairs0 = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val packable = graft.core.TableStats.columnRange(
+        tbl(s, dir, "documents"), "doc_id")
+      .exists { case (lo, hi) => lo >= 0 && hi < (1L << 31) }
+    val inter =
+      if (packable)
+        graft.ops.DirectAgg.countByKeys(
+          pairs0.select(shiftleft(col("doc_a"), 32)
+            .bitwiseOR(col("doc_b")).as("pk")), "inter")
+          .select(shiftright(col("pk"), 32).as("doc_a"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+            col("inter"))
+      else
+        graft.ops.DirectAgg.countByKeys(
+          pairs0.select("doc_a", "doc_b"), "inter")
     inter
       .join(na, "doc_a")
       .select(col("doc_a"), col("doc_b"),

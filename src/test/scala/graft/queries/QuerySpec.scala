@@ -61,6 +61,17 @@ class QuerySpec extends SparkSpec {
     assert(packedDf.collect().toSeq === unpacked)
   }
 
+  test("containment pair-key pack: packed and unpacked rows identical") {
+    import graft.core.TableStats
+    TableStats.clear()
+    val unpacked = run("x_containment_pairs").collect().toSeq
+    TableStats.analyze(spark, sf)
+    val packedDf = run("x_containment_pairs")
+    assert(packedDf.queryExecution.optimizedPlan.toString
+      .contains("shiftleft"), "with proven ranges the pack must fire")
+    assert(packedDf.collect().toSeq === unpacked)
+  }
+
   test("minhash est_jaccard is consistent with true jaccard for near-dups") {
     val est = run("x_minhash_lsh_pairs").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
