@@ -31,38 +31,56 @@ package object graft {
     * there; it exists for the pathological-but-legal layouts small
     * replication jobs produce. Call it on the pruned projection (after
     * selecting only needed columns), never on `SELECT *`. */
-  def parallelScan(spark: SparkSession, df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
+  def parallelScan(spark: SparkSession, df: DataFrame): DataFrame =
+    parallelScan(spark, df, spark.sparkContext.defaultParallelism)
+
+  /** Target-explicit variant so specs can pin the gate at cluster sizes
+    * the 4-core test session can't reach. */
+  private[graft] def parallelScan(spark: SparkSession, df: DataFrame,
+      target: Int): DataFrame = {
     // Effective parallelism = files × row-groups-per-file, NOT the
     // planner's split count: Spark happily plans 20 byte-range splits
     // over a 1-row-group file, but every row lands in the ONE task
     // whose range holds the row group's midpoint — the other 19 are
     // empty (measured: a "20-split" single-row-group scan ran
-    // single-task). One footer read (driver-side, ~ms, files from one
-    // writer are homogeneous) gives the true split unit.
+    // single-task). A few footer reads (driver-side, ~ms each) give
+    // the true split unit. Mixed-writer guard: sample up to 3 files
+    // and take the MIN row-group count, so one multi-row-group file in
+    // a directory of single-row-group files can't inflate the estimate
+    // and wrongly skip the repartition.
     val files = df.inputFiles
-    val effSplits =
-      if (files.isEmpty) Int.MaxValue
-      else {
-        val rgs = try {
+    if (files.isEmpty) return df // nothing scanned: trust the plan
+    val minRgs: Option[Int] =
+      try {
+        val hconf = spark.sessionState.newHadoopConf()
+        val sample =
+          if (files.length <= 3) files.toSeq
+          else Seq(files.head, files(files.length / 2), files.last)
+        Some(sample.map { f =>
           val in = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(files.head),
-              spark.sessionState.newHadoopConf()))
+              new org.apache.hadoop.fs.Path(f), hconf))
           try in.getFooter.getBlocks.size finally in.close()
-        } catch { case _: Throwable => Int.MaxValue } // non-parquet: trust splits
-        if (rgs == Int.MaxValue) Int.MaxValue
-        else files.length * math.max(1, rgs)
-      }
-    // size gate: below ~32 MB the added exchange's stage floor costs
-    // more than the single task's compute; above it, per-row compute on
-    // one core is seconds-to-minutes while the one-time shuffle is
-    // ~0.1 s per 32 MB. Catalyst's pruned-scan size estimate is exact
-    // enough (file bytes × column-width ratio) for a 2× threshold.
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (effSplits * 2 < target && bytes > BigInt(32L * 1024 * 1024))
-      df.repartition(target)
-    else df
+        }.min)
+      } catch { case _: Throwable => None } // non-parquet: trust splits
+    minRgs match {
+      case None => df
+      case Some(rgs) =>
+        // Long product: a many-file table would overflow Int and turn
+        // the "never fires on a well-laid-out 100 TB table" guarantee
+        // into a spurious full repartition.
+        val effSplits = files.length.toLong * math.max(1, rgs)
+        // size gate: below ~32 MB the added exchange's stage floor
+        // costs more than the single task's compute; above it, per-row
+        // compute on one core is seconds-to-minutes while the one-time
+        // shuffle is ~0.1 s per 32 MB. Catalyst's pruned-scan size
+        // estimate is exact enough (file bytes × column-width ratio)
+        // for a 2× threshold.
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (effSplits * 2L < target && bytes > BigInt(32L * 1024 * 1024))
+          df.repartition(target)
+        else df
+    }
   }
 
   /** `events` with `ts` as TimestampType. The fixture stores TIMESTAMP

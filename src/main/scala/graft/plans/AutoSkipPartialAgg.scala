@@ -158,9 +158,15 @@ object AutoSkipPartialAgg extends Rule[LogicalPlan] {
           for {
             na <- ndvOf(a, stat)
             nb <- ndvOf(b, stat)
-            (aLo, _) <- rangeOf(a, stat)
+            (aLo, aHi) <- rangeOf(a, stat)
             (bLo, bHi) <- rangeOf(b, stat)
-            if aLo >= 0 && bLo >= 0 && bHi < (1L << k)
+            // the shifted operand must be 64-bit (an IntegerType shift
+            // is mod-32 — shiftleft(x,32)=x — so the "disjoint fields"
+            // reading is wrong) AND keep all its bits after the shift
+            // (aHi ≤ 2^(63-k)−1), else collisions break injectivity
+            if a.dataType == org.apache.spark.sql.types.LongType &&
+              aLo >= 0 && aHi <= (Long.MaxValue >> k) &&
+              bLo >= 0 && bHi < (1L << k)
           } yield math.min(na * nb, stat.rows.toDouble)
         case _ => None
       }

@@ -294,8 +294,13 @@ object CoreQueries {
       .getOrElse(false)
     val routeAgg =
       if (packable)
-        li.select(shiftleft(col("l_partkey"), 32)
-            .bitwiseOR(col("l_suppkey")).as("rk"))
+        // cast("long") before the shift: shiftleft on an IntegerType
+        // operand uses 32-bit shift semantics (k mod 32 = identity), so
+        // an int key column would silently collapse distinct keys while
+        // the range gate still passed — the proof must not depend on
+        // the column's storage type (advice r10).
+        li.select(shiftleft(col("l_partkey").cast("long"), 32)
+            .bitwiseOR(col("l_suppkey").cast("long")).as("rk"))
           .groupBy("rk").agg(count(lit(1)).as("route_count"))
           .select(shiftright(col("rk"), 32).as("l_partkey"),
             col("rk").bitwiseAND(lit(0xFFFFFFFFL)).as("l_suppkey"),

@@ -516,8 +516,11 @@ object ExtQueries {
     val inter =
       if (packable)
         graft.ops.DirectAgg.countByKeys(
-          pairs0.select(shiftleft(col("doc_a"), 32)
-            .bitwiseOR(col("doc_b")).as("pk")), "inter")
+          // cast("long") before the shift: an IntegerType doc_id would
+          // hit 32-bit shift semantics (shiftleft(x,32) = x) and
+          // collapse pairs while the range gate still passed.
+          pairs0.select(shiftleft(col("doc_a").cast("long"), 32)
+            .bitwiseOR(col("doc_b").cast("long")).as("pk")), "inter")
           .select(shiftright(col("pk"), 32).as("doc_a"),
             col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
             col("inter"))

@@ -255,8 +255,7 @@ object IngestQueries {
   private def pipelineE2EBench(s: SparkSession, dir: String): DataFrame = {
     // keyed by source dir: the bench warms plans at sf0.001 before timing
     // the target SF — the two must not share a fixture path
-    val base = qtmp("pipeline_bench_" + java.lang.Integer.toHexString(
-      dir.hashCode & 0x7fffffff))
+    val base = qtmp("pipeline_bench_" + graft.core.PathTag.tag(dir))
     val Array(y, m, d) = Ds.split("-")
     // Reuse the laid-out source day only if it is COMPLETE (_SUCCESS from
     // a finished write, not a crashed partial) and FRESH (the stamp of
@@ -296,8 +295,7 @@ object IngestQueries {
     * completeness/freshness gate (the [[pipelineE2EBench]] pattern) and
     * the oracle-only total ORDER BY dropped. */
   private def pipelineFusedBench(s: SparkSession, dir: String): DataFrame = {
-    val base = qtmp("pipeline_fused_bench_" + java.lang.Integer.toHexString(
-      dir.hashCode & 0x7fffffff))
+    val base = qtmp("pipeline_fused_bench_" + graft.core.PathTag.tag(dir))
     val Array(y, m, d) = Ds.split("-")
     val stamp = graft.core.FixtureMeta.sourceStamp(s, dir, Seq("events"))
     if (!(graft.core.FixtureMeta.complete(s, s"$base/src/$y/$m/$d") &&

@@ -56,7 +56,7 @@ object ScaleQueries {
     // per-session memo: the sizing listing is fs metadata I/O the bench
     // would otherwise pay on every pass (the source dir is immutable
     // within a session by the fixture contract)
-    val memoKey = s"graft.autobuckets.${dir.hashCode}"
+    val memoKey = s"graft.autobuckets.${graft.core.PathTag.tag(dir)}"
     s.conf.getOption(memoKey).map(_.toInt).getOrElse {
       val conf = s.sessionState.newHadoopConf()
       val bytes = Seq("lineitem", "orders").map { t =>
@@ -82,8 +82,7 @@ object ScaleQueries {
     // the full stamp check below. The in-memory tableExists re-check
     // keeps the memo honest against an external DROP TABLE (the
     // shared-catalog path ScaleSpec exercises).
-    val suffix0 = java.lang.Integer.toHexString(
-      (dir + "#" + buckets).hashCode & 0x7fffffff)
+    val suffix0 = graft.core.PathTag.tag(dir + "#" + buckets)
     val (liT0, ordT0) = (s"graft_li_b_$suffix0", s"graft_ord_b_$suffix0")
     val memoKey = s"graft.bucketed.ok.$suffix0"
     if (s.conf.getOption(memoKey).isDefined &&
@@ -99,8 +98,7 @@ object ScaleQueries {
     import graft.core.FixtureMeta
     // bucket count is part of the layout identity: a 64-bucket layout at
     // the same dir lives at its own path under its own table names
-    val suffix = java.lang.Integer.toHexString(
-      (dir + "#" + buckets).hashCode & 0x7fffffff)
+    val suffix = graft.core.PathTag.tag(dir + "#" + buckets)
     val wh = qtmp(s"bucketed_$suffix")
     val (liT, ordT) = (s"graft_li_b_$suffix", s"graft_ord_b_$suffix")
     val stamp = FixtureMeta.sourceStamp(s, dir, Seq("lineitem", "orders"))
@@ -258,8 +256,7 @@ object ScaleQueries {
     val buckets = math.min(4096,
       math.max(s.sparkContext.defaultParallelism,
         math.ceil(bytes / (8.0 * 1024 * 1024)).toInt))
-    val suffix = java.lang.Integer.toHexString(
-      (dir + "#ev#" + buckets).hashCode & 0x7fffffff)
+    val suffix = graft.core.PathTag.tag(dir + "#ev#" + buckets)
     val evT = s"graft_ev_b_$suffix"
     val memoKey = s"graft.bucketed.ok.$suffix"
     if (s.conf.getOption(memoKey).isDefined && s.catalog.tableExists(evT))
@@ -300,16 +297,33 @@ object ScaleQueries {
     * clustered by entity and ordered by time once, instead of re-sorting
     * per query. The raw `w_moving_agg` stays registered as the honest
     * unprepared-data cost. */
-  private def movingBucketedRaw(s: SparkSession, dir: String): DataFrame = {
+  /** Build a frame with `bucketedTableScan.outputOrdering=true`, force
+    * its physical plan while the conf is set (the `executedPlan` lazy
+    * val reads SQLConf at first access, so later actions keep the
+    * sorted-scan shape), then RESTORE the previous value — other
+    * bucketed queries' plan shape must not depend on whether this query
+    * ran first in the bench session (advice r10). */
+  private def withSortedBucketScan(s: SparkSession)(
+      build: => DataFrame): DataFrame = {
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try { val df = build; df.queryExecution.executedPlan; df }
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  // Sort propagation from bucketed scans is conf-gated (Spark lists
+  // each bucket's files at planning to prove the one-file-per-bucket
+  // invariant the ordering rests on — a deliberate planning-time
+  // cost). The listing is InMemoryFileIndex-cached, and this layout
+  // writes exactly one file per bucket (repartition on the bucket key
+  // before the write), so the proof always succeeds here.
+  private def movingBucketedBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val evT = ensureEventsBucketed(s, dir)
-    // Sort propagation from bucketed scans is conf-gated (Spark lists
-    // each bucket's files at planning to prove the one-file-per-bucket
-    // invariant the ordering rests on — a deliberate planning-time
-    // cost). The listing is InMemoryFileIndex-cached, and this layout
-    // writes exactly one file per bucket (repartition on the bucket key
-    // before the write), so the proof always succeeds here.
-    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val byTime = Window.partitionBy("user_id").orderBy("us", "event_id")
     val rows7 = byTime.rowsBetween(-6, Window.currentRow)
     val hour = Window.partitionBy("user_id").orderBy("us")
@@ -323,8 +337,13 @@ object ScaleQueries {
         sum(dec).over(hour).cast("double").as("hour_sum"))
   }
 
+  private def movingBucketedRaw(s: SparkSession, dir: String): DataFrame =
+    withSortedBucketScan(s) { movingBucketedBuild(s, dir) }
+
   private def movingBucketed(s: SparkSession, dir: String): DataFrame =
-    movingBucketedRaw(s, dir).orderBy("user_id", "event_id")
+    withSortedBucketScan(s) {
+      movingBucketedBuild(s, dir).orderBy("user_id", "event_id")
+    }
 
   private val bucketedJoinSql =
     """SELECT o_orderstatus, count(*) AS n,
@@ -437,8 +456,8 @@ object ScaleQueries {
   /** Per-(session, dir) z-order layout path (same collision rationale as
     * [[ensureBucketed]]). */
   private[queries] def zorderBase(s: SparkSession, dir: String): String = {
-    val suffix = java.lang.Integer.toHexString(
-      (dir + "#" + System.identityHashCode(s)).hashCode & 0x7fffffff)
+    val suffix = graft.core.PathTag.tag(
+      dir + "#" + System.identityHashCode(s))
     s"${sys.props("user.dir")}/target/qtmp/zorder_$suffix"
   }
 

@@ -383,8 +383,8 @@ object WarehouseQueries {
     * each other's partition directories mid-read. Package-visible for
     * `WarehouseSpec`'s pruning assertion. */
   private[queries] def psinkBase(s: SparkSession, dir: String): String = {
-    val suffix = java.lang.Integer.toHexString(
-      (dir + "#" + System.identityHashCode(s)).hashCode & 0x7fffffff)
+    val suffix = graft.core.PathTag.tag(
+      dir + "#" + System.identityHashCode(s))
     s"${sys.props("user.dir")}/target/qtmp/warehouse/psink_$suffix"
   }
 
@@ -774,8 +774,8 @@ object WarehouseQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private[queries] def compactBase(s: SparkSession, dir: String): String = {
-    val suffix = java.lang.Integer.toHexString(
-      (dir + "#" + System.identityHashCode(s)).hashCode & 0x7fffffff)
+    val suffix = graft.core.PathTag.tag(
+      dir + "#" + System.identityHashCode(s))
     s"${sys.props("user.dir")}/target/qtmp/warehouse/cmp_$suffix"
   }
 
@@ -1055,8 +1055,8 @@ object WarehouseQueries {
 
   /** Per-(session, dir) layout path — see [[psinkBase]] for why. */
   private[queries] def slayBase(s: SparkSession, dir: String): String = {
-    val suffix = java.lang.Integer.toHexString(
-      (dir + "#" + System.identityHashCode(s)).hashCode & 0x7fffffff)
+    val suffix = graft.core.PathTag.tag(
+      dir + "#" + System.identityHashCode(s))
     s"${sys.props("user.dir")}/target/qtmp/warehouse/slay_$suffix"
   }
 

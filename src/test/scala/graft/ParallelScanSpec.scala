@@ -63,6 +63,59 @@ class ParallelScanSpec extends SparkSpec {
       "multi-row-group scan must not pay an extra exchange")
   }
 
+  test("mixed-writer dir: one multi-row-group file must not mask " +
+      "single-row-group siblings") {
+    val dir = Files.createTempDirectory("pscan_mix").toString
+    // two ~20 MB single-row-group files (incompressible per-row hashes)
+    spark.range(120000)
+      .select(col("id"), expr(
+        "concat_ws('', transform(sequence(1, 12), " +
+          "i -> md5(cast(id * 1000 + i as string))))").as("text"))
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/mix.parquet")
+    // plus one small MULTI-row-group file dropped into the same dir —
+    // a second writer with a different block size
+    spark.range(300000, 320000)
+      .select(col("id"), expr(
+        "concat_ws('', transform(sequence(1, 12), " +
+          "i -> md5(cast(id * 1000 + i as string))))").as("text"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(s"$dir/mrg.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/mrg.parquet"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part,
+      new org.apache.hadoop.fs.Path(s"$dir/mix.parquet/zz-${part.getName}"))
+    val scan = spark.read.parquet(s"$dir/mix.parquet")
+    assert(scan.inputFiles.length === 3)
+    // head-only footer sampling could land on the multi-row-group file
+    // and estimate dozens of effective splits; the min-over-sample guard
+    // must see the 1-row-group siblings and fire the repartition. Pin
+    // the gate at the 32-core bench cluster's target (the 4-core test
+    // session's own target is too small for any 3-file dir to trip).
+    assert(hasShuffle(parallelScan(spark, scan, 32)),
+      "mixed layout dominated by single-row-group files must repartition")
+    // determinism the old head-only sample lacked: just under the gate
+    // (3 files × min 1 rg × 2 = 6) the decision is a stable no-op
+    assert(!hasShuffle(parallelScan(spark, scan, 6)),
+      "at effSplits*2 == target the gate must not fire")
+  }
+
+  test("trust-splits paths must not overflow into a spurious repartition") {
+    // no input files (in-memory range) + stats far above the size gate:
+    // the old Int gate computed Int.MaxValue * 2 = -2 < target and fired
+    // on exactly the inputs it should leave alone
+    val df = spark.range(10000000L).toDF("id")
+    assert(df.inputFiles.isEmpty)
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(32L * 1024 * 1024))
+    assert(!hasShuffle(parallelScan(spark, df)),
+      "file-less frame must be trusted, not repartitioned")
+  }
+
   test("repartitioned frame returns identical rows") {
     val dir = Files.createTempDirectory("pscan_eq").toString
     spark.range(120000)
