@@ -231,6 +231,18 @@ object GeoF {
         org.apache.spark.sql.GraftBridge.expression(lat),
         org.apache.spark.sql.GraftBridge.expression(lng), res))
 
+  /** Inverse of [[h3Cell]] — exact cell-center lat/lng (degrees) from a
+    * canonical hex cell-id string. Backed by [[H3.cellToLatLng]] through
+    * the codegen expressions [[graft.plans.H3CenterLat]]/[[graft.plans.H3CenterLng]]. */
+  def h3CenterLat(cell: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3CenterLat(
+        org.apache.spark.sql.GraftBridge.expression(cell)))
+  def h3CenterLng(cell: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3CenterLng(
+        org.apache.spark.sql.GraftBridge.expression(cell)))
+
   // ------------------- legacy hex lattice (pre-H3 stand-in) --------------
 
   /** Mean Earth radius (m), and H3's res-0 edge length (m); each res

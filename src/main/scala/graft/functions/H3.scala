@@ -866,6 +866,202 @@ object H3 {
       (bc, toDegrees(PentLat(bc)), toDegrees(PentLng(bc)))
     }
 
+  // ------------------------------------------------------------------
+  // Inverse: cell → center (cellToLatLng)
+  // ------------------------------------------------------------------
+  /** Inverse unprojection at any res: (face, hex2d, res) → geo radians.
+    * Exact inverse of [[geoToHex2d]]: undo the aperture-7 scaling
+    * (÷√7 per res step) and the Class III grid rotation (+[[Ap7Rot]]
+    * at odd res), then invert the gnomonic projection along the
+    * azimuth from the face center. */
+  private def hex2dToGeo(face: Int, x: Double, y: Double,
+      res: Int): (Double, Double) = {
+    var rr = sqrt(x * x + y * y)
+    if (rr < 1e-15) return (FaceLat(face), FaceLng(face))
+    var theta = atan2(y, x)
+    if ((res & 1) == 1) theta = posAngle(theta + Ap7Rot) // undo Class III
+    var n = 0
+    while (n < res) { rr /= Sqrt7; n += 1 }
+    val dist = atan(rr * Res0UGnomonic)
+    val az = posAngle(FaceAz0(face) - theta)
+    geoAzDistance(FaceLat(face), FaceLng(face), az, dist)
+  }
+
+  /** Appearances of each base cell across face charts:
+    * (face, i, j, k, ccwRot60) per table slot — the inverse tries each
+    * chart and keeps the one the forward path proves right. Built after
+    * [[resolvePentagons]] so pentagon rotations are resolved. */
+  private val BcApps: Array[Array[(Int, Long, Long, Long, Int)]] = {
+    val by = Array.fill(NumBaseCells)(
+      List.empty[(Int, Long, Long, Long, Int)])
+    for (f <- 19 to 0 by -1; i <- 2 to 0 by -1; j <- 2 to 0 by -1;
+         k <- 2 to 0 by -1) {
+      val idx = tabIdx(f, i, j, k)
+      if (TabBc(idx) >= 0)
+        by(TabBc(idx)) ::= ((f, i.toLong, j.toLong, k.toLong, TabRot(idx)))
+    }
+    // canonical-orientation (rot 0) appearances first: the home chart
+    // resolves the bulk of cells on the first try
+    by.map(_.sortBy { case (f, _, _, _, rot) =>
+      (if (rot == 0) 0 else 1, f)
+    }.toArray)
+  }
+
+  /** Descend a res-0 ijk down `res` aperture-7 steps, applying the raw
+    * (chart-local) digits of `h` — the exact inverse of the digit
+    * up-aggregation loop in [[rawIndexInto]]: at each step the parent
+    * is down-scaled into the child grid (Class III ccw at odd res,
+    * Class II cw at even) and the unit digit vector added. */
+  private def descendDigits(i0: Long, j0: Long, k0: Long, h: Long,
+      res: Int): (Long, Long, Long) = {
+    var i = i0; var j = j0; var k = k0
+    var r = 1
+    while (r <= res) {
+      var ci = 0L; var cj = 0L; var ck = 0L
+      if ((r & 1) == 1) { ci = 3 * i + j; cj = 3 * j + k; ck = i + 3 * k }
+      else { ci = 3 * i + k; cj = i + 3 * j; ck = j + 3 * k }
+      val d = getDigit(h, r)
+      ci += (d >> 2) & 1; cj += (d >> 1) & 1; ck += d & 1
+      val m = min(ci, min(cj, ck))
+      i = ci - m; j = cj - m; k = ck - m
+      r += 1
+    }
+    (i, j, k)
+  }
+
+  /** Exact inverse of `rot` ccw pentagon rotations: walk the orbit of
+    * `h` under [[rotatePent60ccw]] (order ≤ 6 — 5 on generic digit
+    * strings, smaller on rotation-symmetric ones) and pick the element
+    * that `rot` forward applications map back onto `h`. */
+  private def unrotatePent(h: Long, rot: Int): Long = {
+    if (rot == 0) return h
+    var orbit = List(h)
+    var x = h
+    var ord = 0
+    var n = 1
+    while (ord == 0 && n <= 6) {
+      x = rotatePent60ccw(x)
+      if (x == h) ord = n else orbit ::= x
+      n += 1
+    }
+    require(ord > 0, s"pentagon rotation orbit of $h does not close")
+    // orbit(i) = element after (ord-1-i) forward applications; the
+    // pre-image under `rot` applications is the element reached by
+    // steps = (ord - rot mod ord) forward applications
+    val steps = (ord - rot % ord) % ord
+    if (steps == 0) h else orbit(ord - 1 - steps)
+  }
+
+  /** H3 cell → exact center (lat°, lng°) — the inverse of
+    * [[latLngToCell]], the API the reference's enrichment slot lacks
+    * but any geo pipeline needs to materialize cell geometry
+    * (cell→point joins, centroid exports, reverse geocoding).
+    *
+    * Method: for each appearance (face chart) of the cell's base cell,
+    * exactly invert the forward finishing — un-rotate the canonical
+    * digits (pentagons via the rotation-orbit inverse and the two
+    * validity-gated leading-K escape pre-images), descend the chart's
+    * res-0 ijk through the raw digits, unproject through that chart —
+    * then VERIFY the candidate two ways: the full forward index of the
+    * unprojected point must return `h` bit-for-bit, AND the chart used
+    * must be CO-NEAREST at that point (face dot-product within 1e-12
+    * of the argmax). The pair is what makes cross-face overage safe
+    * without neighbor-orientation tables: a res-N cell of a base cell
+    * can lie physically outside its home chart's face region (the
+    * overage case — unprojecting through a chart that is wrong THERE
+    * lands a gnomonic-distortion displacement off the true center),
+    * and such candidates fail the co-nearest test decisively, while
+    * inside the 1e-12 tie band the charts' distortion mismatch is
+    * itself ~0, so an accepted candidate is the exact lattice-point
+    * unprojection — not merely some point that happens to round-trip.
+    * The tolerance is not an approximation knob: cells genuinely
+    * straddle face boundaries (every pentagon center is a 5-face
+    * vertex; pentagon children and res-0 edge cells sit exactly ON
+    * icosahedron edges), so the argmax face at the exact center is an
+    * FP coin-flip between legitimately equivalent charts — the
+    * tolerance admits exactly those. Throws on malformed
+    * input (bad mode/base-cell/digit fields, pentagon deleted-axis
+    * subsequences): such indexes have no appearance that verifies. */
+  def cellToLatLng(h: Long): (Double, Double) = {
+    val res = getResolution(h)
+    val bc = getBaseCell(h)
+    require((h >>> 59) == 1L, s"not a cell-mode H3 index: $h")
+    require(bc < NumBaseCells, s"invalid base cell $bc")
+    var r = 1
+    while (r <= res) {
+      require(getDigit(h, r) != 7, s"invalid digit 7 at res $r in $h")
+      r += 1
+    }
+    while (r <= MaxRes) {
+      require(getDigit(h, r) == 7, s"unused digit not 7 at res $r in $h")
+      r += 1
+    }
+    val pent = IsPent(bc)
+    val apps = BcApps(bc)
+    var a = 0
+    while (a < apps.length) {
+      val (f, i0, j0, k0, rot) = apps(a)
+      if (rot >= 0) {
+        // exact un-rotation back to this chart's raw orientation
+        val u =
+          if (pent) unrotatePent(h, rot)
+          else {
+            var x = h; var n = 0
+            while (n < rot) { x = rotate60(x, CwDigit); n += 1 }
+            x
+          }
+        // leading-K escape pre-images (pentagons only): the forward
+        // escape fired iff the raw led with K, so each pre-image is
+        // gated on the leading digit it implies
+        var c = 0
+        val nCands = if (pent) 2 else 1
+        while (c < nCands) {
+          var raw = 0L
+          var valid = false
+          if (c == 0) { raw = u; valid = !pent || leadingNonZeroDigit(u) != 1 }
+          else {
+            val t = if (PentCwOffset(bc * 32 + f)) CcwDigit else CwDigit
+            raw = rotate60(u, t)
+            valid = leadingNonZeroDigit(raw) == 1
+          }
+          if (valid) {
+            val (ri, rj, rk) = descendDigits(i0, j0, k0, raw, res)
+            val (x, y) = ijkToHex2d(ri, rj, rk)
+            val (latR, lngR) = hex2dToGeo(f, x, y, res)
+            val px = cos(latR) * cos(lngR)
+            val py = cos(latR) * sin(lngR)
+            val pz = sin(latR)
+            var maxDot = -2.0
+            var ff = 0
+            while (ff < 20) {
+              val d = px * FaceX(ff) + py * FaceY(ff) + pz * FaceZ(ff)
+              if (d > maxDot) maxDot = d
+              ff += 1
+            }
+            val fDot = px * FaceX(f) + py * FaceY(f) + pz * FaceZ(f)
+            if (fDot >= maxDot - 1e-12 &&
+                latLngToCell(toDegrees(latR), toDegrees(lngR), res) == h)
+              return (toDegrees(latR), toDegrees(lngR))
+          }
+          c += 1
+        }
+      }
+      a += 1
+    }
+    throw new IllegalArgumentException(
+      f"invalid or non-invertible H3 index 0x$h%x (base cell $bc)")
+  }
+
+  /** Hex-string form of [[cellToLatLng]] (the engine's cell columns are
+    * canonical lowercase hex strings). */
+  def cellToLatLng(hex: String): (Double, Double) =
+    cellToLatLng(java.lang.Long.parseUnsignedLong(hex, 16))
+
+  /** Scalar forms for codegen call sites (each a full inversion — the
+    * inverse is a cold-path API, not a per-row hot loop over TBs). */
+  def cellCenterLat(hex: String): Double = cellToLatLng(hex)._1
+  def cellCenterLng(hex: String): Double = cellToLatLng(hex)._2
+
   /** Derived base-cell orientation table dump, for authoring external
     * oracles: rows (face, i, j, k, baseCell, ccwRot60, isPentagon,
     * cwOffset). Coordinates are normalized res-0 ijk on `face`. */

@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "h3_fromgeogpoint(<double lat>, <double lng>, <int literal res>)")
       }))
+    // inverse of h3_fromgeogpoint: exact cell-center coordinates
+    ext.injectFunction((
+      FunctionIdentifier("h3_cell_lat"),
+      new ExpressionInfo(classOf[H3CenterLat].getName, "h3_cell_lat"),
+      (children: Seq[Expression]) => H3CenterLat(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("h3_cell_lng"),
+      new ExpressionInfo(classOf[H3CenterLng].getName, "h3_cell_lng"),
+      (children: Seq[Expression]) => H3CenterLng(children.head)))
     ext.injectFunction((
       FunctionIdentifier("term_histogram"),
       new ExpressionInfo(classOf[TermHistogram].getName,

@@ -74,8 +74,31 @@ object GeoQueries {
           GeoF.centroidLng(col("zone_geom")), 9).as("h3_9"))
       .orderBy("zone_id")
 
+  /** H3 round-trip: centroid → res-9 cell → [[GeoF.h3CenterLat]]/
+    * [[GeoF.h3CenterLng]] (the `cellToLatLng` inverse) → re-index the
+    * exact center → cell. The output column is the RE-INDEXED cell,
+    * gated by the SAME independent DuckDB-SQL forward oracle as
+    * `f6_hex_index`: the hashes only match if cell→center→cell is the
+    * identity for every fixture cell (10 of 25 in pentagon base cells,
+    * so the pentagon inverse path — orbit un-rotation, escape
+    * pre-images, cross-face overage — is exercised under the gate).
+    * Resolution-sweep and pentagon-children coverage live in
+    * `H3Spec`'s round-trip properties. */
+  private def h3Roundtrip(s: SparkSession, dir: String): DataFrame =
+    zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 9).as("h3_fwd"))
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.h3CenterLat(col("h3_fwd")),
+          GeoF.h3CenterLng(col("h3_fwd")), 9).as("h3_9"))
+      .orderBy("zone_id")
+
   val all: Map[String, QueryDef] = Map(
     "f5_wkt_centroid" -> QueryDef(wktCentroid, Some(wktCentroidSql)),
-    "f6_hex_index" -> QueryDef(hexIndex, Some(H3OracleSql.f6))
+    "f6_hex_index" -> QueryDef(hexIndex, Some(H3OracleSql.f6)),
+    "x_h3_roundtrip" -> QueryDef(h3Roundtrip, Some(H3OracleSql.f6))
   )
 }

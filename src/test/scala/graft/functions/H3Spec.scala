@@ -233,6 +233,102 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // cellToLatLng (inverse) — round-trip properties
+  // ------------------------------------------------------------------
+  test("cellToLatLng: published center vector (SF res 9)") {
+    // h3 docs cellToLatLng example: 8928308280fffff →
+    // (37.77670234943567, -122.41845932318311). Our derivation is
+    // independent, so agree to the cell scale (~100 m at res 9), and
+    // exactly on the round-trip identity.
+    val (la, lo) = H3.cellToLatLng("8928308280fffff")
+    assert(math.abs(la - 37.77670234943567) < 2e-3 &&
+      math.abs(lo - (-122.41845932318311)) < 2e-3,
+      s"center drifted: ($la, $lo)")
+    assert(H3.latLngToCellString(la, lo, 9) === "8928308280fffff")
+  }
+
+  test("round-trip identity: random points, all resolutions 0-15") {
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 400) {
+      // uniform on the sphere: lat from asin of uniform z
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = rnd.nextInt(16)
+      val cell = H3.latLngToCell(lat, lng, res)
+      val (cLat, cLng) = H3.cellToLatLng(cell)
+      assert(H3.latLngToCell(cLat, cLng, res) === cell,
+        f"round trip broke at ($lat%.6f, $lng%.6f) res $res")
+      // center is a fixed point: inverting its own cell returns the
+      // bit-identical coordinates (the lattice-point unprojection)
+      val (fLat, fLng) = H3.cellToLatLng(H3.latLngToCell(cLat, cLng, res))
+      assert(fLat === cLat && fLng === cLng,
+        f"center not a fixed point at ($lat%.6f, $lng%.6f) res $res")
+    }
+  }
+
+  test("round-trip identity: pentagon children at res 1-6") {
+    // every child digit path under each of the 12 pentagons — the
+    // cross-face overage + sub-digit orientation surface (res ≥ 1
+    // CCW sub-digit orientation off-center is exactly what a wrong
+    // chart unprojection breaks)
+    for ((bc, pLat, pLng) <- H3.pentagonCenters) {
+      for (res <- 1 to 6) {
+        val pc = H3.latLngToCell(pLat, pLng, res)
+        assert(H3.isPentagonCell(pc))
+        val (cLat, cLng) = H3.cellToLatLng(pc)
+        assert(H3.latLngToCell(cLat, cLng, res) === pc,
+          s"pentagon $bc center cell broke at res $res")
+      }
+      // ring samples around the vertex: cells on all 5 fanned faces,
+      // including overage cells outside the home chart's face region
+      val rnd = new scala.util.Random(bc * 7919L + 17)
+      for (_ <- 1 to 40) {
+        val az = rnd.nextDouble() * 2 * math.Pi
+        val rho = 0.02 + rnd.nextDouble() * 0.1 // radians from vertex
+        val lat = pLat + math.toDegrees(rho) * math.cos(az)
+        val lng = pLng + math.toDegrees(rho) * math.sin(az) /
+          math.max(0.2, math.cos(math.toRadians(pLat)))
+        if (math.abs(lat) < 89.9) {
+          val res = 1 + rnd.nextInt(9)
+          val cell = H3.latLngToCell(lat, lng, res)
+          val (cLat, cLng) = H3.cellToLatLng(cell)
+          assert(H3.latLngToCell(cLat, cLng, res) === cell,
+            f"pentagon-$bc-neighborhood trip broke at " +
+              f"($lat%.5f, $lng%.5f) res $res")
+        }
+      }
+    }
+  }
+
+  test("cellToLatLng: all 122 res-0 cells invert to their own cell") {
+    // reach every base cell by inverting res-0 indexes directly
+    for (bc <- 0 until 122) {
+      val h = (1L << 59) | (0L << 52) | (bc.toLong << 45) | ((1L << 45) - 1)
+      val (la, lo) = H3.cellToLatLng(h)
+      assert(H3.latLngToCell(la, lo, 0) === h, s"base cell $bc")
+    }
+  }
+
+  test("cellToLatLng rejects malformed indexes") {
+    intercept[IllegalArgumentException] {
+      H3.cellToLatLng(0L) // mode 0
+    }
+    intercept[IllegalArgumentException] {
+      H3.cellToLatLng((1L << 59) | (125L << 45) | ((1L << 45) - 1)) // bc 125
+    }
+    intercept[IllegalArgumentException] {
+      // res 1 but digit 7 kept at res 1 (used digit = 7)
+      H3.cellToLatLng((1L << 59) | (1L << 52) | (16L << 45) | ((1L << 45) - 1))
+    }
+    intercept[IllegalArgumentException] {
+      // pentagon (bc 4) with leading K digit (deleted subsequence)
+      val h = (1L << 59) | (1L << 52) | (4L << 45) | ((1L << 45) - 1)
+      val withK = (h & ~(7L << 42)) | (1L << 42) // digit 1 at res 1
+      H3.cellToLatLng(withK)
+    }
+  }
+
   test("regression pin: base cell stable across resolutions at city points") {
     // NOT a general H3 invariant (aperture-7 children overflow their
     // parent, so near res-0 edges the base-cell FIELD may vary with
