@@ -29,7 +29,7 @@ object TemporalQueries {
   /** Session gap: a new session starts after > 6 h of user inactivity
     * (sized to the fixture's ~9 h mean inter-event gap so sessions are a
     * mix of singletons and multi-event runs). */
-  private val SessionGapUs = 6L * 3600 * 1000000
+  private[queries] val SessionGapUs = 6L * 3600 * 1000000
 
   /** Gaps-and-islands sessionization: per-user sessions delimited by
     * inactivity gaps, with per-session stats. The lag/running-sum windows
@@ -65,12 +65,12 @@ object TemporalQueries {
   private def sessionize(s: SparkSession, dir: String): DataFrame =
     sessionizeRaw(s, dir).orderBy("user_id", "session_seq")
 
-  private val sessionizeSql = OracleSql.gapsAndIslands(
+  private[queries] val sessionizeSql = OracleSql.gapsAndIslands(
     SessionGapUs, breakOp = ">", tieBreak = Some("event_id"),
     withSeq = true)
 
   /** Range-join window: ordered same-user event pairs ≤ 30 min apart. */
-  private val RangeWindowUs = 30L * 60 * 1000000
+  private[queries] val RangeWindowUs = 30L * 60 * 1000000
 
   /** Bucketed range self-join: same-user event pairs within a 30-minute
     * window. The naive form is an inequality join (O(n²) nested loop or a
@@ -101,7 +101,7 @@ object TemporalQueries {
   private def rangeJoin(s: SparkSession, dir: String): DataFrame =
     rangeJoinRaw(s, dir).orderBy("user_id", "id_a", "id_b")
 
-  private val rangeJoinSql =
+  private[queries] val rangeJoinSql =
     s"""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
        |FROM events a JOIN events b

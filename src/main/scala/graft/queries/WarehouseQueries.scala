@@ -435,7 +435,7 @@ object WarehouseQueries {
   private def windowFuncs(s: SparkSession, dir: String): DataFrame =
     windowFuncsRaw(s, dir).orderBy("user_id", "event_id")
 
-  private val windowFuncsSql =
+  private[queries] val windowFuncsSql =
     """SELECT user_id, event_id,
       |       lag(value) OVER (PARTITION BY user_id
       |                        ORDER BY epoch_us(ts), event_id) AS prev_value,

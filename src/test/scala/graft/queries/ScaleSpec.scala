@@ -49,6 +49,50 @@ class ScaleSpec extends SparkSpec {
     assert(bucketed === raw)
   }
 
+  test("sorted-bucketed sessionize: zero exchange, zero sort; rows match raw") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = graft.SparkEntry.defs("x_sessionize_bucketed").benched(s, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed sessionize must not shuffle: $plan")
+    assert(plan.collect {
+      case so: org.apache.spark.sql.execution.SortExec => so }.isEmpty,
+      s"bucketed sessionize must not sort: $plan")
+    val raw = graft.SparkEntry.queries("x_sessionize")(s, sf).collect().toSeq
+    val bucketed =
+      graft.SparkEntry.queries("x_sessionize_bucketed")(s, sf).collect().toSeq
+    assert(bucketed === raw)
+  }
+
+  test("sorted-bucketed window funcs: zero exchange; rows match raw") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = graft.SparkEntry.defs("w_window_bucketed").benched(s, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed window funcs must not shuffle: $plan")
+    // by-value ordering is inherent to ntile/percent_rank/cume_dist —
+    // in-partition sorts are expected, global sorts (exchange) are not
+    val raw = graft.SparkEntry.queries("w_window_funcs")(s, sf).collect().toSeq
+    val bucketed =
+      graft.SparkEntry.queries("w_window_bucketed")(s, sf).collect().toSeq
+    assert(bucketed === raw)
+  }
+
+  test("sorted-bucketed range join: zero exchange below the join; rows match raw") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = graft.SparkEntry.defs("x_range_bucketed").benched(s, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed range join must not shuffle: $plan")
+    val raw = graft.SparkEntry.queries("x_range_join")(s, sf).collect().toSeq
+    val bucketed =
+      graft.SparkEntry.queries("x_range_bucketed")(s, sf).collect().toSeq
+    assert(bucketed === raw)
+  }
+
   test("bucketed star join: zero exchanges on the fact side") {
     // The whole point of b_star_bucketed: the dim broadcast preserves the
     // orders scan's bucket partitioning, so the orders⋈lineitem edge is a
