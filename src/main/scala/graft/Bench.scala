@@ -184,8 +184,29 @@ object Bench {
       .map { case (k, d) => s"${escJ(k)}:${escJ(d.benchNote.get)}" }
     val notesField =
       if (notes.isEmpty) "" else notes.mkString(""","notes":{""", ",", "}")
+    // Full artifact (per-query comparator block + notes) → a file: the
+    // driver snapshots only the LAST ~2000 chars of stdout, and the r10
+    // full line outgrew that window, leaving the round artifact
+    // unparseable (`parsed: null`). The stdout line stays compact
+    // (queries + comparator TOTAL only, guaranteed to fit); the full
+    // pairing lives in target/bench_full.json and is committed per
+    // scale point (BENCH_sf1.json / BENCH_sf10.json pattern).
+    val fullJson =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$duckField$notesField}"""
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.props("user.dir"), "target", "bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, fullJson + "\n")
+      System.err.println(s"[bench] full artifact: $out")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] full artifact write skipped: ${e.getMessage}")
+    }
+    val duckTotalField = paired.flatMap { j =>
+      """"total":\s*([0-9.]+)""".r.findFirstMatchIn(j).map(_.group(1))
+    }.map(t => s""","duckdb":{"total":$t}""").getOrElse("")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$duckField$notesField}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$duckTotalField}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
