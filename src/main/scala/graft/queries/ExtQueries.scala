@@ -374,7 +374,11 @@ object ExtQueries {
     * oracle; documented divergence: a pair whose ONLY shared shingles are
     * ultra-common is no longer reported (by construction such pairs have
     * near-zero true Jaccard). */
-  private val MaxShingleDf = 100
+  private val MaxShingleDf =
+    // env-overridable for the round-11 cap sweep (tools + PLANS.md);
+    // the oracle SQL interpolates the same val, so Spark and DuckDB
+    // always agree on the cap in force
+    sys.env.get("SPARK_GRAFT_SHINGLE_DF_CAP").map(_.toInt).getOrElse(100)
 
   /** True n-gram Jaccard near-dup pairs (≥ 0.1 over distinct k=3 word
     * shingles): candidates from an inverted-index join on the shingle —
@@ -466,7 +470,16 @@ object ExtQueries {
     * hot-shingle df cap, shared checkpoint discipline); the denominator
     * stays the full |A| so the cap only thins candidates, never biases a
     * reported score. */
-  private def containmentPairsRaw(s: SparkSession, dir: String): DataFrame = {
+  private def containmentPairsRaw(s: SparkSession, dir: String): DataFrame =
+    containmentAtCap(s, dir, MaxShingleDf)
+
+  /** [[containmentPairsRaw]] parameterized by the hot-shingle df cap —
+    * the knob the round-11 sf10 sweep turns (PLANS.md) and the recall
+    * witness (`x_containment_recall`) quantifies. `Int.MaxValue` = no
+    * cap (exact containment; the ground truth the recall is measured
+    * against). */
+  private[graft] def containmentAtCap(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     // the explode is the projection's ONLY derived column (see the
     // TextF.shinglesFromTokens scaladoc: a Generate sharing a projection
     // with sibling derived columns re-evaluates the tokenize→shingle
@@ -483,7 +496,7 @@ object ExtQueries {
     // (map-side-combined) to find the offenders
     val hot = sh.groupBy("shingle")
       .agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") > MaxShingleDf)
+      .filter(col("dfc") > cap)
       .select("shingle")
       .localCheckpoint() // tiny by construction; built once, not per side
     // |A| = distinct-shingle count per doc, PRE-cap; doc-grained, joined
@@ -561,6 +574,71 @@ object ExtQueries {
        |FROM pairs
        |WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= $ContainmentMin
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Probe cap for the recall witness: BITES at verify scale (max
+    * shingle df is 7 at sf0.01), so the oracle row exercises the real
+    * candidate-loss path rather than an inert no-op. */
+  private val RecallProbeCap = 3
+
+  /** Recall witness for the hot-shingle df cap (round-11 sweep,
+    * PLANS.md): the capped containment pair set vs the exact (uncapped)
+    * one as a single summary row — n_base exact pairs, n_capped, n_hit
+    * (pair-identity intersection; capped ⊆ exact by construction since
+    * the cap only removes intersection evidence) and
+    * recall = n_hit / n_base. The same machinery, pointed at the
+    * production cap, produces the sf10 recall number that justifies the
+    * shipped [[MaxShingleDf]]. */
+  private def containmentRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = containmentAtCap(s, dir, Int.MaxValue)
+      .select("doc_a", "doc_b")
+    val capped = containmentAtCap(s, dir, RecallProbeCap)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+    base.join(capped, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_base"),
+        coalesce(sum("c"), lit(0)).cast("long").as("n_hit"))
+      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+      .select(col("n_base"), col("n_capped"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_base").cast("double"), lit(0.0)), 6).as("recall"))
+  }
+
+  private val containmentRecallSql =
+    s"""WITH sh_all AS (
+       |  SELECT doc_id, len(shl) AS n, unnest(shl) AS shingle FROM (
+       |    SELECT doc_id, $sqlShingles AS shl
+       |    FROM (SELECT doc_id, $sqlLowerToks AS t FROM documents)
+       |    WHERE len(t) >= $K)
+       |), base AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+       |           any_value(a.n) AS na
+       |    FROM sh_all a JOIN sh_all b
+       |      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id)
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= $ContainmentMin
+       |), cold AS (
+       |  SELECT shingle FROM sh_all GROUP BY shingle
+       |  HAVING count(*) <= $RecallProbeCap
+       |), shc AS (
+       |  SELECT sh_all.* FROM sh_all JOIN cold USING (shingle)
+       |), capped AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+       |           any_value(a.n) AS na
+       |    FROM shc a JOIN shc b
+       |      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id)
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= $ContainmentMin
+       |)
+       |SELECT (SELECT count(*) FROM base) AS n_base,
+       |       (SELECT count(*) FROM capped) AS n_capped,
+       |       (SELECT count(*) FROM base JOIN capped USING (doc_a, doc_b))
+       |         AS n_hit,
+       |       round(
+       |         CAST((SELECT count(*) FROM base JOIN capped
+       |               USING (doc_a, doc_b)) AS DOUBLE)
+       |         / nullif(CAST((SELECT count(*) FROM base) AS DOUBLE), 0), 6)
+       |         AS recall""".stripMargin
 
   // --------------------------- similarity search -------------------------
 
@@ -1405,6 +1483,8 @@ object ExtQueries {
     "x_containment_pairs" -> QueryDef(containmentPairs,
       Some(containmentPairsSql), bench = true,
       benchFn = Some(containmentPairsRaw)),
+    "x_containment_recall" -> QueryDef(containmentRecall,
+      Some(containmentRecallSql)),
     "x_ngram_jaccard_pairs" -> QueryDef(ngramJaccardPairs,
       Some(ngramJaccardPairsSql)),
     "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql),
