@@ -31,7 +31,7 @@ object Bench {
         sys.exit(2)
       }
     }
-    val spark = SparkSession.builder()
+    val sparkBuilder = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,7 +47,15 @@ object Bench {
             .toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev knob for conf A/Bs (PLANS.md round-11 floor sweep):
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        sparkBuilder.config(k.trim, v.trim)
+      }
+    }
+    val spark = sparkBuilder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.benchNames.filter(n => only.forall(_.contains(n)))

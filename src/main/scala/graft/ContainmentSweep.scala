@@ -33,25 +33,33 @@ object ContainmentSweep {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.TableStats.analyze(spark, dir)
 
-    def run(cap: Int): (Double, org.apache.spark.sql.DataFrame, Long) = {
+    // each arm's output is parked in a temp parquet (NOT a
+    // localCheckpoint): the between-arms clean slate unpersists every
+    // held block, so the exact pair set must survive it on disk
+    def run(cap: Int, tag: String): (Double, Long) = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
       val t0 = System.nanoTime()
-      val out = graft.queries.ExtQueries
+      graft.queries.ExtQueries
         .containmentAtCap(spark, dir, cap)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
-      val n = out.count()
+        .write.mode("overwrite").parquet(s"target/csweep_$tag")
+      val cnt = spark.read.parquet(s"target/csweep_$tag").count()
       val dt = (System.nanoTime() - t0) / 1e9
-      (dt, out, n)
+      (dt, cnt)
     }
 
-    val (tExact, exact, nExact) = run(Int.MaxValue)
+    val (tExact, nExact) = run(Int.MaxValue, "exact")
     println(f"[csweep] cap=exact time=$tExact%.1f s pairs=$nExact")
-    for (cap <- Seq(25, 15, 10, 5)) {
-      val (t, capped, nCapped) = run(cap)
+    val caps =
+      if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+      else Seq(25, 15, 10, 5)
+    for (cap <- caps) {
+      val (t, nCapped) = run(cap, s"c$cap")
+      val exact = spark.read.parquet("target/csweep_exact")
+      val capped = spark.read.parquet(s"target/csweep_c$cap")
       val hits = capped.join(exact, Seq("doc_a", "doc_b"), "left_semi").count()
       val recall = hits.toDouble / nExact
       println(f"[csweep] cap=$cap%-5d time=$t%.1f s pairs=$nCapped " +

@@ -403,7 +403,11 @@ object ExtQueries {
     val shAll = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(
-        TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
+        TextF.shinglesFromTokens(col("toks"), K))).as("shingle_s"))
+      // 64-bit shingle fingerprint — same rationale and collision
+      // analysis as containmentAtCap: the string shingle is the
+      // dominant byte volume on the checkpoint and both join shuffles
+      .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
       .withColumn("n", count(lit(1)).over(
         Window.partitionBy("doc_id")))
       .localCheckpoint()
@@ -488,7 +492,17 @@ object ExtQueries {
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(
-        TextF.shinglesFromTokens(col("toks"), K))).as("shingle"))
+        TextF.shinglesFromTokens(col("toks"), K))).as("shingle_s"))
+      // 64-bit shingle fingerprint (round 11): the candidate self-join
+      // shuffles the shingle key TWICE and checkpoints it once — as a
+      // ~24-byte string that is the query's dominant byte volume; as a
+      // long it is 8 bytes and the join compares words, not strings.
+      // Collisions only ADD spurious intersection evidence; at the
+      // fixture's 2.7 M distinct shingles the birthday term is ~2e-7,
+      // and even at 10^12 shingles (100 TB) it shifts a 0.4-threshold
+      // score by at most 1/|A| per affected pair. The oracle keeps raw
+      // strings — the hash-verified equality IS the collision witness.
+      .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
       .localCheckpoint() // scanned by hot, na, and both self-join sides
     // df cap inverted: the HOT set (df > cap) is the tiny side by
     // construction, so dropping hot shingles is a broadcast ANTI-join —
@@ -1482,7 +1496,13 @@ object ExtQueries {
     "x_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "x_containment_pairs" -> QueryDef(containmentPairs,
       Some(containmentPairsSql), bench = true,
-      benchFn = Some(containmentPairsRaw)),
+      benchFn = Some(containmentPairsRaw),
+      benchNote = Some("exact containment is Sum(df^2) candidate work " +
+        "by construction; the hot-shingle df cap is the recall/time " +
+        "knob (SPARK_GRAFT_SHINGLE_DF_CAP, mirrored in the oracle). " +
+        "Round-11 sf10 sweep: cap 15 keeps pair recall 1.0 " +
+        "(x_containment_recall is the oracle-checked witness); " +
+        "default stays 100 - the 100 TB-safe conservative setting.")),
     "x_containment_recall" -> QueryDef(containmentRecall,
       Some(containmentRecallSql)),
     "x_ngram_jaccard_pairs" -> QueryDef(ngramJaccardPairs,
