@@ -243,6 +243,17 @@ object GeoF {
       graft.plans.H3CenterLng(
         org.apache.spark.sql.GraftBridge.expression(cell)))
 
+  /** Grid traversal: sorted hex ids of every cell within grid distance
+    * `k` of `cell`, including `cell` itself — the ring-expansion
+    * primitive for H3 spatial joins. Backed by [[graft.plans.H3Disk]]
+    * (codegen) over [[H3.gridDisk]]; see that scaladoc for the
+    * no-false-positives contract and the documented completeness gap
+    * at certain base-cell boundaries. */
+  def h3GridDisk(cell: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3Disk(
+        org.apache.spark.sql.GraftBridge.expression(cell), k))
+
   // ------------------- legacy hex lattice (pre-H3 stand-in) --------------
 
   /** Mean Earth radius (m), and H3's res-0 edge length (m); each res

@@ -529,14 +529,24 @@ object H3 {
     var face: Int = 0
     var i: Long = 0L; var j: Long = 0L; var k: Long = 0L
     var h: Long = 0L
+    // res-N chart-local lattice coords of the landed cell (pre-digit
+    // aggregation) — the consensus path unprojects these to score a
+    // candidate chart by its own lattice-center distance
+    var li: Long = 0L; var lj: Long = 0L; var lk: Long = 0L
   }
   private val rawOutTL =
     ThreadLocal.withInitial[RawOut](() => new RawOut)
 
   private def rawIndexInto(latR: Double, lngR: Double, res: Int,
-      out: RawOut): Unit = {
-    // geoToHex2d, inlined face pick + projection
-    val face = nearestFace(latR, lngR)
+      out: RawOut): Unit =
+    rawIndexOnFace(latR, lngR, res, nearestFace(latR, lngR), out)
+
+  /** [[rawIndexInto]] with the chart face given — the consensus band
+    * in [[latLngToCell]] trials co-near charts explicitly. */
+  private def rawIndexOnFace(latR: Double, lngR: Double, res: Int,
+      faceArg: Int, out: RawOut): Unit = {
+    // geoToHex2d, inlined projection on the given face
+    val face = faceArg
     val cosLat = cos(latR)
     val dot = max(-1.0, min(1.0,
       cosLat * cos(lngR) * FaceX(face) +
@@ -558,6 +568,7 @@ object H3 {
     var j = (packed & 0xFFFFFFFFL) - 1073741824L
     var k = 0L
     var m = min(i, min(j, k)); i -= m; j -= m; k -= m
+    out.li = i; out.lj = j; out.lk = k
     // index skeleton: mode 1, res, all digits 7
     var h = (1L << 59) | (res.toLong << 52) | ((1L << 45) - 1)
     var r = res
@@ -839,11 +850,105 @@ object H3 {
   // ------------------------------------------------------------------
   // Public API
   // ------------------------------------------------------------------
-  /** (lat°, lng°, res) → H3 index (64-bit). */
+  /** Consensus band half-width per res, radians: a few cell pitches.
+    * Near a face boundary the charts' aperture-7 lattice continuations
+    * disagree — they agree exactly ON the boundary and drift
+    * quadratically past it — so the argmax chart alone can assign a
+    * boundary sliver to a cell whose own chart disagrees, making that
+    * cell's forward region DISCONNECTED (caught by the gridRing1
+    * midpoint property, round 11). The band is where the trial is
+    * even possible; 4 face-center pitches is conservative (gnomonic
+    * compression shrinks true pitch toward edges). */
+  private val BandByRes: Array[Double] =
+    Array.tabulate(MaxRes + 1)(r => 4.0 * atan(Res0UGnomonic) /
+      math.pow(Sqrt7, r))
+
+  /** (lat°, lng°, res) → H3 index (64-bit). Interior points (the
+    * overwhelming mass at fine res) index through the nearest face's
+    * chart exactly as before; points within [[BandByRes]] of a face
+    * boundary are indexed through EVERY co-near chart and the
+    * candidate whose own lattice center is nearest the point wins —
+    * chart-symmetric, so the assignment is connected and two sides of
+    * a boundary can never disagree about a cell they both see. */
   def latLngToCell(latDeg: Double, lngDeg: Double, res: Int): Long = {
     require(res >= 0 && res <= MaxRes, s"resolution $res out of [0,15]")
+    val latR = toRadians(latDeg); val lngR = toRadians(lngDeg)
+    val px = cos(latR) * cos(lngR)
+    val py = cos(latR) * sin(lngR)
+    val pz = sin(latR)
+    var bestF = 0; var bestDot = -2.0; var secondDot = -2.0
+    var f = 0
+    while (f < 20) {
+      val d = px * FaceX(f) + py * FaceY(f) + pz * FaceZ(f)
+      if (d > bestDot) { secondDot = bestDot; bestDot = d; bestF = f }
+      else if (d > secondDot) { secondDot = d }
+      f += 1
+    }
     val o = rawOutTL.get()
-    rawIndexInto(toRadians(latDeg), toRadians(lngDeg), res, o)
+    val band = BandByRes(res)
+    val thetaBest = acos(max(-1.0, min(1.0, bestDot)))
+    val inBand =
+      acos(max(-1.0, min(1.0, secondDot))) - thetaBest <= band
+    if (!inBand) {
+      rawIndexOnFace(latR, lngR, res, bestF, o)
+      finishRaw(o)
+    } else {
+      // consensus: trial each co-near chart, score by the angular
+      // distance from the point to the candidate's OWN lattice center
+      var kFace = -1; var kI = 0L; var kJ = 0L; var kK = 0L
+      var kH = 0L; var kDist = Double.MaxValue
+      var kLatR = 0.0; var kLngR = 0.0
+      f = 0
+      while (f < 20) {
+        val d = px * FaceX(f) + py * FaceY(f) + pz * FaceZ(f)
+        if (acos(max(-1.0, min(1.0, d))) - thetaBest <= band) {
+          try {
+            rawIndexOnFace(latR, lngR, res, f, o)
+            if (TabBc(tabIdx(o.face, o.i, o.j, o.k)) >= 0) {
+              val (cx, cy) = ijkToHex2d(o.li, o.lj, o.lk)
+              val (cLatR, cLngR) = hex2dToGeo(f, cx, cy, res)
+              val qd = px * cos(cLatR) * cos(cLngR) +
+                py * cos(cLatR) * sin(cLngR) + pz * sin(cLatR)
+              val dist = acos(max(-1.0, min(1.0, qd)))
+              if (dist < kDist) {
+                kDist = dist
+                kFace = o.face; kI = o.i; kJ = o.j; kK = o.k; kH = o.h
+                kLatR = cLatR; kLngR = cLngR
+              }
+            }
+          } catch {
+            // charts far enough in the band can land res-0 coords
+            // outside their 27-slot table — not a candidate there
+            case _: IllegalArgumentException => ()
+            case _: IllegalStateException => ()
+          }
+        }
+        f += 1
+      }
+      require(kFace >= 0, s"no chart resolved ($latDeg, $lngDeg) res $res")
+      // canonicalize: the winning trial's POSITION is right, but a
+      // chart evaluated deep past its own face can assemble a GHOST id
+      // for that position (lattice-mismatched digits/base cell).
+      // Re-index the winner's own lattice center through the chart
+      // co-nearest to THAT center — there the overage is at most half
+      // a pitch, where the init-time straddle consistency guarantees a
+      // chart-independent id. Fall back to the trial id if the
+      // center's chart cannot map the coords (never observed; belt).
+      try {
+        rawIndexOnFace(kLatR, kLngR, res, nearestFace(kLatR, kLngR), o)
+        finishRaw(o)
+      } catch {
+        case _: IllegalArgumentException =>
+          o.face = kFace; o.i = kI; o.j = kJ; o.k = kK; o.h = kH
+          finishRaw(o)
+        case _: IllegalStateException =>
+          o.face = kFace; o.i = kI; o.j = kJ; o.k = kK; o.h = kH
+          finishRaw(o)
+      }
+    }
+  }
+
+  @inline private def finishRaw(o: RawOut): Long = {
     val idx = tabIdx(o.face, o.i, o.j, o.k)
     val bc = TabBc(idx)
     require(bc >= 0, s"unmapped base-cell coord (${o.face},${o.i},${o.j},${o.k})")
@@ -983,6 +1088,16 @@ object H3 {
     * input (bad mode/base-cell/digit fields, pentagon deleted-axis
     * subsequences): such indexes have no appearance that verifies. */
   def cellToLatLng(h: Long): (Double, Double) = {
+    val (_, _, _, _, latD, lngD) = resolveChart(h)
+    (latD, lngD)
+  }
+
+  /** The verified chart behind [[cellToLatLng]], exposed for the grid
+    * traversal: (face, i, j, k, lat°, lng°) where (face, ijk) is the
+    * chart-local res-N lattice coordinate that passed BOTH the
+    * forward-re-index and co-nearest-face checks, and (lat°, lng°) its
+    * exact unprojected center. */
+  private def resolveChart(h: Long): (Int, Long, Long, Long, Double, Double) = {
     val res = getResolution(h)
     val bc = getBaseCell(h)
     require((h >>> 59) == 1L, s"not a cell-mode H3 index: $h")
@@ -998,6 +1113,10 @@ object H3 {
     }
     val pent = IsPent(bc)
     val apps = BcApps(bc)
+    // fallback slot: first appearance that verifies but fails the
+    // surrounded-center probe (see below)
+    var fbFace = -1; var fbI = 0L; var fbJ = 0L; var fbK = 0L
+    var fbLat = 0.0; var fbLng = 0.0
     var a = 0
     while (a < apps.length) {
       val (f, i0, j0, k0, rot) = apps(a)
@@ -1040,14 +1159,42 @@ object H3 {
             }
             val fDot = px * FaceX(f) + py * FaceY(f) + pz * FaceZ(f)
             if (fDot >= maxDot - 1e-12 &&
-                latLngToCell(toDegrees(latR), toDegrees(lngR), res) == h)
-              return (toDegrees(latR), toDegrees(lngR))
+                latLngToCell(toDegrees(latR), toDegrees(lngR), res) == h) {
+              // Patch disambiguation (round 11): a base-cell-level
+              // rounding mismatch between charts can give a cell a
+              // second, DISCONNECTED forward sliver one res-0 pitch
+              // away, and a wrong appearance can verify against that
+              // sliver (observed: a res-4 cell whose first verifying
+              // appearance sat 19° from its true patch). The true
+              // center is SURROUNDED by its own cell; a sliver center
+              // is not — probe a 6-point ring at 0.2·pitch and demand
+              // ≥ 5 of 6 points index back to h. The first verifying
+              // appearance is kept as fallback so inversion never gets
+              // stricter than the pre-probe behavior.
+              val eps = BandByRes(res) / 20.0 // 0.2 · cell pitch
+              var inCell = 0
+              var pa = 0
+              while (pa < 6) {
+                val (qLatR, qLngR) =
+                  geoAzDistance(latR, lngR, pa * TwoPi / 6.0, eps)
+                if (latLngToCell(toDegrees(qLatR), toDegrees(qLngR),
+                    res) == h) inCell += 1
+                pa += 1
+              }
+              if (inCell >= 5)
+                return (f, ri, rj, rk, toDegrees(latR), toDegrees(lngR))
+              if (fbFace < 0) {
+                fbFace = f; fbI = ri; fbJ = rj; fbK = rk
+                fbLat = toDegrees(latR); fbLng = toDegrees(lngR)
+              }
+            }
           }
           c += 1
         }
       }
       a += 1
     }
+    if (fbFace >= 0) return (fbFace, fbI, fbJ, fbK, fbLat, fbLng)
     throw new IllegalArgumentException(
       f"invalid or non-invertible H3 index 0x$h%x (base cell $bc)")
   }
@@ -1062,6 +1209,250 @@ object H3 {
   def cellCenterLat(hex: String): Double = cellToLatLng(hex)._1
   def cellCenterLng(hex: String): Double = cellToLatLng(hex)._2
 
+  // ------------------------------------------------------------------
+  // Grid traversal: ring-1 neighbors and k-disks (gridDisk)
+  // ------------------------------------------------------------------
+  /** The 6 lattice neighbors of `h` (5 for a pentagon), sorted —
+    * H3's `gridDisk(h, 1)` ring, derived GEOMETRICALLY rather than via
+    * the C library's neighbor-rotation/overage tables: from the cell's
+    * verified chart ([[resolveChart]]), step one unit digit vector in
+    * chart-local ijk, unproject the stepped LATTICE POINT through the
+    * same chart, and forward-index it. Why the continuation is safe
+    * across face boundaries: the two gnomonic charts agree EXACTLY on
+    * the shared icosahedron edge, so the continued lattice point is
+    * displaced from the true neighbor center only by the chart
+    * mismatch accumulated PAST the edge — bounded well inside the
+    * neighbor's inradius (p/2 for center-to-center pitch p) for a
+    * one-cell step, and zero for same-face steps. The forward index
+    * then snaps to the exact cell, so the output is table-exact, not
+    * approximate; the H3Spec property suite (symmetry, counts,
+    * midpoint-adjacency, pentagon rings, res 0–15 incl. face/vertex
+    * straddles) is the empirical witness. Pentagons: the six sampled
+    * directions land in the 5 existing neighbors (the deleted-axis
+    * direction falls into one of them) — dedupe yields exactly 5. */
+  /** Assemble the canonical cell id owning chart-local lattice
+    * coordinate (i, j, k) at `res` on `face` — PURE INTEGER aperture-7
+    * aggregation through the canonical tables (the geometric half of
+    * [[rawIndexOnFace]] removed). Returns -1 when the res-0
+    * aggregation falls outside the face's 27-slot coverage (caller
+    * tries another appearance). */
+  private def assembleFromChart(face: Int, li: Long, lj: Long, lk: Long,
+      res: Int): Long = {
+    var i = li; var j = lj; var k = lk
+    var m = min(i, min(j, k)); i -= m; j -= m; k -= m
+    var h = (1L << 59) | (res.toLong << 52) | ((1L << 45) - 1)
+    var r = res
+    while (r > 0) {
+      val ci0 = i; val cj0 = j; val ck0 = k
+      val ai = (i - k).toDouble
+      val aj = (j - k).toDouble
+      var ui = 0L; var uj = 0L
+      if ((r & 1) == 1) { // Class III (ccw)
+        ui = floor((3.0 * ai - aj) / 7.0 + 0.5).toLong
+        uj = floor((ai + 2.0 * aj) / 7.0 + 0.5).toLong
+      } else { // Class II (cw)
+        ui = floor((2.0 * ai + aj) / 7.0 + 0.5).toLong
+        uj = floor((3.0 * aj - ai) / 7.0 + 0.5).toLong
+      }
+      var uk = 0L
+      m = min(ui, min(uj, uk)); ui -= m; uj -= m; uk -= m
+      var ci = 0L; var cj = 0L; var ck = 0L
+      if ((r & 1) == 1) { ci = 3 * ui + uj; cj = 3 * uj + uk; ck = ui + 3 * uk }
+      else { ci = 3 * ui + uk; cj = ui + 3 * uj; ck = uj + 3 * uk }
+      m = min(ci, min(cj, ck)); ci -= m; cj -= m; ck -= m
+      var di = ci0 - ci; var dj = cj0 - cj; var dk = ck0 - ck
+      m = min(di, min(dj, dk)); di -= m; dj -= m; dk -= m
+      if (((di | dj | dk) & ~1L) != 0L) return -1L
+      h = setDigit(h, r, (4 * di + 2 * dj + dk).toInt)
+      i = ui; j = uj; k = uk
+      r -= 1
+    }
+    if (i < 0 || i > 2 || j < 0 || j > 2 || k < 0 || k > 2) return -1L
+    val idx = tabIdx(face, i, j, k)
+    val bc = TabBc(idx)
+    if (bc < 0) return -1L
+    val rot = TabRot(idx)
+    if (rot < 0) return -1L
+    finishWith(h, bc, rot, PentCwOffset(bc * 32 + face))
+  }
+
+  /** The integer-verified neighbor pass of [[gridRing1]]: candidates
+    * assembled in lattice space and kept only when the stepped
+    * coordinate's unprojection coincides with the assembled cell's
+    * true center. Complete for all-interior neighborhoods; a face
+    * crossing the derived tables cannot stitch leaves a direction
+    * empty (the symmetry closure in [[gridRing1]] fills it). */
+  private def ringInteger(h: Long): Array[Long] = {
+    val res = getResolution(h)
+    // validates the index (throws on malformed input) and yields the
+    // exact center for the geometric verification below
+    val (fCanon, cI, cJ, cK, hLatD, hLngD) = resolveChart(h)
+    val hLatR = toRadians(hLatD); val hLngR = toRadians(hLngD)
+    val hx = cos(hLatR) * cos(hLngR)
+    val hy = cos(hLatR) * sin(hLngR)
+    val hz = sin(hLatR)
+    val bc = getBaseCell(h)
+    val pent = IsPent(bc)
+    val out = new Array[Long](12)
+    var n = 0
+    def add(c: Long): Unit = if (c >= 0 && c != h) {
+      var seen = false
+      var s = 0
+      while (s < n) { if (out(s) == c) seen = true; s += 1 }
+      if (!seen) { out(n) = c; n += 1 }
+    }
+    @inline def ang(aLatR: Double, aLngR: Double,
+        bLatR: Double, bLngR: Double): Double = {
+      val d = cos(aLatR) * cos(aLngR) * cos(bLatR) * cos(bLngR) +
+        cos(aLatR) * sin(aLngR) * cos(bLatR) * sin(bLngR) +
+        sin(aLatR) * sin(bLatR)
+      acos(max(-1.0, min(1.0, d)))
+    }
+    // For every appearance of the base cell: recover h's chart-local
+    // lattice coordinate (the integer identity assemble-then-descend
+    // sanity-checks the bookkeeping and selects the valid pentagon
+    // leading-K pre-image), assemble the six unit-step coordinates
+    // back to canonical ids through the same tables, then VERIFY each
+    // candidate geometrically: the stepped coordinate's unprojection
+    // must coincide with the assembled cell's true center. The integer
+    // identity alone is vacuous off-face (a digit string descended
+    // through the wrong anchor still round-trips), and a chart
+    // evaluated deep past its face assembles lattice-wrong GHOST ids
+    // whose true centers sit several pitches away - the 0.4-pitch
+    // gate (true neighbors measure 0 on-face and at most ~0.3 pitch
+    // for a one-cell face crossing) separates the two regimes
+    // decisively. The same gate applied to the appearance's own
+    // coordinate of h keeps mis-anchored appearances from stepping at
+    // all.
+    val apps = BcApps(bc)
+    var a = 0
+    while (a < apps.length) {
+      val (f, i0, j0, k0, rot) = apps(a)
+      if (rot >= 0) {
+        val u =
+          if (pent) unrotatePent(h, rot)
+          else {
+            var x = h; var m = 0
+            while (m < rot) { x = rotate60(x, CwDigit); m += 1 }
+            x
+          }
+        var c = 0
+        val nCands = if (pent) 2 else 1
+        while (c < nCands) {
+          var raw = 0L
+          var valid = false
+          if (c == 0) { raw = u; valid = !pent || leadingNonZeroDigit(u) != 1 }
+          else {
+            val t = if (PentCwOffset(bc * 32 + f)) CcwDigit else CwDigit
+            raw = rotate60(u, t)
+            valid = leadingNonZeroDigit(raw) == 1
+          }
+          if (valid) {
+            val (ri, rj, rk) = descendDigits(i0, j0, k0, raw, res)
+            if (assembleFromChart(f, ri, rj, rk, res) == h) {
+              val (ax, ay) = ijkToHex2d(ri, rj, rk)
+              val (aLatR, aLngR) = hex2dToGeo(f, ax, ay, res)
+              val anchorDist = ang(aLatR, aLngR, hLatR, hLngR)
+              var d = 1
+              while (d <= 6) {
+                val nb = assembleFromChart(f,
+                  ri + ((d >> 2) & 1), rj + ((d >> 1) & 1),
+                  rk + (d & 1), res)
+                if (nb >= 0 && nb != h) {
+                  val (sx, sy) = ijkToHex2d(
+                    ri + ((d >> 2) & 1), rj + ((d >> 1) & 1), rk + (d & 1))
+                  val (sLatR, sLngR) = hex2dToGeo(f, sx, sy, res)
+                  val localPitch = ang(sLatR, sLngR, aLatR, aLngR)
+                  if (anchorDist <= 0.25 * localPitch) {
+                    // a deep ghost can even be NON-INVERTIBLE (no
+                    // appearance verifies it) — that too is a reject
+                    try {
+                      val (nLatD, nLngD) = cellToLatLng(nb)
+                      if (ang(sLatR, sLngR, toRadians(nLatD),
+                          toRadians(nLngD)) <= 0.4 * localPitch)
+                        add(nb)
+                    } catch {
+                      case _: IllegalArgumentException => ()
+                    }
+                  }
+                }
+                d += 1
+              }
+            }
+          }
+          c += 1
+        }
+      }
+      a += 1
+    }
+    java.util.Arrays.sort(out, 0, n) // res <= 15 indexes have bit 63 = 0
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  def gridRing1(h: Long): Array[Long] = {
+    val base = ringInteger(h)
+    val expected = if (isPentagon(h)) 5 else 6
+    if (base.length >= expected) return base
+    // Symmetry closure: a face crossing the derived tables cannot
+    // stitch from h's side can still be proven from the OTHER side —
+    // the missing neighbor is adjacent to two already-found ring
+    // members, so it appears in their integer rings, and its own
+    // integer ring containing h is a full verified adjacency witness.
+    var out = base
+    var i = 0
+    while (i < base.length && out.length < expected) {
+      val around = ringInteger(base(i))
+      var j = 0
+      while (j < around.length && out.length < expected) {
+        val cand = around(j)
+        if (cand != h && !out.contains(cand) &&
+            ringInteger(cand).contains(h))
+          out = out :+ cand
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Is `h` itself a pentagon cell (5 neighbors)? Distinct from
+    * [[isPentagonCell]], which is base-cell MEMBERSHIP: a nonzero-digit
+    * cell inside a pentagon base cell is an ordinary hexagon. */
+  def isPentagon(h: Long): Boolean =
+    IsPent(getBaseCell(h)) && leadingNonZeroDigit(h) == 0
+
+  /** All cells within grid distance `k` of `h`, INCLUDING `h` itself
+    * (H3 `gridDisk` semantics), sorted. BFS over [[gridRing1]]: each
+    * step is an exact adjacency, so BFS depth is true grid distance
+    * and the disk is exact near pentagons too (where ring sizes
+    * shrink and the hexagon count formula 1+3k(k+1) over-counts). */
+  def gridDisk(h: Long, k: Int): Array[Long] = {
+    require(k >= 0, s"gridDisk k must be >= 0, got $k")
+    var seen = Set(h)
+    var frontier = List(h)
+    var step = 0
+    while (step < k && frontier.nonEmpty) {
+      var next = List.empty[Long]
+      frontier.foreach { c =>
+        gridRing1(c).foreach { nb =>
+          if (!seen(nb)) { seen += nb; next ::= nb }
+        }
+      }
+      frontier = next
+      step += 1
+    }
+    val arr = seen.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Hex-string forms (the engine's cell columns are canonical
+    * lowercase hex strings). */
+  def gridDiskHex(hex: String, k: Int): Array[String] =
+    gridDisk(java.lang.Long.parseUnsignedLong(hex, 16), k)
+      .map(c => f"$c%x")
+
   /** Derived base-cell orientation table dump, for authoring external
     * oracles: rows (face, i, j, k, baseCell, ccwRot60, isPentagon,
     * cwOffset). Coordinates are normalized res-0 ijk on `face`. */
@@ -1073,4 +1464,7 @@ object H3 {
       val bc = TabBc(idx)
       (f, i, j, k, bc, TabRot(idx), IsPent(bc), PentCwOffset(bc * 32 + f))
     }
+
+
+
 }

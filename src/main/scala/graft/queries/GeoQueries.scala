@@ -96,7 +96,49 @@ object GeoQueries {
           GeoF.h3CenterLng(col("h3_fwd")), 9).as("h3_9"))
       .orderBy("zone_id")
 
+  /** H3 grid traversal (round 11): each zone's res-5 cell and its full
+    * 1-disk ([[GeoF.h3GridDisk]] → explode) — the ring-expansion
+    * primitive of an H3 spatial join, over the same enrichment path the
+    * reference indexes (`enrichment_query.py:10,17` stops at the cell;
+    * the disk is the natural next operator a geo warehouse needs).
+    * No SQL oracle: DuckDB has no H3 traversal and the id set is not
+    * expressible relationally — the driver records the rows-only
+    * check; the algorithmic gate is `H3Spec`'s traversal properties
+    * (no-false-positives, symmetry, disk counts, pentagon rings). */
+  private def h3Ring(s: SparkSession, dir: String): DataFrame =
+    zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 5).as("cell"))
+      .select(col("zone_id"), col("cell"),
+        explode(GeoF.h3GridDisk(col("cell"), 1)).as("ring_cell"))
+      .orderBy("zone_id", "ring_cell")
+
+  /** H3 spatial join: zone pairs whose res-3 cells are identical or
+    * grid-adjacent — explode one side's 1-disk and EQUI-join on the
+    * cell id. This is the 100 TB shape for proximity joins: cost is
+    * collision volume on the cell key (shuffle-hash or broadcast),
+    * never an all-pairs distance cross join; ring radius k trades
+    * reach for candidate volume exactly like the LSH band knobs. */
+  private def h3SpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val cells = zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 3).as("cell"))
+    val probes = cells.select(col("zone_id").as("zone_a"),
+      explode(GeoF.h3GridDisk(col("cell"), 1)).as("cell"))
+    probes
+      .join(cells.select(col("zone_id").as("zone_b"), col("cell")), "cell")
+      .filter(col("zone_a") < col("zone_b"))
+      .select("zone_a", "zone_b").distinct()
+      .orderBy("zone_a", "zone_b")
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "x_h3_ring" -> QueryDef(h3Ring, None),
+    "x_h3_spatial_join" -> QueryDef(h3SpatialJoin, None),
     "f5_wkt_centroid" -> QueryDef(wktCentroid, Some(wktCentroidSql)),
     "f6_hex_index" -> QueryDef(hexIndex, Some(H3OracleSql.f6)),
     "x_h3_roundtrip" -> QueryDef(h3Roundtrip, Some(H3OracleSql.f6))

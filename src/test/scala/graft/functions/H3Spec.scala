@@ -224,8 +224,32 @@ class H3Spec extends AnyFunSuite {
             f"leading K digit at res 9 near pentagon $bc: $h%015x")
         }
       }
-      assert(ring.distinct.size >= 8,
-        s"degenerate ring around pentagon $bc: ${ring.distinct.size} cells")
+      // consensus forward + gridDisk (round 11): d = 0.004° is ~1.8×
+      // the true vertex-compressed pitch (0.00224°), so the sampled
+      // circle lies in RING-2 — every sample must be in the pentagon's
+      // 2-disk and outside its 1-disk (pre-consensus, chart-boundary
+      // slivers fragmented this circle across 8+ cells of mixed rings;
+      // that fragmentation was the disconnected-region defect the
+      // consensus band fixed)
+      val disk1 = H3.gridDisk(h9, 1).toSet
+      val disk2 = H3.gridDisk(h9, 2).toSet
+      val ringSet = ring.distinct.toSet
+      assert(ringSet.size >= 5 && ringSet.subsetOf(disk2 -- disk1),
+        s"1.8-pitch circle around pentagon $bc not clean ring-2: " +
+          ringSet.map(x => f"0x$x%x").mkString(","))
+      // ...and a circle at ~1.1× the vertex pitch resolves to EXACTLY
+      // the 5 lattice neighbors gridRing1 derives — an independent
+      // geometric cross-validation of the traversal
+      val d1 = 0.0025
+      val inner = (0 until 720).map { i =>
+        val az = i * math.Pi / 360
+        val la = lat + d1 * math.cos(az)
+        val lo = lng + d1 * math.sin(az) /
+          math.max(0.2, math.cos(math.toRadians(lat)))
+        H3.latLngToCell(la, lo, 9)
+      }.distinct.toSet
+      assert(inner === H3.gridRing1(h9).toSet,
+        s"1.1-pitch circle around pentagon $bc is not its 5 neighbors")
       // off-center = same base cell, digits not all zero (isPentagonCell
       // is the base-cell-membership predicate here, not digit-zero-ness)
       assert(ring.exists(h => H3.getBaseCell(h) == bc && h != h9),
@@ -326,6 +350,156 @@ class H3Spec extends AnyFunSuite {
       val h = (1L << 59) | (1L << 52) | (4L << 45) | ((1L << 45) - 1)
       val withK = (h & ~(7L << 42)) | (1L << 42) // digit 1 at res 1
       H3.cellToLatLng(withK)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Grid traversal: gridRing1 / gridDisk
+  // ------------------------------------------------------------------
+  /** chord midpoint of two cell centers, as (lat°, lng°) */
+  private def midpoint(a: Long, b: Long): (Double, Double) = {
+    def vec(h: Long): (Double, Double, Double) = {
+      val (laD, loD) = H3.cellToLatLng(h)
+      val la = math.toRadians(laD); val lo = math.toRadians(loD)
+      (math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo),
+        math.sin(la))
+    }
+    val (ax, ay, az) = vec(a); val (bx, by, bz) = vec(b)
+    val (mx, my, mz) = (ax + bx, ay + by, az + bz)
+    val n = math.sqrt(mx * mx + my * my + mz * mz)
+    (math.toDegrees(math.asin(mz / n)), math.toDegrees(math.atan2(my, mx)))
+  }
+
+  test("gridRing1: 6 distinct neighbors, symmetric, midpoint-adjacent " +
+      "(random cells, all res)") {
+    val rnd = new scala.util.Random(20260815L)
+    var gapCount = 0
+    for (_ <- 1 to 150) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = rnd.nextInt(16)
+      val h = H3.latLngToCell(lat, lng, res)
+      val ring = H3.gridRing1(h)
+      val expected = if (H3.isPentagon(h)) 5 else 6
+      // Contract (round 11, PLANS.md): NO FALSE POSITIVES, bounded
+      // completeness. Every returned member is doubly geometrically
+      // verified, so ring size above `expected` or a member failing
+      // the per-member checks is a hard failure. At certain base-cell
+      // boundary zones the derived charts disagree on a region's id
+      // (the same physical cell assembles to different indexes through
+      // the two flanking faces — the stitching gap the next-round
+      // overage-normalization repair targets), which can leave
+      // directions unresolvable: count those (missing members and
+      // one-sided asymmetric pairs) and bound the rate instead of
+      // hiding it.
+      assert(ring.length <= expected,
+        f"ring size ${ring.length} > $expected (false positive!) at " +
+          f"($lat%.5f, $lng%.5f) res $res")
+      gapCount += expected - ring.length
+      assert(ring.distinct.length === ring.length)
+      assert(!ring.contains(h))
+      ring.foreach { c =>
+        assert(H3.getResolution(c) === res)
+        // adjacency symmetry — exercises the cross-face path from BOTH
+        // charts; a one-sided miss is the same stitching gap seen from
+        // the neighbor's side
+        if (!H3.gridRing1(c).contains(h)) gapCount += 1
+        // the chord midpoint of two ADJACENT centers sits on their
+        // shared edge — it must index into one of the two; a distance-2
+        // pair's midpoint would land in the cell between them. Near
+        // icosahedron vertices (res ≤ 1, where every cell flanks one,
+        // and cells inside pentagon base cells at any res) spherical
+        // distortion makes near-equilateral triples where the midpoint
+        // legitimately clips the COMMON NEIGHBOR'S corner — allow
+        // exactly that (mutual triangle), nothing wider.
+        val (mLat, mLng) = midpoint(h, c)
+        val mc = H3.latLngToCell(mLat, mLng, res)
+        // vertex proximity in CELL PITCHES (flank cells live in several
+        // base cells around a vertex, not only the pentagon's own)
+        val pitchRad = 0.3695 / math.pow(math.sqrt(7.0), res)
+        val (hcLat, hcLng) = H3.cellToLatLng(h)
+        val vertexDist = H3.pentagonCenters.map { case (_, pla, plo) =>
+          val d = math.sin(math.toRadians(pla)) *
+            math.sin(math.toRadians(hcLat)) +
+            math.cos(math.toRadians(pla)) * math.cos(math.toRadians(hcLat)) *
+              math.cos(math.toRadians(plo - hcLng))
+          math.acos(math.min(1.0, math.max(-1.0, d)))
+        }.min
+        if (vertexDist > 5 * pitchRad) {
+          assert(mc == h || mc == c,
+            f"midpoint of 0x$h%x and 0x$c%x lands in third cell 0x$mc%x")
+        } else {
+          assert(mc == h || mc == c ||
+            (H3.gridRing1(mc).contains(h) && H3.gridRing1(mc).contains(c)),
+            f"midpoint of 0x$h%x and 0x$c%x lands in non-mutual cell 0x$mc%x")
+        }
+      }
+    }
+    // ~900 directed adjacencies checked; the measured gap incidence is
+    // ~0.3-1.4% of cells (PLANS.md round 11) — bound it at 2%
+    assert(gapCount <= 18, s"stitching-gap incidence $gapCount/900 " +
+      "(> 2%): the base-cell boundary inconsistency has grown")
+  }
+
+  test("gridDisk: hexagon counts 1/7/19/37, monotone, exact near pentagons") {
+    val rnd = new scala.util.Random(977L)
+    var awayFromPent = 0
+    var exact = 0
+    while (awayFromPent < 25) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = 3 + rnd.nextInt(13)
+      val h = H3.latLngToCell(lat, lng, res)
+      val d3 = H3.gridDisk(h, 3)
+      // at res >= 3 a random cell's 3-disk virtually never touches one
+      // of the 12 pentagons; skip the sample if it does
+      if (!d3.exists(H3.isPentagonCell)) {
+        awayFromPent += 1
+        assert(H3.gridDisk(h, 0).toSeq === Seq(h))
+        val d1 = H3.gridDisk(h, 1); val d2 = H3.gridDisk(h, 2)
+        // false positives are a hard failure; the stitching gap
+        // (PLANS.md round 11) can UNDERcount a disk that touches an
+        // affected base-cell boundary — bound the incidence below
+        assert(d1.length <= 7 && d2.length <= 19 && d3.length <= 37)
+        if (d1.length == 7 && d2.length == 19 && d3.length == 37)
+          exact += 1
+        assert(d1.forall(d2.contains) && d2.forall(d3.contains))
+        assert(d1.contains(h))
+      }
+    }
+    assert(exact >= 20, s"only $exact/25 3-disks complete — the " +
+      "stitching-gap incidence has grown beyond the measured band")
+  }
+
+  test("gridDisk at pentagons: 1+5k(k+1)/2 counts (6 / 16 / 31)") {
+    for ((bc, pLat, pLng) <- H3.pentagonCenters; res <- Seq(2, 5, 9)) {
+      val p = H3.latLngToCell(pLat, pLng, res)
+      assert(H3.isPentagonCell(p))
+      assert(H3.gridRing1(p).length === 5, s"pentagon $bc res $res ring")
+      assert(H3.gridDisk(p, 1).length === 6, s"pentagon $bc res $res k=1")
+      assert(H3.gridDisk(p, 2).length === 16, s"pentagon $bc res $res k=2")
+      assert(H3.gridDisk(p, 3).length === 31, s"pentagon $bc res $res k=3")
+      // the 5 neighbors all see the pentagon back, and see each other
+      // in a closed 5-cycle (each neighbor is adjacent to exactly 2 of
+      // its ring siblings)
+      val ring = H3.gridRing1(p)
+      ring.foreach { c =>
+        assert(H3.gridRing1(c).contains(p))
+        assert(ring.count(s => s != c && H3.gridRing1(c).contains(s)) === 2,
+          s"pentagon $bc res $res ring not a 5-cycle at 0x$c%x")
+      }
+    }
+  }
+
+  test("gridRing1 hex-string form round-trips and sorts") {
+    val cell = "8928308280fffff"
+    val disk = H3.gridDiskHex(cell, 1)
+    assert(disk.length === 7 && disk.contains(cell))
+    assert(disk.toSeq === disk.toSeq.sorted)
+    // every emitted id is a valid, invertible cell of the same res
+    disk.foreach { c =>
+      val (la, lo) = H3.cellToLatLng(c)
+      assert(H3.latLngToCellString(la, lo, 9) === c)
     }
   }
 
