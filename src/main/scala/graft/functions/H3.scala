@@ -502,7 +502,18 @@ object H3 {
           // in H3Spec validate every entry end-to-end
           require(resid < 0.45 || abs(resid - TwoPi) < 0.45,
             f"ambiguous grid rotation at $a: $resid%.2e")
-          TabRot(idx) = nRot
+          // NEGATED (round 12): bearings are azimuths (clockwise), the
+          // digit rotation cycle is counter-clockwise — the raw
+          // bearing quantization yields the INVERSE rotation. The
+          // digit-level cross-chart consistency law (for edge isometry
+          // rotation c: rot_F − rot_G ≡ +c (mod 6), proven via the
+          // aperture-7/isometry commutation and verified exhaustively
+          // by probeCoordConsistency) picks the sign: with the raw
+          // nRot every c∈{1,5} edge pair violates it by 2c, with the
+          // negation all pairs satisfy it. c=3 edges (280 of 420 slot
+          // pairs) are sign-blind, which is how the raw sign survived
+          // ten rounds of single-chart tests.
+          TabRot(idx) = (6 - nRot) % 6
         } else {
           // pentagons: the 5 faces fan at 72°, not 60° — resolved by the
           // consistency search below, -1 until then
@@ -848,104 +859,250 @@ object H3 {
   resolvePentagons()
 
   // ------------------------------------------------------------------
+  // Face-neighbor lattice maps — the derived equivalent of H3's
+  // faceNeighbors / _adjustOverage tables (h3lib faceijk.c). For each
+  // face edge, the adjacent face and the EXACT lattice isometry
+  // (60°·c ccw rotation + integer axial translation, per res) that
+  // carries chart-local coordinates past the edge onto the neighbor's
+  // chart. Why an exact integer map exists: the two gnomonic charts
+  // agree exactly ON the shared icosahedron edge, both res-r lattices
+  // restricted to the edge line are the same 1D lattice (they share
+  // the descended vertex/midpoint points and have equal spacing), and
+  // both charts are consistently oriented — so the correspondence that
+  // is the identity on the edge is an orientation-preserving lattice
+  // isometry. Off the edge the two charts' lattice POINTS drift apart
+  // geometrically (quadratic gnomonic mismatch), but the map is used
+  // as a LABEL correspondence: a coordinate assembled past face F's
+  // region is re-anchored to the chart that actually owns that region,
+  // where assembly agrees with the forward definition of identity.
+  // ------------------------------------------------------------------
+  /** Chart-local axial coords of a res-0 lattice point at `res`:
+    * the zero-digit alternating aperture-7 descent of [[descendDigits]]
+    * in axial form (downAp7 at odd steps, downAp7r at even). */
+  private def descend0Axial(a0: Long, b0: Long, res: Int): (Long, Long) = {
+    var a = a0; var b = b0
+    var r = 1
+    while (r <= res) {
+      if ((r & 1) == 1) { val t = 2 * a + b; b = -a + 3 * b; a = t }
+      else { val t = 3 * a - b; b = a + 2 * b; a = t }
+      r += 1
+    }
+    (a, b)
+  }
+
+  /** Res-0 face vertices (pentagon centers) in axial coords: the
+    * normalized ijk (2,0,0), (0,2,0), (0,0,2). Edge e joins vertex e
+    * and vertex (e+1)%3. */
+  private val FaceVertAxial: Array[(Long, Long)] =
+    Array((2L, 0L), (0L, 2L), (-2L, -2L))
+
+  /** Face-region triangle vertices per res (axial, Long) — the face's
+    * own chart covers exactly this triangle; coordinates outside it
+    * belong to a neighboring face's chart. */
+  private val TriW: Array[Array[(Long, Long)]] =
+    Array.tabulate(MaxRes + 1) { r =>
+      FaceVertAxial.map { case (a, b) => descend0Axial(a, b, r) }
+    }
+
+  /** EdgeFace(f)(e): the face adjacent to `f` across edge `e`. */
+  private val EdgeFace = Array.ofDim[Int](20, 3)
+  /** Per (face, edge, res): ccw-60° rotation count and axial
+    * translation of the F→neighbor chart map p_G = R^c(p_F) + T. */
+  private val EdgeRot = Array.ofDim[Int](20, 3, MaxRes + 1)
+  private val EdgeTA = Array.ofDim[Long](20, 3, MaxRes + 1)
+  private val EdgeTB = Array.ofDim[Long](20, 3, MaxRes + 1)
+
+  private def deriveFaceNeighbors(): Unit = {
+    // physical positions of each face's three vertices
+    val pos = Array.ofDim[Double](20, 3, 3)
+    for (f <- 0 until 20; v <- 0 until 3) {
+      val (a, b) = FaceVertAxial(v)
+      val (la, lo) = hex2dToGeoRes0(f, a.toDouble - 0.5 * b, b * Sin60)
+      pos(f)(v)(0) = cos(la) * cos(lo)
+      pos(f)(v)(1) = cos(la) * sin(lo)
+      pos(f)(v)(2) = sin(la)
+    }
+    @inline def same(p: Array[Double], q: Array[Double]): Boolean = {
+      val dx = p(0) - q(0); val dy = p(1) - q(1); val dz = p(2) - q(2)
+      dx * dx + dy * dy + dz * dz < 1e-18
+    }
+    @inline def rotC(a0: Long, b0: Long, c: Int): (Long, Long) = {
+      var a = a0; var b = b0
+      var k = 0
+      while (k < c) { val t = a - b; b = a; a = t; k += 1 } // ccw60 axial
+      (a, b)
+    }
+    for (f <- 0 until 20; e <- 0 until 3) {
+      val pA = pos(f)(e); val pB = pos(f)((e + 1) % 3)
+      val gs = for {
+        g <- 0 until 20 if g != f
+        va <- 0 until 3 if same(pos(g)(va), pA)
+        vb <- 0 until 3 if same(pos(g)(vb), pB)
+      } yield (g, va, vb)
+      require(gs.size == 1, s"face $f edge $e: adjacency not unique: $gs")
+      val (g, va, vb) = gs.head
+      EdgeFace(f)(e) = g
+      for (r <- 0 to MaxRes) {
+        val aF = descend0Axial(FaceVertAxial(e)._1, FaceVertAxial(e)._2, r)
+        val bF = descend0Axial(FaceVertAxial((e + 1) % 3)._1,
+          FaceVertAxial((e + 1) % 3)._2, r)
+        val aG = descend0Axial(FaceVertAxial(va)._1, FaceVertAxial(va)._2, r)
+        val bG = descend0Axial(FaceVertAxial(vb)._1, FaceVertAxial(vb)._2, r)
+        val dF = (bF._1 - aF._1, bF._2 - aF._2)
+        val dG = (bG._1 - aG._1, bG._2 - aG._2)
+        var c = -1
+        for (k <- 0 to 5) {
+          val (ra, rb) = rotC(dF._1, dF._2, k)
+          if (ra == dG._1 && rb == dG._2) {
+            require(c < 0, s"face $f edge $e res $r: rotation ambiguous")
+            c = k
+          }
+        }
+        require(c >= 0, s"face $f edge $e res $r: no 60° rotation maps the edge")
+        val (xa, xb) = rotC(aF._1, aF._2, c)
+        EdgeRot(f)(e)(r) = c
+        EdgeTA(f)(e)(r) = aG._1 - xa
+        EdgeTB(f)(e)(r) = aG._2 - xb
+        // second endpoint must map exactly under the same isometry
+        val (ya, yb) = rotC(bF._1, bF._2, c)
+        require(ya + EdgeTA(f)(e)(r) == bG._1 && yb + EdgeTB(f)(e)(r) == bG._2,
+          s"face $f edge $e res $r: endpoint B does not map")
+      }
+      // geometric cross-check at a few res: the shared-edge midpoint
+      // lattice point must unproject to the SAME physical point through
+      // both charts after mapping (catches orientation/parity errors)
+      for (r <- Seq(0, 1, 2, 5)) {
+        val m0a = (FaceVertAxial(e)._1 + FaceVertAxial((e + 1) % 3)._1) / 2
+        val m0b = (FaceVertAxial(e)._2 + FaceVertAxial((e + 1) % 3)._2) / 2
+        val (mfa, mfb) = descend0Axial(m0a, m0b, r)
+        val (ra, rb) = rotC(mfa, mfb, EdgeRot(f)(e)(r))
+        val ga = ra + EdgeTA(f)(e)(r)
+        val gb = rb + EdgeTB(f)(e)(r)
+        val (laF, loF) = hex2dToGeo(f, mfa.toDouble - 0.5 * mfb,
+          mfb * Sin60, r)
+        val (laG, loG) = hex2dToGeo(g, ga.toDouble - 0.5 * gb,
+          gb * Sin60, r)
+        val d = cos(laF) * cos(loF) * cos(laG) * cos(loG) +
+          cos(laF) * sin(loF) * cos(laG) * sin(loG) + sin(laF) * sin(laG)
+        // tolerance: the published face constants carry ~1e-9 residual
+        // (deriveTables' own clustering band), which the two gnomonic
+        // round trips amplify to ~1e-8; 1e-7 rad is still orders below
+        // the finest pitch checked here (res 5 ≈ 2e-3 rad)
+        require(acos(max(-1.0, min(1.0, d))) < 1e-7,
+          s"face $f edge $e res $r: mapped edge midpoint diverges")
+      }
+    }
+  }
+
+  deriveFaceNeighbors()
+
+  /** Translate a chart-local res-`res` axial coordinate lying outside
+    * `face`'s triangular region onto the chart that owns it (H3's
+    * `_adjustOverage`, derived). Crosses the most-violated edge first
+    * and iterates (corner zones cross two edges); coordinates already
+    * in-region (boundary inclusive) are returned unchanged. Packed
+    * return (face << 50 | (a+2^24) << 25 | (b+2^24)) keeps the hot
+    * traversal loop allocation-free; res ≤ 15 coords fit 30 bits. */
+  private def overageNormalize(face0: Int, a0: Long, b0: Long,
+      res: Int): Long = {
+    var f = face0; var a = a0; var b = b0
+    val w = TriW(res)
+    var hop = 0
+    var moved = true
+    while (hop < 4 && moved) {
+      moved = false
+      var worst = -1; var worstMag = 0L
+      var i = 0
+      while (i < 3) {
+        val wi = w(i); val wj = w((i + 1) % 3)
+        val ea = wj._1 - wi._1; val eb = wj._2 - wi._2
+        val cross = ea * (b - wi._2) - (a - wi._1) * eb
+        val crossO = ea * (0L - wi._2) - (0L - wi._1) * eb
+        // outside edge i iff cross is strictly on the opposite side of
+        // the origin's sign; |cross| ∝ distance (equal-length edges)
+        val viol = if (crossO > 0) -cross else cross
+        if (viol > 0 && viol > worstMag) { worstMag = viol; worst = i }
+        i += 1
+      }
+      if (worst >= 0) {
+        val c = EdgeRot(f)(worst)(res)
+        var xa = a; var xb = b
+        var k = 0
+        while (k < c) { val t = xa - xb; xb = xa; xa = t; k += 1 }
+        a = xa + EdgeTA(f)(worst)(res)
+        b = xb + EdgeTB(f)(worst)(res)
+        f = EdgeFace(f)(worst)
+        moved = true
+      }
+      hop += 1
+    }
+    (f.toLong << 50) | ((a + 16777216L) << 25) | (b + 16777216L)
+  }
+
+  // ------------------------------------------------------------------
   // Public API
   // ------------------------------------------------------------------
-  /** Consensus band half-width per res, radians: a few cell pitches.
-    * Near a face boundary the charts' aperture-7 lattice continuations
-    * disagree — they agree exactly ON the boundary and drift
-    * quadratically past it — so the argmax chart alone can assign a
-    * boundary sliver to a cell whose own chart disagrees, making that
-    * cell's forward region DISCONNECTED (caught by the gridRing1
-    * midpoint property, round 11). The band is where the trial is
-    * even possible; 4 face-center pitches is conservative (gnomonic
-    * compression shrinks true pitch toward edges). */
+  /** Cell pitch scale per res, radians (≈4 face-center pitches) —
+    * retained for the inverse's surrounded-center probe radius. */
   private val BandByRes: Array[Double] =
     Array.tabulate(MaxRes + 1)(r => 4.0 * atan(Res0UGnomonic) /
       math.pow(Sqrt7, r))
 
-  /** (lat°, lng°, res) → H3 index (64-bit). Interior points (the
-    * overwhelming mass at fine res) index through the nearest face's
-    * chart exactly as before; points within [[BandByRes]] of a face
-    * boundary are indexed through EVERY co-near chart and the
-    * candidate whose own lattice center is nearest the point wins —
-    * chart-symmetric, so the assignment is connected and two sides of
-    * a boundary can never disagree about a cell they both see. */
+  /** (lat°, lng°, res) → H3 index (64-bit) — the h3lib `_geoToH3`
+    * shape, made purely lattice-combinatorial (round 12): project
+    * through the NEAREST face's gnomonic chart, round to the res-N
+    * lattice, and assemble the index in the chart that OWNS the
+    * rounded coordinate. Rounding can land up to half a pitch outside
+    * the nearest face's triangular region (the boundary sliver); such
+    * coordinates are first carried across the shared edge by the
+    * derived face-neighbor isometry ([[overageNormalize]]) — where
+    * the two charts' lattices have drifted apart by far less than
+    * half a pitch, so the label transfer is exact. Identity is then
+    * combinatorial: a cell's region is exactly the set of points
+    * whose rounding normalizes to its coordinate in its owning chart,
+    * so regions are connected, flanking charts cannot disagree about
+    * a cell, and ghost ids (digit strings assembled through a chart
+    * evaluated deep past its own face — the round-11 consensus
+    * scheme's residual failure mode at coarse res, where it
+    * fragmented regions and emitted non-invertible ids) cannot be
+    * produced at all. Also strictly faster: one chart projection per
+    * point instead of up to 20 consensus trials near boundaries. */
+  /** Gnomonic projection + exact 4-corner lattice rounding through
+    * `face`'s chart (the geometric half of rawIndexOnFace); result
+    * packed as [[hex2dToAxialPacked]]. */
+  @inline private def projectRound(latR: Double, lngR: Double, res: Int,
+      face: Int): Long = {
+    val cosLat = cos(latR)
+    val dot = max(-1.0, min(1.0,
+      cosLat * cos(lngR) * FaceX(face) +
+        cosLat * sin(lngR) * FaceY(face) + sin(latR) * FaceZ(face)))
+    val rAng = acos(dot)
+    var x = 0.0; var y = 0.0
+    if (rAng >= 1e-15) {
+      val az = geoAzimuth(FaceLat(face), FaceLng(face), latR, lngR)
+      var theta = posAngle(FaceAz0(face) - posAngle(az))
+      if ((res & 1) == 1) theta = posAngle(theta - Ap7Rot) // Class III
+      var rr = tan(rAng) / Res0UGnomonic
+      var n = 0
+      while (n < res) { rr *= Sqrt7; n += 1 }
+      x = rr * cos(theta); y = rr * sin(theta)
+    }
+    hex2dToAxialPacked(x, y)
+  }
+
   def latLngToCell(latDeg: Double, lngDeg: Double, res: Int): Long = {
     require(res >= 0 && res <= MaxRes, s"resolution $res out of [0,15]")
     val latR = toRadians(latDeg); val lngR = toRadians(lngDeg)
-    val px = cos(latR) * cos(lngR)
-    val py = cos(latR) * sin(lngR)
-    val pz = sin(latR)
-    var bestF = 0; var bestDot = -2.0; var secondDot = -2.0
-    var f = 0
-    while (f < 20) {
-      val d = px * FaceX(f) + py * FaceY(f) + pz * FaceZ(f)
-      if (d > bestDot) { secondDot = bestDot; bestDot = d; bestF = f }
-      else if (d > secondDot) { secondDot = d }
-      f += 1
-    }
-    val o = rawOutTL.get()
-    val band = BandByRes(res)
-    val thetaBest = acos(max(-1.0, min(1.0, bestDot)))
-    val inBand =
-      acos(max(-1.0, min(1.0, secondDot))) - thetaBest <= band
-    if (!inBand) {
-      rawIndexOnFace(latR, lngR, res, bestF, o)
-      finishRaw(o)
-    } else {
-      // consensus: trial each co-near chart, score by the angular
-      // distance from the point to the candidate's OWN lattice center
-      var kFace = -1; var kI = 0L; var kJ = 0L; var kK = 0L
-      var kH = 0L; var kDist = Double.MaxValue
-      var kLatR = 0.0; var kLngR = 0.0
-      f = 0
-      while (f < 20) {
-        val d = px * FaceX(f) + py * FaceY(f) + pz * FaceZ(f)
-        if (acos(max(-1.0, min(1.0, d))) - thetaBest <= band) {
-          try {
-            rawIndexOnFace(latR, lngR, res, f, o)
-            if (TabBc(tabIdx(o.face, o.i, o.j, o.k)) >= 0) {
-              val (cx, cy) = ijkToHex2d(o.li, o.lj, o.lk)
-              val (cLatR, cLngR) = hex2dToGeo(f, cx, cy, res)
-              val qd = px * cos(cLatR) * cos(cLngR) +
-                py * cos(cLatR) * sin(cLngR) + pz * sin(cLatR)
-              val dist = acos(max(-1.0, min(1.0, qd)))
-              if (dist < kDist) {
-                kDist = dist
-                kFace = o.face; kI = o.i; kJ = o.j; kK = o.k; kH = o.h
-                kLatR = cLatR; kLngR = cLngR
-              }
-            }
-          } catch {
-            // charts far enough in the band can land res-0 coords
-            // outside their 27-slot table — not a candidate there
-            case _: IllegalArgumentException => ()
-            case _: IllegalStateException => ()
-          }
-        }
-        f += 1
-      }
-      require(kFace >= 0, s"no chart resolved ($latDeg, $lngDeg) res $res")
-      // canonicalize: the winning trial's POSITION is right, but a
-      // chart evaluated deep past its own face can assemble a GHOST id
-      // for that position (lattice-mismatched digits/base cell).
-      // Re-index the winner's own lattice center through the chart
-      // co-nearest to THAT center — there the overage is at most half
-      // a pitch, where the init-time straddle consistency guarantees a
-      // chart-independent id. Fall back to the trial id if the
-      // center's chart cannot map the coords (never observed; belt).
-      try {
-        rawIndexOnFace(kLatR, kLngR, res, nearestFace(kLatR, kLngR), o)
-        finishRaw(o)
-      } catch {
-        case _: IllegalArgumentException =>
-          o.face = kFace; o.i = kI; o.j = kJ; o.k = kK; o.h = kH
-          finishRaw(o)
-        case _: IllegalStateException =>
-          o.face = kFace; o.i = kI; o.j = kJ; o.k = kK; o.h = kH
-          finishRaw(o)
-      }
-    }
+    val face = nearestFace(latR, lngR)
+    val packed = projectRound(latR, lngR, res, face)
+    val a = (packed >>> 32) - 1073741824L
+    val b = (packed & 0xFFFFFFFFL) - 1073741824L
+    val pk = overageNormalize(face, a, b, res)
+    val h = assembleFromChart((pk >>> 50).toInt,
+      ((pk >> 25) & 0x1FFFFFFL) - 16777216L,
+      (pk & 0x1FFFFFFL) - 16777216L, 0L, res)
+    require(h >= 0, s"unresolvable coordinate ($latDeg, $lngDeg) res $res")
+    h
   }
 
   @inline private def finishRaw(o: RawOut): Long = {
@@ -1062,41 +1219,34 @@ object H3 {
     * but any geo pipeline needs to materialize cell geometry
     * (cell→point joins, centroid exports, reverse geocoding).
     *
-    * Method: for each appearance (face chart) of the cell's base cell,
-    * exactly invert the forward finishing — un-rotate the canonical
-    * digits (pentagons via the rotation-orbit inverse and the two
-    * validity-gated leading-K escape pre-images), descend the chart's
-    * res-0 ijk through the raw digits, unproject through that chart —
-    * then VERIFY the candidate two ways: the full forward index of the
-    * unprojected point must return `h` bit-for-bit, AND the chart used
-    * must be CO-NEAREST at that point (face dot-product within 1e-12
-    * of the argmax). The pair is what makes cross-face overage safe
-    * without neighbor-orientation tables: a res-N cell of a base cell
-    * can lie physically outside its home chart's face region (the
-    * overage case — unprojecting through a chart that is wrong THERE
-    * lands a gnomonic-distortion displacement off the true center),
-    * and such candidates fail the co-nearest test decisively, while
-    * inside the 1e-12 tie band the charts' distortion mismatch is
-    * itself ~0, so an accepted candidate is the exact lattice-point
-    * unprojection — not merely some point that happens to round-trip.
-    * The tolerance is not an approximation knob: cells genuinely
-    * straddle face boundaries (every pentagon center is a 5-face
-    * vertex; pentagon children and res-0 edge cells sit exactly ON
-    * icosahedron edges), so the argmax face at the exact center is an
-    * FP coin-flip between legitimately equivalent charts — the
-    * tolerance admits exactly those. Throws on malformed
-    * input (bad mode/base-cell/digit fields, pentagon deleted-axis
-    * subsequences): such indexes have no appearance that verifies. */
+    * Method (round 12, fully combinatorial — the exact inverse of the
+    * overage-normalized forward): for each appearance (face chart) of
+    * the cell's base cell, exactly invert the forward finishing —
+    * un-rotate the canonical digits (pentagons via the rotation-orbit
+    * inverse and the two validity-gated leading-K escape pre-images),
+    * descend the chart's res-0 ijk through the raw digits — then
+    * OVERAGE-NORMALIZE the descended coordinate onto the chart that
+    * owns it ([[overageNormalize]]; a res-N descendant can lie
+    * physically outside its home chart's face region) and accept the
+    * candidate iff re-assembling the normalized coordinate in its
+    * owning chart yields `h` bit-for-bit. That acceptance is exact —
+    * no geometric tolerance: assembly is injective per chart, so the
+    * normalized coordinate IS the cell's canonical coordinate, and
+    * the returned center is its unprojection through the owning
+    * chart, which the forward maps back to `h` by construction.
+    * Throws on malformed input (bad mode/base-cell/digit fields,
+    * pentagon deleted-axis subsequences): such indexes have no
+    * appearance that verifies. */
   def cellToLatLng(h: Long): (Double, Double) = {
     val (_, _, _, _, latD, lngD) = resolveChart(h)
     (latD, lngD)
   }
 
-  /** The verified chart behind [[cellToLatLng]], exposed for the grid
+  /** The canonical chart behind [[cellToLatLng]], exposed for the grid
     * traversal: (face, i, j, k, lat°, lng°) where (face, ijk) is the
-    * chart-local res-N lattice coordinate that passed BOTH the
-    * forward-re-index and co-nearest-face checks, and (lat°, lng°) its
-    * exact unprojected center. */
+    * OVERAGE-NORMALIZED chart-local res-N lattice coordinate (in-region
+    * on `face`, re-assembling to `h`), and (lat°, lng°) its exact
+    * unprojected center. */
   private def resolveChart(h: Long): (Int, Long, Long, Long, Double, Double) = {
     val res = getResolution(h)
     val bc = getBaseCell(h)
@@ -1113,10 +1263,6 @@ object H3 {
     }
     val pent = IsPent(bc)
     val apps = BcApps(bc)
-    // fallback slot: first appearance that verifies but fails the
-    // surrounded-center probe (see below)
-    var fbFace = -1; var fbI = 0L; var fbJ = 0L; var fbK = 0L
-    var fbLat = 0.0; var fbLng = 0.0
     var a = 0
     while (a < apps.length) {
       val (f, i0, j0, k0, rot) = apps(a)
@@ -1145,48 +1291,20 @@ object H3 {
           }
           if (valid) {
             val (ri, rj, rk) = descendDigits(i0, j0, k0, raw, res)
-            val (x, y) = ijkToHex2d(ri, rj, rk)
-            val (latR, lngR) = hex2dToGeo(f, x, y, res)
-            val px = cos(latR) * cos(lngR)
-            val py = cos(latR) * sin(lngR)
-            val pz = sin(latR)
-            var maxDot = -2.0
-            var ff = 0
-            while (ff < 20) {
-              val d = px * FaceX(ff) + py * FaceY(ff) + pz * FaceZ(ff)
-              if (d > maxDot) maxDot = d
-              ff += 1
-            }
-            val fDot = px * FaceX(f) + py * FaceY(f) + pz * FaceZ(f)
-            if (fDot >= maxDot - 1e-12 &&
-                latLngToCell(toDegrees(latR), toDegrees(lngR), res) == h) {
-              // Patch disambiguation (round 11): a base-cell-level
-              // rounding mismatch between charts can give a cell a
-              // second, DISCONNECTED forward sliver one res-0 pitch
-              // away, and a wrong appearance can verify against that
-              // sliver (observed: a res-4 cell whose first verifying
-              // appearance sat 19° from its true patch). The true
-              // center is SURROUNDED by its own cell; a sliver center
-              // is not — probe a 6-point ring at 0.2·pitch and demand
-              // ≥ 5 of 6 points index back to h. The first verifying
-              // appearance is kept as fallback so inversion never gets
-              // stricter than the pre-probe behavior.
-              val eps = BandByRes(res) / 20.0 // 0.2 · cell pitch
-              var inCell = 0
-              var pa = 0
-              while (pa < 6) {
-                val (qLatR, qLngR) =
-                  geoAzDistance(latR, lngR, pa * TwoPi / 6.0, eps)
-                if (latLngToCell(toDegrees(qLatR), toDegrees(qLngR),
-                    res) == h) inCell += 1
-                pa += 1
-              }
-              if (inCell >= 5)
-                return (f, ri, rj, rk, toDegrees(latR), toDegrees(lngR))
-              if (fbFace < 0) {
-                fbFace = f; fbI = ri; fbJ = rj; fbK = rk
-                fbLat = toDegrees(latR); fbLng = toDegrees(lngR)
-              }
+            // carry the descended coordinate onto its owning chart and
+            // accept iff it re-assembles to h — combinatorially exact
+            // (assembly is injective per chart), replacing the round-11
+            // co-nearest/surrounded-probe heuristics
+            val pk = overageNormalize(f, ri - rk, rj - rk, res)
+            val nf = (pk >>> 50).toInt
+            val na = ((pk >> 25) & 0x1FFFFFFL) - 16777216L
+            val nb = (pk & 0x1FFFFFFL) - 16777216L
+            if (assembleFromChart(nf, na, nb, 0L, res) == h) {
+              val (latR, lngR) = hex2dToGeo(nf,
+                na.toDouble - 0.5 * nb, nb * Sin60, res)
+              val m = min(na, min(nb, 0L))
+              return (nf, na - m, nb - m, -m,
+                toDegrees(latR), toDegrees(lngR))
             }
           }
           c += 1
@@ -1194,7 +1312,6 @@ object H3 {
       }
       a += 1
     }
-    if (fbFace >= 0) return (fbFace, fbI, fbJ, fbK, fbLat, fbLng)
     throw new IllegalArgumentException(
       f"invalid or non-invertible H3 index 0x$h%x (base cell $bc)")
   }
@@ -1212,24 +1329,16 @@ object H3 {
   // ------------------------------------------------------------------
   // Grid traversal: ring-1 neighbors and k-disks (gridDisk)
   // ------------------------------------------------------------------
-  /** The 6 lattice neighbors of `h` (5 for a pentagon), sorted —
-    * H3's `gridDisk(h, 1)` ring, derived GEOMETRICALLY rather than via
-    * the C library's neighbor-rotation/overage tables: from the cell's
-    * verified chart ([[resolveChart]]), step one unit digit vector in
-    * chart-local ijk, unproject the stepped LATTICE POINT through the
-    * same chart, and forward-index it. Why the continuation is safe
-    * across face boundaries: the two gnomonic charts agree EXACTLY on
-    * the shared icosahedron edge, so the continued lattice point is
-    * displaced from the true neighbor center only by the chart
-    * mismatch accumulated PAST the edge — bounded well inside the
-    * neighbor's inradius (p/2 for center-to-center pitch p) for a
-    * one-cell step, and zero for same-face steps. The forward index
-    * then snaps to the exact cell, so the output is table-exact, not
-    * approximate; the H3Spec property suite (symmetry, counts,
-    * midpoint-adjacency, pentagon rings, res 0–15 incl. face/vertex
-    * straddles) is the empirical witness. Pentagons: the six sampled
-    * directions land in the 5 existing neighbors (the deleted-axis
-    * direction falls into one of them) — dedupe yields exactly 5. */
+  /** Grid traversal internals. Since round 12 the primary path is
+    * [[ringCanonical]] — pure integer stepping in the owning chart
+    * with overage normalization across the derived face-neighbor
+    * isometries, exact by the spec-pinned cross-chart consistency law
+    * (`countHexIsoMismatches == 0`). The geometric multi-appearance
+    * path below ([[ringInteger]] + the symmetry closure in
+    * [[gridRing1]]) is retained as the fallback for the cases the
+    * canonical path declines: pentagon cells (whose 5-sector digit
+    * quotient the hexagonal isometry does not cover) and any anchor
+    * that fails its canonical re-assembly check. */
   /** Assemble the canonical cell id owning chart-local lattice
     * coordinate (i, j, k) at `res` on `face` — PURE INTEGER aperture-7
     * aggregation through the canonical tables (the geometric half of
@@ -1355,25 +1464,49 @@ object H3 {
               val anchorDist = ang(aLatR, aLngR, hLatR, hLngR)
               var d = 1
               while (d <= 6) {
-                val nb = assembleFromChart(f,
-                  ri + ((d >> 2) & 1), rj + ((d >> 1) & 1),
-                  rk + (d & 1), res)
-                if (nb >= 0 && nb != h) {
-                  val (sx, sy) = ijkToHex2d(
-                    ri + ((d >> 2) & 1), rj + ((d >> 1) & 1), rk + (d & 1))
-                  val (sLatR, sLngR) = hex2dToGeo(f, sx, sy, res)
-                  val localPitch = ang(sLatR, sLngR, aLatR, aLngR)
-                  if (anchorDist <= 0.25 * localPitch) {
-                    // a deep ghost can even be NON-INVERTIBLE (no
-                    // appearance verifies it) — that too is a reject
-                    try {
-                      val (nLatD, nLngD) = cellToLatLng(nb)
-                      if (ang(sLatR, sLngR, toRadians(nLatD),
-                          toRadians(nLngD)) <= 0.4 * localPitch)
-                        add(nb)
-                    } catch {
-                      case _: IllegalArgumentException => ()
+                val si = ri + ((d >> 2) & 1)
+                val sj = rj + ((d >> 1) & 1)
+                val sk = rk + (d & 1)
+                val (sx, sy) = ijkToHex2d(si, sj, sk)
+                val (sLatR, sLngR) = hex2dToGeo(f, sx, sy, res)
+                val localPitch = ang(sLatR, sLngR, aLatR, aLngR)
+                if (anchorDist <= 0.25 * localPitch) {
+                  // geometric acceptance gate shared by both routes,
+                  // against the INDEPENDENT reference (the stepped
+                  // coordinate's unprojection through h's own verified
+                  // chart — accurate to the one-cell chart drift,
+                  // ≤ ~0.3 pitch): a candidate's true center must
+                  // coincide with it (ghosts measure several pitches
+                  // off); a deep ghost can even be NON-INVERTIBLE —
+                  // that too is a reject. The overage candidate is NOT
+                  // checked against its own chart's unprojection: that
+                  // would be circular (any assembled id trivially sits
+                  // at its own coordinate's unprojection).
+                  @inline def verifyAdd(nb: Long): Unit =
+                    if (nb >= 0 && nb != h) {
+                      try {
+                        val (nLatD, nLngD) = cellToLatLng(nb)
+                        if (ang(sLatR, sLngR, toRadians(nLatD),
+                            toRadians(nLngD)) <= 0.4 * localPitch)
+                          add(nb)
+                      } catch {
+                        case _: IllegalArgumentException => ()
+                      }
                     }
+                  verifyAdd(assembleFromChart(f, si, sj, sk, res))
+                  // overage route (round 12): when the stepped
+                  // coordinate leaves this face's region, re-anchor it
+                  // through the derived face-neighbor isometry and
+                  // assemble in the chart that OWNS the region — the
+                  // chart whose assembly matches the forward identity
+                  // there. Closes the contested-zone directions the
+                  // home-chart continuation assembles as ghosts.
+                  val pk = overageNormalize(f, si - sk, sj - sk, res)
+                  val nf = (pk >>> 50).toInt
+                  if (nf != f) {
+                    val na = ((pk >> 25) & 0x1FFFFFFL) - 16777216L
+                    val nbAx = (pk & 0x1FFFFFFL) - 16777216L
+                    verifyAdd(assembleFromChart(nf, na, nbAx, 0L, res))
                   }
                 }
                 d += 1
@@ -1389,9 +1522,52 @@ object H3 {
     java.util.Arrays.copyOf(out, n)
   }
 
+  /** Canonical integer ring (round 12): anchor `h` at its
+    * overage-normalized coordinate in its OWNING chart, take the six
+    * unit lattice steps, normalize each stepped coordinate across the
+    * face-neighbor isometries, and assemble it in ITS owning chart.
+    * With forward identity defined the same way ([[latLngToCell]]),
+    * each step is exact adjacency by construction — no geometric
+    * tolerance anywhere. Returns null when the canonical anchor does
+    * not re-assemble to `h` (caller falls back to the geometric
+    * multi-appearance path); a pentagon's six steps must dedupe to
+    * its five true neighbors or the caller likewise falls back. */
+  private def ringCanonical(h: Long): Array[Long] = {
+    val res = getResolution(h)
+    val (f, ci, cj, ck, _, _) = resolveChart(h) // validates h; throws on bad input
+    val pk0 = overageNormalize(f, ci - ck, cj - ck, res)
+    val f0 = (pk0 >>> 50).toInt
+    val a0 = ((pk0 >> 25) & 0x1FFFFFFL) - 16777216L
+    val b0 = (pk0 & 0x1FFFFFFL) - 16777216L
+    if (assembleFromChart(f0, a0, b0, 0L, res) != h) return null
+    val out = new Array[Long](6)
+    var n = 0
+    var d = 1
+    while (d <= 6) {
+      // unit digit d in axial form: (di - dk, dj - dk)
+      val sa = a0 + ((d >> 2) & 1) - (d & 1)
+      val sb = b0 + ((d >> 1) & 1) - (d & 1)
+      val pk = overageNormalize(f0, sa, sb, res)
+      val c = assembleFromChart((pk >>> 50).toInt,
+        ((pk >> 25) & 0x1FFFFFFL) - 16777216L,
+        (pk & 0x1FFFFFFL) - 16777216L, 0L, res)
+      if (c >= 0 && c != h) {
+        var seen = false
+        var s = 0
+        while (s < n) { if (out(s) == c) seen = true; s += 1 }
+        if (!seen) { out(n) = c; n += 1 }
+      }
+      d += 1
+    }
+    java.util.Arrays.sort(out, 0, n)
+    java.util.Arrays.copyOf(out, n)
+  }
+
   def gridRing1(h: Long): Array[Long] = {
-    val base = ringInteger(h)
     val expected = if (isPentagon(h)) 5 else 6
+    val fast = ringCanonical(h)
+    if (fast != null && fast.length == expected) return fast
+    val base = ringInteger(h)
     if (base.length >= expected) return base
     // Symmetry closure: a face crossing the derived tables cannot
     // stitch from h's side can still be proven from the OTHER side —
@@ -1452,6 +1628,194 @@ object H3 {
   def gridDiskHex(hex: String, k: Int): Array[String] =
     gridDisk(java.lang.Long.parseUnsignedLong(hex, 16), k)
       .map(c => f"$c%x")
+
+  /** Off-edge isometry probe for [[graft.functions.H3IsoDbg]]: sample
+    * points just INSIDE the neighbor face across edge `e` of face `f`,
+    * compare the neighbor chart's direct lattice rounding with the
+    * isometry image of the home chart's rounding. Returns
+    * (neighborFace, (samples, mismatches, first few axial offsets)). */
+  private[functions] def probeEdgeIso(f: Int, e: Int,
+      res: Int): (Int, (Int, Int, List[(Long, Long)])) = {
+    val g = EdgeFace(f)(e)
+    val (a1, b1) = FaceVertAxial(e)
+    val (a2, b2) = FaceVertAxial((e + 1) % 3)
+    val (vla1, vlo1) = hex2dToGeoRes0(f, a1.toDouble - 0.5 * b1, b1 * Sin60)
+    val (vla2, vlo2) = hex2dToGeoRes0(f, a2.toDouble - 0.5 * b2, b2 * Sin60)
+    val v1 = Array(cos(vla1) * cos(vlo1), cos(vla1) * sin(vlo1), sin(vla1))
+    val v2 = Array(cos(vla2) * cos(vlo2), cos(vla2) * sin(vlo2), sin(vla2))
+    val gC = Array(FaceX(g), FaceY(g), FaceZ(g))
+    val pitch = atan(Res0UGnomonic) / math.pow(Sqrt7, res)
+    var total = 0
+    var mis = 0
+    var offs = List.empty[(Long, Long)]
+    for (tI <- 1 to 19; dI <- 1 to 3) {
+      val t = tI / 20.0
+      // point on the edge chord, pushed toward G's center by dI·0.4
+      // pitch, renormalized to the sphere
+      val push = dI * 0.4 * pitch
+      val ex = v1(0) * (1 - t) + v2(0) * t
+      val ey = v1(1) * (1 - t) + v2(1) * t
+      val ez = v1(2) * (1 - t) + v2(2) * t
+      val en = sqrt(ex * ex + ey * ey + ez * ez)
+      var px = ex / en; var py = ey / en; var pz = ez / en
+      // tangential direction toward G's center
+      val dotG = px * gC(0) + py * gC(1) + pz * gC(2)
+      var tx = gC(0) - dotG * px; var ty = gC(1) - dotG * py
+      var tz = gC(2) - dotG * pz
+      val tn = sqrt(tx * tx + ty * ty + tz * tz)
+      tx /= tn; ty /= tn; tz /= tn
+      px += tx * push; py += ty * push; pz += tz * push
+      val pn = sqrt(px * px + py * py + pz * pz)
+      px /= pn; py /= pn; pz /= pn
+      val latR = asin(max(-1.0, min(1.0, pz)))
+      val lngR = atan2(py, px)
+      // direct: neighbor-chart rounding
+      val pg = projectRound(latR, lngR, res, g)
+      val ga = (pg >>> 32) - 1073741824L
+      val gb = (pg & 0xFFFFFFFFL) - 1073741824L
+      // home-chart rounding + isometry
+      val pf = projectRound(latR, lngR, res, f)
+      val fa = (pf >>> 32) - 1073741824L
+      val fb = (pf & 0xFFFFFFFFL) - 1073741824L
+      val c = EdgeRot(f)(e)(res)
+      var xa = fa; var xb = fb
+      var k = 0
+      while (k < c) { val tt = xa - xb; xb = xa; xa = tt; k += 1 }
+      xa += EdgeTA(f)(e)(res)
+      xb += EdgeTB(f)(e)(res)
+      total += 1
+      if (xa != ga || xb != gb) {
+        mis += 1
+        if (offs.size < 5) offs ::= ((xa - ga, xb - gb))
+      }
+    }
+    (g, (total, mis, offs))
+  }
+
+  /** Count of HEXAGON cross-chart assembly disagreements at `res` —
+    * the spec-pinned round-12 consistency invariant (must be 0; see
+    * `H3Spec`). Pentagon-base-cell ids are excluded: their digit
+    * strings live in the 5-sector quotient where the plain hexagonal
+    * isometry does not apply across the deleted axis. */
+  private[functions] def countHexIsoMismatches(res: Int): Int = {
+    var mis = 0
+    val lim = TriW(res).map(w => max(abs(w._1), abs(w._2))).max + 4
+    for (f <- 0 until 20; e <- 0 until 3) {
+      val g = EdgeFace(f)(e)
+      val c = EdgeRot(f)(e)(res)
+      var a = -lim
+      while (a <= lim) {
+        var b = -lim
+        while (b <= lim) {
+          val hF = assembleFromChart(f, a, b, 0L, res)
+          if (hF >= 0 && !IsPent(getBaseCell(hF))) {
+            var xa = a; var xb = b
+            var n = 0
+            while (n < c) { val t = xa - xb; xb = xa; xa = t; n += 1 }
+            xa += EdgeTA(f)(e)(res)
+            xb += EdgeTB(f)(e)(res)
+            val hG = assembleFromChart(g, xa, xb, 0L, res)
+            if (hG >= 0 && !IsPent(getBaseCell(hG)) && hF != hG) mis += 1
+          }
+          b += 1
+        }
+        a += 1
+      }
+    }
+    mis
+  }
+
+  /** Coordinate-level label-consistency probe: for every edge and a
+    * dense coordinate patch, compare assembleF(X) with
+    * assembleG(iso_r(X)) wherever both are defined. */
+  private[functions] def probeCoordConsistency(res: Int): Unit = {
+    var both = 0
+    var mis = 0
+    val ex = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lim = TriW(res).map(w => max(abs(w._1), abs(w._2))).max + 4
+    for (f <- 0 until 20; e <- 0 until 3) {
+      val g = EdgeFace(f)(e)
+      val c = EdgeRot(f)(e)(res)
+      var a = -lim
+      while (a <= lim) {
+        var b = -lim
+        while (b <= lim) {
+          val hF = assembleFromChart(f, a, b, 0L, res)
+          if (hF >= 0) {
+            var xa = a; var xb = b
+            var n = 0
+            while (n < c) { val t = xa - xb; xb = xa; xa = t; n += 1 }
+            xa += EdgeTA(f)(e)(res)
+            xb += EdgeTB(f)(e)(res)
+            val hG = assembleFromChart(g, xa, xb, 0L, res)
+            if (hG >= 0) {
+              both += 1
+              if (hF != hG) {
+                mis += 1
+                if (!IsPent(getBaseCell(hF)) && !IsPent(getBaseCell(hG)))
+                  ex += f"HEX MISMATCH f=$f e=$e g=$g X=($a,$b) " +
+                    f"iso=($xa,$xb) hF=0x$hF%x hG=0x$hG%x"
+                else if (ex.size < 4)
+                  ex += f"(pent) f=$f e=$e X=($a,$b) hF=0x$hF%x hG=0x$hG%x"
+              }
+            }
+          }
+          b += 1
+        }
+        a += 1
+      }
+    }
+    println(s"res $res: $both coords defined both sides, $mis mismatches")
+    ex.foreach(s => println("  " + s))
+  }
+
+  /** Table-consistency probe for [[graft.functions.H3TabDbg]]: for
+    * each edge, map every res-0 slot through the res-0 isometry and
+    * compare base cells and rotation deltas. */
+  private[functions] def probeTableConsistency(): Unit = {
+    var bcMis = 0
+    var slots = 0
+    // delta histogram keyed (c, rotF - rotG mod 6) for hexagon slots
+    val hist = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    val mism = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (f <- 0 until 20; e <- 0 until 3) {
+      val g = EdgeFace(f)(e)
+      val c = EdgeRot(f)(e)(0)
+      for (i <- 0 to 2; j <- 0 to 2; k <- 0 to 2
+           if TabBc(tabIdx(f, i, j, k)) >= 0) {
+        val a0 = i.toLong - k; val b0 = j.toLong - k
+        var xa = a0; var xb = b0
+        var n = 0
+        while (n < c) { val t = xa - xb; xb = xa; xa = t; n += 1 }
+        xa += EdgeTA(f)(e)(0)
+        xb += EdgeTB(f)(e)(0)
+        val m = min(xa, min(xb, 0L))
+        val (gi, gj, gk) = (xa - m, xb - m, -m)
+        if (gi <= 2 && gj <= 2 && gk <= 2 &&
+            TabBc(tabIdx(g, gi, gj, gk)) >= 0) {
+          slots += 1
+          val bcF = TabBc(tabIdx(f, i, j, k))
+          val bcG = TabBc(tabIdx(g, gi, gj, gk))
+          if (bcF != bcG) {
+            bcMis += 1
+            if (mism.size < 20)
+              mism += s"bc mismatch f=$f($i,$j,$k)=$bcF vs g=$g($gi,$gj,$gk)=$bcG"
+          } else if (!IsPent(bcF)) {
+            val rF = TabRot(tabIdx(f, i, j, k))
+            val rG = TabRot(tabIdx(g, gi, gj, gk))
+            val d = ((rF - rG) % 6 + 6) % 6
+            hist((c, d)) = hist.getOrElse((c, d), 0) + 1
+          }
+        }
+      }
+    }
+    println(s"slots mapped in-table: $slots, bc mismatches: $bcMis")
+    mism.foreach(s => println("  " + s))
+    println("rot delta histogram (edgeRotC, (rotF-rotG) mod 6) -> count:")
+    hist.toSeq.sortBy(x => (x._1._1, x._1._2)).foreach { case ((c, d), n) =>
+      println(f"  c=$c d=$d : $n")
+    }
+  }
 
   /** Derived base-cell orientation table dump, for authoring external
     * oracles: rows (face, i, j, k, baseCell, ccwRot60, isPentagon,
