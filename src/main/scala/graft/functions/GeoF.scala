@@ -246,13 +246,128 @@ object GeoF {
   /** Grid traversal: sorted hex ids of every cell within grid distance
     * `k` of `cell`, including `cell` itself — the ring-expansion
     * primitive for H3 spatial joins. Backed by [[graft.plans.H3Disk]]
-    * (codegen) over [[H3.gridDisk]]; see that scaladoc for the
-    * no-false-positives contract and the documented completeness gap
-    * at certain base-cell boundaries. */
+    * (codegen) over [[H3.gridDisk]] — exact (complete and
+    * false-positive-free) since the round-12 overage-normalization
+    * repair. */
   def h3GridDisk(cell: Column, k: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.H3Disk(
         org.apache.spark.sql.GraftBridge.expression(cell), k))
+
+  // ------------------- H3 polyfill (polygon → cells) ---------------------
+
+  /** All rings of a (MULTI)POLYGON WKT as planar (lng, lat) vertex
+    * arrays (innermost parenthesized groups — same parse as
+    * [[wktCentroid]]); empty for POINT/unparseable input. */
+  private[functions] def parseRings(wkt: String): Array[Array[(Double, Double)]] = {
+    if (wkt == null) return Array.empty
+    val s = wkt.trim
+    val u = s.toUpperCase
+    if (!u.startsWith("POLYGON") && !u.startsWith("MULTIPOLYGON"))
+      return Array.empty
+    try {
+      val body = s.substring(s.indexOf('('))
+      "\\(([^()]+)\\)".r.findAllMatchIn(body)
+        .map(m => parseRing(m.group(1))).toArray
+    } catch { case _: Exception => Array.empty }
+  }
+
+  /** Even-odd ray-cast containment over ALL rings in planar lng/lat —
+    * parity across shell + hole rings excludes holes automatically,
+    * winding-agnostic. Points exactly on an edge are boundary cases
+    * (measure-zero for cell centers vs analytic fixtures). */
+  private[functions] def pointInRings(lng: Double, lat: Double,
+      rings: Array[Array[(Double, Double)]]): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length
+      var i = 0
+      while (i < n) {
+        val (x0, y0) = ring(i)
+        val (x1, y1) = ring((i + 1) % n)
+        if ((y0 > lat) != (y1 > lat)) {
+          val xi = x0 + (lat - y0) * (x1 - x0) / (y1 - y0)
+          if (xi > lng) inside = !inside
+        }
+        i += 1
+      }
+      r += 1
+    }
+    inside
+  }
+
+  /** H3 polyfill — h3lib `polygonToCells` with CENTER-containment
+    * semantics: the sorted hex ids of every res-`res` cell whose
+    * center lies inside the polygon (shell minus holes). BFS over the
+    * polygon's bounding box in the exact H3 grid ([[H3.gridRing1]],
+    * exact since the round-12 overage-normalization repair): seed at
+    * the first vertex's cell, expand ring-1 adjacency while centers
+    * stay inside the padded bbox, collect centers that test inside.
+    * The padded-bbox cell graph is connected, so every center-inside
+    * cell is reached; soundness and completeness are spec-pinned in
+    * `GeoFSpec`. Planar lng/lat geometry — same contract as the other
+    * planar WKT functions here (fixture extents sit far from the
+    * antimeridian and poles). Cost is O(bbox area / cell area); the
+    * 4M-cell guard rejects a res too fine for the polygon rather than
+    * letting a driver-side loop run away — at 100 TB scale polyfill
+    * is a per-POLYGON cost (dimension side, e.g. 25 zones), never a
+    * per-fact-row cost: facts index by point ([[h3Cell]]) and join the
+    * exploded cell list.
+    */
+  def h3PolyfillScala(wkt: String, res: Int): Array[String] = {
+    require(res >= 0 && res <= 15, s"resolution $res out of [0,15]")
+    val rings = parseRings(wkt)
+    if (rings.isEmpty || rings.forall(_.length < 3)) return Array.empty
+    var minLng = Double.MaxValue; var maxLng = Double.MinValue
+    var minLat = Double.MaxValue; var maxLat = Double.MinValue
+    for (ring <- rings; (x, y) <- ring) {
+      if (x < minLng) minLng = x
+      if (x > maxLng) maxLng = x
+      if (y < minLat) minLat = y
+      if (y > maxLat) maxLat = y
+    }
+    // pad by ~1.5 cell pitches so the BFS domain stays grid-connected
+    // around thin/concave shapes
+    val pitchDeg = math.toDegrees(0.3695 / math.pow(math.sqrt(7.0), res))
+    val padLat = 1.5 * pitchDeg
+    val midLat = math.toRadians((minLat + maxLat) / 2)
+    val padLng = padLat / math.max(0.2, math.cos(midLat))
+    val (v0x, v0y) = rings(0)(0)
+    val seed = H3.latLngToCell(v0y, v0x, res)
+    var seen = Set(seed)
+    var frontier = List(seed)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (frontier.nonEmpty) {
+      require(seen.size <= 4000000,
+        s"polyfill at res $res exceeds 4M cells for this polygon — " +
+          "use a coarser resolution")
+      var next = List.empty[Long]
+      frontier.foreach { c =>
+        val (cLat, cLng) = H3.cellToLatLng(c)
+        val inBox = cLng >= minLng - padLng && cLng <= maxLng + padLng &&
+          cLat >= minLat - padLat && cLat <= maxLat + padLat
+        if (inBox) {
+          if (pointInRings(cLng, cLat, rings)) out += c
+          H3.gridRing1(c).foreach { nb =>
+            if (!seen(nb)) { seen += nb; next ::= nb }
+          }
+        }
+      }
+      frontier = next
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    arr.map(c => f"$c%x")
+  }
+
+  /** Column form of [[h3PolyfillScala]] — codegen expression
+    * ([[graft.plans.H3Polyfill]]), array of sorted hex cell ids. */
+  def h3Polyfill(geom: Column, res: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3Polyfill(
+        org.apache.spark.sql.GraftBridge.expression(geom), res))
 
   // ------------------- legacy hex lattice (pre-H3 stand-in) --------------
 

@@ -18,9 +18,9 @@ import graft.functions.H3
   * `k` is a compile-time Int, so the generated code carries it as a
   * constant and the call participates in whole-stage codegen: one
   * static JVM call per row, no UDF SerDe. The traversal itself is
-  * [[H3.gridDisk]] (integer lattice assembly, doubly geometrically
-  * verified, BFS) — see its scaladoc for the no-false-positives
-  * contract and the documented base-cell-boundary completeness gap.
+  * [[H3.gridDisk]] — EXACT since the round-12 overage-normalization
+  * repair (canonical integer stepping across derived face-neighbor
+  * isometries): every disk is complete and false-positive-free.
   */
 case class H3Disk(child: Expression, k: Int)
     extends UnaryExpression with Serializable {

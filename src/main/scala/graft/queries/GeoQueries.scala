@@ -136,7 +136,25 @@ object GeoQueries {
       .orderBy("zone_a", "zone_b")
   }
 
+  /** H3 polyfill (round 11, second half): each zone polygon → the
+    * res-5 cells whose centers it contains ([[GeoF.h3Polyfill]],
+    * h3lib `polygonToCells` center semantics over the exact
+    * traversal), exploded — the polygon-containment-join primitive.
+    * At 100 TB the shape is polyfill-the-dimension + equi-join facts
+    * indexed by point ([[GeoF.h3Cell]]): containment priced as
+    * hash-join collision volume, never per-fact-row point-in-polygon.
+    * No SQL oracle (DuckDB has no H3) — rows-only gate here; the
+    * algorithmic gate is `GeoFSpec`'s soundness/completeness/hole
+    * properties and the count cross-check below is structural (every
+    * 0.5°-square zone at res 5 yields ~8-20 cells). */
+  private def h3Polyfill(s: SparkSession, dir: String): DataFrame =
+    zonesWkt(s, dir)
+      .select(col("zone_id"),
+        explode(GeoF.h3Polyfill(col("zone_geom"), 5)).as("cell"))
+      .orderBy("zone_id", "cell")
+
   val all: Map[String, QueryDef] = Map(
+    "x_h3_polyfill" -> QueryDef(h3Polyfill, None),
     "x_h3_ring" -> QueryDef(h3Ring, None),
     "x_h3_spatial_join" -> QueryDef(h3SpatialJoin, None),
     "f5_wkt_centroid" -> QueryDef(wktCentroid, Some(wktCentroidSql)),

@@ -215,4 +215,58 @@ class GeoFSpec extends SparkSpec {
       assert(fromCol === fromScala, s"divergence at res=$res")
     }
   }
+
+  test("h3 polyfill: soundness, completeness, holes, empty, column parity") {
+    import org.apache.spark.sql.functions._
+    // 0.5-degree fixture-zone square at a representative location
+    def sq(cx: Double, cy: Double, h: Double): String = {
+      val (a, b, c, d) = (cx - h, cx + h, cy - h, cy + h)
+      s"POLYGON(($a $c, $b $c, $b $d, $a $d, $a $c))"
+    }
+    val wkt = sq(4.5, -2.5, 0.25)
+    val cells = GeoF.h3PolyfillScala(wkt, 5)
+    val rings = GeoF.parseRings(wkt)
+    // structural count: a 0.5-degree square at res 5 (pitch ~0.163 deg,
+    // hex area ~0.023 deg^2) holds ~8-20 centers
+    assert(cells.length >= 8 && cells.length <= 20, s"${cells.length} cells")
+    assert(cells.toSeq === cells.toSeq.sorted && cells.distinct.length === cells.length)
+    // soundness: every returned center is inside; completeness: any
+    // ring-1 neighbor with an inside center is also returned
+    val set = cells.toSet
+    cells.foreach { id =>
+      val (la, lo) = H3.cellToLatLng(id)
+      assert(GeoF.pointInRings(lo, la, rings), s"center of $id outside")
+      H3.gridRing1(java.lang.Long.parseUnsignedLong(id, 16)).foreach { nb =>
+        val (nla, nlo) = H3.cellToLatLng(nb)
+        if (GeoF.pointInRings(nlo, nla, rings))
+          assert(set.contains(f"$nb%x"), f"missing inside neighbor $nb%x")
+      }
+    }
+    // area sanity: count * hex area ~ square area (planar, cos-corrected)
+    val pitch = math.toDegrees(0.3695 / math.pow(math.sqrt(7.0), 5))
+    val hexArea = math.sqrt(3.0) / 2.0 * pitch * pitch * math.cos(math.toRadians(-2.5))
+    val sqArea = 0.5 * 0.5 * math.cos(math.toRadians(-2.5))
+    assert(math.abs(cells.length * hexArea - sqArea) / sqArea < 0.25,
+      s"${cells.length} cells x $hexArea vs $sqArea")
+    // holes: a hole that covers the center of the square removes cells
+    val holed = s"POLYGON((4.25 -2.75, 4.75 -2.75, 4.75 -2.25, 4.25 -2.25, 4.25 -2.75), " +
+      s"(4.4 -2.6, 4.6 -2.6, 4.6 -2.4, 4.4 -2.4, 4.4 -2.6))"
+    val holedCells = GeoF.h3PolyfillScala(holed, 5).toSet
+    assert(holedCells.subsetOf(set) && holedCells.size < cells.length)
+    val holeRings = GeoF.parseRings(holed)
+    holedCells.foreach { id =>
+      val (la, lo) = H3.cellToLatLng(id)
+      assert(GeoF.pointInRings(lo, la, holeRings))
+    }
+    // a polygon too small to contain any center yields empty (H3
+    // center-containment semantics), and non-polygon input is empty
+    assert(GeoF.h3PolyfillScala(sq(4.5, -2.5, 1e-4), 5).isEmpty)
+    assert(GeoF.h3PolyfillScala("POINT(1 2)", 5).isEmpty)
+    // column expression parity with the Scala path, via codegen
+    import spark.implicits._
+    val fromCol = Seq(wkt).toDF("g")
+      .select(GeoF.h3Polyfill(col("g"), 5).as("cells"))
+      .as[Seq[String]].head()
+    assert(fromCol === cells.toSeq)
+  }
 }
