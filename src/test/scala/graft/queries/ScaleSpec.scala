@@ -118,8 +118,7 @@ class ScaleSpec extends SparkSpec {
     // (the round-8 driver-bench regression).
     graft.SparkEntry.queries("b_bucketed_join")(spark, sf).collect()
     val nb = ScaleQueries.autoBuckets(spark, sf)
-    val suffix = java.lang.Integer.toHexString(
-      (sf + "#" + nb).hashCode & 0x7fffffff)
+    val suffix = graft.core.PathTag.tag(sf + "#" + nb)
     val liPath = new java.io.File(
       s"${sys.props("user.dir")}/target/qtmp/bucketed_$suffix/li_b")
     val before = liPath.listFiles().map(f => f.getName -> f.lastModified).toMap
