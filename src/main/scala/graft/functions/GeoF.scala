@@ -254,6 +254,45 @@ object GeoF {
       graft.plans.H3Disk(
         org.apache.spark.sql.GraftBridge.expression(cell), k))
 
+  // ------------------- H3 hierarchy (parent / children) ------------------
+
+  /** h3lib `cellToParent` — the res-`res` ancestor by digit truncation
+    * ([[H3.cellToParent]], codegen via [[graft.plans.H3Parent]]). `res`
+    * may be a runtime column so a fact row can take parents at each
+    * resolution present in a compacted cover. */
+  def h3Parent(cell: Column, res: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3Parent(
+        org.apache.spark.sql.GraftBridge.expression(cell),
+        org.apache.spark.sql.GraftBridge.expression(res)))
+
+  def h3Parent(cell: Column, res: Int): Column =
+    h3Parent(cell, org.apache.spark.sql.functions.lit(res))
+
+  /** h3lib `cellToChildren` — all res-`childRes` descendants, ascending,
+    * pentagon-aware ([[H3.cellToChildren]], codegen via
+    * [[graft.plans.H3Children]]). Fan-out is 7^(childRes−res); call
+    * sites state the bound in the plan by passing a literal res. */
+  def h3Children(cell: Column, childRes: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3Children(
+        org.apache.spark.sql.GraftBridge.expression(cell), childRes))
+
+  /** h3lib `compactCells` over an in-row array of uniform-res cells —
+    * the per-ancestor-group kernel of [[graft.ops.H3Compact]]. */
+  def h3CompactArray(cells: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3CompactArray(
+        org.apache.spark.sql.GraftBridge.expression(cells)))
+
+  /** Resolution of a canonical 15-hex cell id — the H3 res field is
+    * bits 52–55, exactly the id's second hex digit, so this is a pure
+    * built-in substring/conv chain (no custom expression needed). */
+  def h3Resolution(cell: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, substring}
+    conv(substring(cell, 2, 1), 16, 10).cast("int")
+  }
+
   // ------------------- H3 polyfill (polygon → cells) ---------------------
 
   /** All rings of a (MULTI)POLYGON WKT as planar (lng, lat) vertex

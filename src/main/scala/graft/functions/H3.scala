@@ -1817,6 +1817,171 @@ object H3 {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Hierarchy: parent / children / compact / uncompact (h3lib
+  // `cellToParent` / `cellToChildren` / `compactCells` /
+  // `uncompactCells`). Pure 64-bit digit arithmetic — no geometry: the
+  // H3 index IS the hierarchy (parent = digit truncation), so these are
+  // exact by construction. The pentagon rule is h3lib's: a cell with a
+  // pentagon base cell may not carry a LEADING K digit (digit 1 before
+  // any other nonzero digit) — the K subsequence is the deleted axis —
+  // so a pentagon CELL (center digit path) has 6 children, not 7.
+  // ------------------------------------------------------------------
+
+  /** Field validation shared by the hierarchy API (h3lib
+    * `isValidCell`): cell mode, known base cell, no digit 7 at or below
+    * the cell's res, all-7 padding below, and no pentagon leading-K
+    * subsequence. Returns the resolution. */
+  private def requireValid(h: Long): Int = {
+    val res = getResolution(h)
+    val bc = getBaseCell(h)
+    require((h >>> 59) == 1L, s"not a cell-mode H3 index: ${h.toHexString}")
+    require(bc < NumBaseCells, s"invalid base cell $bc")
+    var r = 1
+    while (r <= res) {
+      require(getDigit(h, r) != 7,
+        s"invalid digit 7 at res $r in ${h.toHexString}")
+      r += 1
+    }
+    while (r <= MaxRes) {
+      require(getDigit(h, r) == 7,
+        s"unused digit not 7 at res $r in ${h.toHexString}")
+      r += 1
+    }
+    require(!IsPent(bc) || leadingNonZeroDigit(h) != 1,
+      s"pentagon deleted-K subsequence in ${h.toHexString}")
+    res
+  }
+
+  @inline private def setRes(h: Long, res: Int): Long =
+    (h & ~(0xFL << 52)) | (res.toLong << 52)
+
+  /** h3lib `cellToParent`: the res-`parentRes` ancestor — truncate the
+    * digit path (digits parentRes+1..res become the 7 padding). */
+  def cellToParent(h: Long, parentRes: Int): Long = {
+    val res = requireValid(h)
+    require(parentRes >= 0 && parentRes <= res,
+      s"parent res $parentRes out of [0, $res]")
+    var out = setRes(h, parentRes)
+    var r = parentRes + 1
+    while (r <= res) { out = setDigit(out, r, 7); r += 1 }
+    out
+  }
+
+  /** h3lib `cellToCenterChild`: the res-`childRes` descendant on the
+    * all-zero digit path (always valid — a leading K cannot appear). */
+  def cellToCenterChild(h: Long, childRes: Int): Long = {
+    val res = requireValid(h)
+    require(childRes >= res && childRes <= MaxRes,
+      s"child res $childRes out of [$res, $MaxRes]")
+    var out = setRes(h, childRes)
+    var r = res + 1
+    while (r <= childRes) { out = setDigit(out, r, 0); r += 1 }
+    out
+  }
+
+  @inline private def pow7(k: Int): Long = {
+    var n = 1L; var i = 0
+    while (i < k) { n *= 7L; i += 1 }
+    n
+  }
+
+  /** h3lib `cellToChildrenSize`: 7^k for hexagons; pentagons lose the
+    * whole leading-K subtree at every level: 1 + 5·(7^k − 1)/6. */
+  def childrenSize(h: Long, childRes: Int): Long = {
+    val res = requireValid(h)
+    require(childRes >= res && childRes <= MaxRes,
+      s"child res $childRes out of [$res, $MaxRes]")
+    val k = childRes - res
+    if (isPentagon(h)) 1L + 5L * (pow7(k) - 1L) / 6L else pow7(k)
+  }
+
+  /** h3lib `cellToChildren`: every res-`childRes` descendant, in
+    * ascending 64-bit index order (digit positions are descending bit
+    * positions, so depth-first ascending-digit emission IS numeric
+    * order). Pentagon-rooted paths skip digit 1 until a nonzero digit
+    * anchors the orientation. */
+  def cellToChildren(h: Long, childRes: Int): Array[Long] = {
+    val res = requireValid(h)
+    require(childRes >= res && childRes <= MaxRes,
+      s"child res $childRes out of [$res, $MaxRes]")
+    val out = new Array[Long](childrenSize(h, childRes).toInt)
+    var n = 0
+    def rec(cur: Long, r: Int, pentPath: Boolean): Unit = {
+      if (r > childRes) { out(n) = cur; n += 1 }
+      else {
+        var d = 0
+        while (d < 7) {
+          if (!(pentPath && d == 1))
+            rec(setDigit(cur, r, d), r + 1, pentPath && d == 0)
+          d += 1
+        }
+      }
+    }
+    rec(setRes(h, childRes), res + 1, isPentagon(h))
+    require(n == out.length, s"children count mismatch for ${h.toHexString}")
+    out
+  }
+
+  /** h3lib `compactCells`: replace every complete sibling set (all 7
+    * children — 6 for a pentagon parent) by its parent, repeated to
+    * res 0. Input must be distinct cells of ONE resolution (h3lib's
+    * contract); output is the minimal equivalent cover, sorted.
+    * Pure/local form — the distributed form over a cell column is
+    * [[graft.ops.H3Compact]], which calls this per co-grouped ancestor
+    * (every merge decision is ancestor-local, so the distributed result
+    * is identical by construction). */
+  def compactCells(cells: Array[Long]): Array[Long] = {
+    if (cells.isEmpty) return Array.emptyLongArray
+    val res = requireValid(cells(0))
+    var i = 1
+    while (i < cells.length) {
+      require(requireValid(cells(i)) == res,
+        s"mixed resolutions: ${cells(i).toHexString} vs res $res")
+      i += 1
+    }
+    var cur: Array[Long] = cells.distinct
+    require(cur.length == cells.length, "duplicate cells in compact input")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var r = res
+    while (r > 0 && cur.nonEmpty) {
+      val byParent = cur.groupBy(c => cellToParent(c, r - 1))
+      val promoted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      byParent.foreach { case (p, kids) =>
+        val expected = if (isPentagon(p)) 6 else 7
+        if (kids.length == expected) promoted += p else out ++= kids
+      }
+      cur = promoted.toArray
+      r -= 1
+    }
+    out ++= cur
+    out.toArray.sorted
+  }
+
+  /** h3lib `uncompactCells`: expand a (mixed-res) cover to uniform
+    * res-`res` cells, sorted. The input must be an actual cover — no
+    * cell an ancestor of another — or the output carries duplicates. */
+  def uncompactCells(cells: Array[Long], res: Int): Array[Long] =
+    cells.flatMap(cellToChildren(_, res)).sorted
+
+  // Hex-string forms (the engine's cell columns are canonical
+  // lowercase 15-hex strings).
+  def cellToParentHex(hex: String, parentRes: Int): String =
+    f"${cellToParent(java.lang.Long.parseUnsignedLong(hex, 16), parentRes)}%x"
+
+  def cellToChildrenHex(hex: String, childRes: Int): Array[String] =
+    cellToChildren(java.lang.Long.parseUnsignedLong(hex, 16), childRes)
+      .map(c => f"$c%x")
+
+  def compactCellsHex(cells: Array[String]): Array[String] =
+    compactCells(cells.map(java.lang.Long.parseUnsignedLong(_, 16)))
+      .map(c => f"$c%x")
+
+  def uncompactCellsHex(cells: Array[String], res: Int): Array[String] =
+    uncompactCells(
+      cells.map(java.lang.Long.parseUnsignedLong(_, 16)), res)
+      .map(c => f"$c%x")
+
   /** Derived base-cell orientation table dump, for authoring external
     * oracles: rows (face, i, j, k, baseCell, ccwRot60, isPentagon,
     * cwOffset). Coordinates are normalized res-0 ijk on `face`. */

@@ -153,7 +153,109 @@ object GeoQueries {
         explode(GeoF.h3Polyfill(col("zone_geom"), 5)).as("cell"))
       .orderBy("zone_id", "cell")
 
+  // ----------------- H3 hierarchy (round 12) -----------------------------
+
+  /** Hierarchy scalar surface under the independent SQL oracle:
+    * parents of the forward res-9 cell at res 5 and 1
+    * ([[GeoF.h3Parent]] — h3lib `cellToParent`), and the res-7
+    * children count of the res-5 parent ([[GeoF.h3Children]] — h3lib
+    * `cellToChildren`; 49, or 41 when the parent is a pentagon cell).
+    * DuckDB re-derives all of it as bit arithmetic on the forward id
+    * ([[H3OracleSql.hierarchy]]). */
+  private def h3Hierarchy(s: SparkSession, dir: String): DataFrame =
+    zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 9).as("h3_9"))
+      .select(col("zone_id"), col("h3_9"),
+        GeoF.h3Parent(col("h3_9"), 5).as("p5"),
+        GeoF.h3Parent(col("h3_9"), 1).as("p1"),
+        size(GeoF.h3Children(GeoF.h3Parent(col("h3_9"), 5), 7))
+          .as("n_kids"))
+      .orderBy("zone_id")
+
+  /** Compact/uncompact test universe: all res-7 children of each
+    * zone's res-5 cell, minus a deterministic drop rule (both new
+    * digits equal zone_id mod 7) that leaves exactly one res-6 sibling
+    * set incomplete per zone — so the distributed compact genuinely
+    * promotes one level and strands another. Mirrored digit-for-digit
+    * in the SQL oracle ([[H3OracleSql.keptKids]]). */
+  private def h3KeptKids(s: SparkSession, dir: String): DataFrame = {
+    val c5 = zonesWkt(s, dir).select(col("zone_id"),
+      GeoF.h3Parent(GeoF.h3Cell(
+        GeoF.centroidLat(col("zone_geom")),
+        GeoF.centroidLng(col("zone_geom")), 9), 5).as("c5"))
+    val kids = c5.select(col("zone_id"),
+      explode(GeoF.h3Children(col("c5"), 7)).as("cell"))
+    val hv = conv(col("cell"), 16, 10).cast("long")
+    val d6 = shiftright(hv, 27).bitwiseAND(7)
+    val d7 = shiftright(hv, 24).bitwiseAND(7)
+    kids.filter(!(d6 === col("zone_id") % 7 && d7 === col("zone_id") % 7))
+  }
+
+  /** h3lib `compactCells`, distributed ([[graft.ops.H3Compact]]): the
+    * minimal mixed-res cover of the kept child set, zone-scoped. The
+    * oracle unrolls both compaction levels as SQL window counts over
+    * the same bit-assembled child universe. */
+  private def h3CompactQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.H3Compact.compact(h3KeptKids(s, dir), "cell", 7,
+        Seq("zone_id"))
+      .withColumn("cres", GeoF.h3Resolution(col("cell")))
+      .orderBy("zone_id", "cell")
+
+  /** uncompact ∘ compact must be the identity on the input cover —
+    * the oracle states the input set directly. */
+  private def h3UncompactQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.H3Compact.uncompact(
+        graft.ops.H3Compact.compact(h3KeptKids(s, dir), "cell", 7,
+          Seq("zone_id")),
+        "cell", 7, Seq("zone_id"))
+      .orderBy("zone_id", "cell")
+
+  /** The 100 TB containment-join shape end-to-end: polyfill each zone
+    * at res 6 → compact the cover → index facts by point at res 6 →
+    * explode each fact's parent at every resolution PRESENT in the
+    * cover (a broadcast of the cover's distinct-res dimension, ≤ 7
+    * rows) → equi-join on the cell id. Join cost is hash-collision
+    * volume on the compacted (≥ 7×-smaller) cover — never
+    * per-fact-row point-in-polygon, never an all-pairs distance join.
+    * Fact points are placed ≥ 0.1° inside their zone while a res-6
+    * circumradius is ~0.03°, so every fact's cell center is inside the
+    * zone and the count is exactly the per-zone fact population — which
+    * the oracle states with no H3 at all ([[H3OracleSql.multiresJoin]]). */
+  private def h3MultiresJoin(s: SparkSession, dir: String): DataFrame = {
+    val cover = graft.ops.H3Compact.compact(
+      zonesWkt(s, dir).select(col("zone_id"),
+        explode(GeoF.h3Polyfill(col("zone_geom"), 6)).as("cell")),
+      "cell", 6, Seq("zone_id"))
+    val coverRes = cover
+      .select(GeoF.h3Resolution(col("cell")).as("r")).distinct()
+    val zk = col("c_custkey") % 25
+    val facts = tbl(s, dir, "customer")
+      .select(col("c_custkey").as("fact_id"),
+        (zk.cast("double") * 0.5 - 6.0 +
+          (((col("c_custkey") * 7919L) % 31).cast("double") - 15.0) * 0.01)
+          .as("lat"),
+        (zk.cast("double") * 1.5 - 18.0 +
+          (((col("c_custkey") * 104729L) % 31).cast("double") - 15.0) * 0.01)
+          .as("lng"))
+      .select(col("fact_id"),
+        GeoF.h3Cell(col("lat"), col("lng"), 6).as("cell6"))
+    val probes = facts.crossJoin(broadcast(coverRes))
+      .select(col("fact_id"),
+        GeoF.h3Parent(col("cell6"), col("r")).as("cell"))
+    probes.join(broadcast(cover), "cell")
+      .groupBy(col("zone_id")).agg(count(lit(1)).as("n_facts"))
+      .orderBy("zone_id")
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "x_h3_hierarchy" -> QueryDef(h3Hierarchy, Some(H3OracleSql.hierarchy)),
+    "x_h3_compact" -> QueryDef(h3CompactQ, Some(H3OracleSql.compact)),
+    "x_h3_uncompact" -> QueryDef(h3UncompactQ, Some(H3OracleSql.uncompact)),
+    "x_h3_multires_join" ->
+      QueryDef(h3MultiresJoin, Some(H3OracleSql.multiresJoin)),
     "x_h3_polyfill" -> QueryDef(h3Polyfill, None),
     "x_h3_ring" -> QueryDef(h3Ring, None),
     "x_h3_spatial_join" -> QueryDef(h3SpatialJoin, None),

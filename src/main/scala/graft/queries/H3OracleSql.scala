@@ -395,4 +395,126 @@ object H3OracleSql {
       |  FROM p4
       |)
       |SELECT zone_id, lower(hex(h)) AS h3_9 FROM fin ORDER BY zone_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Hierarchy oracles (round 12). The H3 index IS the hierarchy —
+  // parent = digit truncation, children = digit enumeration — so once
+  // the independent SQL forward above agrees on the res-9 cell, the
+  // hierarchy laws are pure 64-bit arithmetic DuckDB re-derives for
+  // itself: res field bits 52–55, digit r bits (15−r)·3 .. (15−r)·3+2,
+  // unused digits all-ones. The pentagon rule (no leading K digit; a
+  // pentagon CELL has 6 children) is restated in SQL from the published
+  // spec, sharing only the 12 pentagon base-cell numbers.
+  // ------------------------------------------------------------------
+
+  /** Shared prelude: the forward res-9 cell per zone parsed back to a
+    * BIGINT, with the pentagon-base flag. */
+  private val hierBase: String =
+    s"""WITH fwd AS ($f6),
+       |base AS (
+       |  SELECT zone_id, h3_9,
+       |         CAST(CAST('0x' || h3_9 AS UBIGINT) AS BIGINT) AS h
+       |  FROM fwd
+       |), withp AS (
+       |  SELECT zone_id, h3_9, h,
+       |         ((h >> 45) & 127) IN (4,14,24,38,49,58,63,72,83,97,107,117)
+       |           AS pentbase,
+       |         ((h & ~(15::BIGINT << 52)) | (5::BIGINT << 52) |
+       |           ((1::BIGINT << 30) - (1::BIGINT << 18))) AS p5,
+       |         ((h & ~(15::BIGINT << 52)) | (1::BIGINT << 52) |
+       |           ((1::BIGINT << 42) - (1::BIGINT << 18))) AS p1
+       |  FROM base
+       |)""".stripMargin
+
+  /** `x_h3_hierarchy`: parents at res 5 and 1 by bit truncation, plus
+    * the res-7 children count of the res-5 parent (49, or 41 when the
+    * parent is a pentagon cell: 1 + 5·(7²−1)/6). */
+  val hierarchy: String =
+    s"""$hierBase
+       |SELECT zone_id, h3_9,
+       |       lower(hex(p5)) AS p5,
+       |       lower(hex(p1)) AS p1,
+       |       CAST(CASE WHEN pentbase AND ((p5 >> 30) & 32767) = 0
+       |            THEN 41 ELSE 49 END AS INT) AS n_kids
+       |FROM withp ORDER BY zone_id""".stripMargin
+
+  /** Shared child-set construction for the compact/uncompact oracles:
+    * every res-7 child (digits d6, d7) of each zone's res-5 parent,
+    * minus the deterministic drop rule (both new digits equal
+    * zone_id mod 7) that leaves exactly one res-6 sibling set
+    * incomplete per zone — so compaction genuinely exercises both a
+    * promoted and a surviving level. Pentagon-center paths skip the
+    * deleted K axis (digit 1) exactly as the published spec requires. */
+  private val keptKids: String =
+    s"""$hierBase, c5 AS (
+       |  SELECT zone_id, p5 AS c,
+       |         pentbase AND ((p5 >> 30) & 32767) = 0 AS pent5
+       |  FROM withp
+       |), dig(d) AS (VALUES (0),(1),(2),(3),(4),(5),(6)),
+       |kids AS (
+       |  SELECT zone_id, c, pent5, d6.d AS d6, d7.d AS d7,
+       |         ((c & ~(15::BIGINT << 52)
+       |             & ~(7::BIGINT << 27) & ~(7::BIGINT << 24)) |
+       |           (7::BIGINT << 52) |
+       |           (d6.d::BIGINT << 27) | (d7.d::BIGINT << 24)) AS k
+       |  FROM c5, dig AS d6, dig AS d7
+       |  WHERE NOT (pent5 AND (d6.d = 1 OR (d6.d = 0 AND d7.d = 1)))
+       |),
+       |kept AS (
+       |  SELECT * FROM kids
+       |  WHERE NOT (d6 = zone_id % 7 AND d7 = zone_id % 7)
+       |)""".stripMargin
+
+  /** `x_h3_uncompact`: uncompact(compact(S)) must equal S — the oracle
+    * states S directly (the kept child set). */
+  val uncompact: String =
+    s"""$keptKids
+       |SELECT zone_id, lower(hex(k)) AS cell
+       |FROM kept ORDER BY zone_id, cell""".stripMargin
+
+  /** `x_h3_compact`: two compaction levels unrolled in SQL — promote a
+    * res-6 parent iff all its kept children are present (7, or 6 for a
+    * pentagon-center parent), then likewise res-6 → res-5. Nothing can
+    * merge past res 5 here (one res-5 cell per zone scope), so the
+    * 2-level unroll IS the full compact of this input. */
+  val compact: String =
+    s"""$keptKids, marked AS (
+       |  SELECT *,
+       |         count(*) OVER (PARTITION BY zone_id, d6) AS n6,
+       |         CASE WHEN pent5 AND d6 = 0 THEN 6 ELSE 7 END AS e6
+       |  FROM kept
+       |), surv7 AS (
+       |  SELECT zone_id, k AS cell FROM marked WHERE n6 <> e6
+       |), prom6 AS (
+       |  SELECT DISTINCT zone_id, c, pent5, d6,
+       |         (((k | (7::BIGINT << 24)) & ~(15::BIGINT << 52)) |
+       |           (6::BIGINT << 52)) AS p6
+       |  FROM marked WHERE n6 = e6
+       |), m6 AS (
+       |  SELECT *,
+       |         count(*) OVER (PARTITION BY zone_id) AS n5,
+       |         CASE WHEN pent5 THEN 6 ELSE 7 END AS e5
+       |  FROM prom6
+       |), surv6 AS (
+       |  SELECT zone_id, p6 AS cell FROM m6 WHERE n5 <> e5
+       |), prom5 AS (
+       |  SELECT DISTINCT zone_id, c AS cell FROM m6 WHERE n5 = e5
+       |), cover AS (
+       |  SELECT * FROM surv7 UNION ALL SELECT * FROM surv6
+       |  UNION ALL SELECT * FROM prom5
+       |)
+       |SELECT zone_id, lower(hex(cell)) AS cell,
+       |       CAST((cell >> 52) & 15 AS INT) AS cres
+       |FROM cover ORDER BY zone_id, cell""".stripMargin
+
+  /** `x_h3_multires_join`: the fact points are constructed ≥ 0.1° inside
+    * their zone's 0.25°-half-width square while a res-6 cell's
+    * circumradius is ~0.03°, so every fact's cell CENTER is inside the
+    * zone polygon and the polyfill→compact→parent-chain join counts
+    * exactly the per-zone fact population — which the oracle states
+    * directly, with no H3 at all. */
+  val multiresJoin: String =
+    """SELECT n_nationkey AS zone_id, count(*) AS n_facts
+      |FROM customer JOIN nation ON c_custkey % 25 = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

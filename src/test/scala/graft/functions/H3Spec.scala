@@ -489,6 +489,104 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Hierarchy: parent / children / compact / uncompact
+  // ------------------------------------------------------------------
+  test("hierarchy: parent truncates, children invert, counts match " +
+      "(random cells incl. pentagons)") {
+    val rnd = new scala.util.Random(20260815L)
+    val anchors =
+      (1 to 60).map { _ =>
+        val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+        val lng = rnd.nextDouble() * 360.0 - 180.0
+        H3.latLngToCell(lat, lng, 2 + rnd.nextInt(8))
+      } ++
+        // pentagon CELLS at several resolutions: the 6-child path
+        H3.pentagonCenters.take(4).flatMap { case (bc, lat, lng) =>
+          Seq(1, 3).map(r => H3.latLngToCell(lat, lng, r)).filter { h =>
+            H3.isPentagon(h) && H3.getBaseCell(h) == bc
+          }
+        }
+    assert(anchors.exists(H3.isPentagon), "no pentagon anchor sampled")
+    for (h <- anchors) {
+      val res = H3.getResolution(h)
+      val cr = math.min(15, res + 2)
+      val kids = H3.cellToChildren(h, cr)
+      assert(kids.length === H3.childrenSize(h, cr).toInt)
+      assert(kids.distinct.length === kids.length, "duplicate children")
+      assert(kids.sorted.sameElements(kids), "children not ascending")
+      // every child is a valid cell whose ancestor is h; the center
+      // child is first (all-zero digits sort lowest)
+      for (k <- kids) {
+        assert(H3.cellToParent(k, res) === h)
+        H3.cellToLatLng(k) // throws on any malformed index
+      }
+      assert(kids.head === H3.cellToCenterChild(h, cr))
+      assert(H3.cellToParent(h, res) === h, "parent at own res is identity")
+      // pentagon center paths: 6 children at +1, never a leading K
+      val expect1 = if (H3.isPentagon(h)) 6 else 7
+      assert(H3.cellToChildren(h, math.min(15, res + 1)).length ===
+        (if (res + 1 > 15) 1 else expect1))
+    }
+  }
+
+  test("compactCells: children collapse to the parent; partial sets " +
+      "survive; uncompact inverts") {
+    val rnd = new scala.util.Random(7349L)
+    val anchors = (1 to 20).map { _ =>
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      H3.latLngToCell(lat, lng, 1 + rnd.nextInt(7))
+    } ++ H3.pentagonCenters.take(2).map { case (_, lat, lng) =>
+      H3.latLngToCell(lat, lng, 2)
+    }
+    for (h <- anchors) {
+      val res = H3.getResolution(h)
+      val cr = res + 2
+      val full = H3.cellToChildren(h, cr)
+      // full descendant set compacts all the way back to h
+      assert(H3.compactCells(full).sameElements(Array(h)))
+      // dropping one child strands its whole sibling branch: the
+      // missing child's parent stays expanded, every other res-(cr-1)
+      // parent promotes, and h itself cannot form
+      val dropped = full.filter(_ != full.last)
+      val compacted = H3.compactCells(dropped)
+      assert(!compacted.contains(h))
+      assert(H3.uncompactCells(compacted, cr).sorted
+        .sameElements(dropped.sorted), "uncompact∘compact ≠ identity")
+      // compact is idempotent on already-minimal covers per res class:
+      // re-uncompacting and compacting reproduces the same cover
+      val again = H3.compactCells(H3.uncompactCells(compacted, cr))
+      assert(again.sorted.sameElements(compacted.sorted))
+    }
+  }
+
+  test("compactCells rejects duplicates and mixed resolutions") {
+    val h = H3.latLngToCell(40.7, -74.0, 6)
+    val kids = H3.cellToChildren(h, 7)
+    intercept[IllegalArgumentException] {
+      H3.compactCells(kids :+ kids.head)
+    }
+    intercept[IllegalArgumentException] {
+      H3.compactCells(Array(h, kids.head))
+    }
+    intercept[IllegalArgumentException] {
+      H3.cellToParent(h, 7) // parent res above own res
+    }
+  }
+
+  test("hierarchy hex forms round-trip the binary forms") {
+    val h = H3.latLngToCell(37.7752702151959, -122.418307270836, 9)
+    val hex = f"$h%x"
+    assert(H3.cellToParentHex(hex, 5) === f"${H3.cellToParent(h, 5)}%x")
+    assert(H3.cellToChildrenHex(hex, 10).toSeq ===
+      H3.cellToChildren(h, 10).map(c => f"$c%x").toSeq)
+    assert(H3.compactCellsHex(H3.cellToChildrenHex(hex, 11)).toSeq ===
+      Seq(hex))
+    assert(H3.uncompactCellsHex(Array(hex), 10).toSeq ===
+      H3.cellToChildrenHex(hex, 10).toSeq)
+  }
+
   test("regression pin: base cell stable across resolutions at city points") {
     // NOT a general H3 invariant (aperture-7 children overflow their
     // parent, so near res-0 edges the base-cell FIELD may vary with
