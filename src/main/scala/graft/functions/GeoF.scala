@@ -254,6 +254,15 @@ object GeoF {
       graft.plans.H3Disk(
         org.apache.spark.sql.GraftBridge.expression(cell), k))
 
+  /** h3lib `cellToBoundary` as WKT — the cell's polygon (6 corners, 5
+    * for pentagons), composable with the WKT surface here (ST_ASTEXT /
+    * centroid / polyfill). Backed by [[H3.cellToBoundary]] through the
+    * codegen expression [[graft.plans.H3Boundary]]. */
+  def h3Boundary(cell: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3Boundary(
+        org.apache.spark.sql.GraftBridge.expression(cell)))
+
   // ------------------- H3 hierarchy (parent / children) ------------------
 
   /** h3lib `cellToParent` — the res-`res` ancestor by digit truncation

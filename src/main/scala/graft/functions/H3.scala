@@ -1964,6 +1964,100 @@ object H3 {
   def uncompactCells(cells: Array[Long], res: Int): Array[Long] =
     cells.flatMap(cellToChildren(_, res)).sorted
 
+  // ------------------------------------------------------------------
+  // Cell boundary (h3lib `cellToBoundary`): the cell's polygon
+  // vertices. A hexagon cell IS the Voronoi cell of its center in the
+  // owning chart's gnomonic lattice, so each corner is the planar
+  // circumcenter of the three mutually-adjacent cell centers — for an
+  // equilateral lattice triangle that circumcenter is its CENTROID,
+  // i.e. the substrate lattice point c + (u_i + u_{i+1})/3. Vertices
+  // are computed exactly there and unprojected through the owning
+  // chart — bit-exact H3 geometry for cells whose corners sit on their
+  // face (the overwhelming case at res ≥ 1). Two documented
+  // approximations vs h3lib: (1) corners past an icosahedron edge are
+  // unprojected through the HOME chart's gnomonic plane (h3lib
+  // re-projects per face and inserts edge-crossing distortion
+  // vertices — a sub-pitch second-order difference confined to
+  // face-straddling cells); (2) pentagon corners straddle five charts,
+  // so they are taken as the spherical centroid of each
+  // mutually-adjacent center triple (center + two consecutive ring-1
+  // neighbors, each center itself exact) — the same point to second
+  // order in the pitch.
+  // ------------------------------------------------------------------
+
+  /** CCW unit neighbor directions in axial (a,b) coords — see
+    * [[ijkToHex2d]]'s x = a − b/2 convention: ±i=(1,0), −k=(1,1),
+    * +j=(0,1), at 60° steps. */
+  private val BoundaryDirs: Array[(Int, Int)] =
+    Array((1, 0), (1, 1), (0, 1), (-1, 0), (-1, -1), (0, -1))
+
+  /** h3lib `cellToBoundary`: the cell's polygon vertices as
+    * (latDeg, lngDeg), in ring order, without repeating the first
+    * vertex — 6 for hexagons, 5 for pentagon cells. */
+  def cellToBoundary(h: Long): Array[(Double, Double)] = {
+    requireValid(h)
+    if (isPentagon(h)) return pentagonBoundary(h)
+    val res = getResolution(h)
+    val (face, i, j, k, _, _) = resolveChart(h)
+    val a = i - k
+    val b = j - k
+    val cx = a.toDouble - 0.5 * b
+    val cy = b * Sin60
+    val out = new Array[(Double, Double)](6)
+    var v = 0
+    while (v < 6) {
+      val (a1, b1) = BoundaryDirs(v)
+      val (a2, b2) = BoundaryDirs((v + 1) % 6)
+      val wa = (a1 + a2) / 3.0
+      val wb = (b1 + b2) / 3.0
+      val (latR, lngR) =
+        hex2dToGeo(face, cx + (wa - 0.5 * wb), cy + wb * Sin60, res)
+      out(v) = (toDegrees(latR), toDegrees(lngR))
+      v += 1
+    }
+    out
+  }
+
+  /** Pentagon boundary: corners as spherical centroids of each
+    * (center, nᵢ, nᵢ₊₁) triple over the azimuth-ordered exact ring-1
+    * neighbor centers. */
+  private def pentagonBoundary(h: Long): Array[(Double, Double)] = {
+    val (cLat, cLng) = cellToLatLng(h)
+    val cLatR = toRadians(cLat); val cLngR = toRadians(cLng)
+    val nbrs = gridRing1(h).map { n =>
+      val (la, lo) = cellToLatLng(n)
+      (geoAzimuth(cLatR, cLngR, toRadians(la), toRadians(lo)), la, lo)
+    }.sortBy(_._1)
+    require(nbrs.length == 5, s"pentagon ring size ${nbrs.length}")
+    val cv = Array(cos(cLatR) * cos(cLngR), cos(cLatR) * sin(cLngR),
+      sin(cLatR))
+    Array.tabulate(5) { v =>
+      val (_, la1, lo1) = nbrs(v)
+      val (_, la2, lo2) = nbrs((v + 1) % 5)
+      val (p1, q1) = (toRadians(la1), toRadians(lo1))
+      val (p2, q2) = (toRadians(la2), toRadians(lo2))
+      val x = cv(0) + cos(p1) * cos(q1) + cos(p2) * cos(q2)
+      val y = cv(1) + cos(p1) * sin(q1) + cos(p2) * sin(q2)
+      val z = cv(2) + sin(p1) + sin(p2)
+      val n = sqrt(x * x + y * y + z * z)
+      (toDegrees(asin(z / n)), toDegrees(atan2(y, x)))
+    }
+  }
+
+  /** Owning chart face of a cell (test hook: the exactness domain of
+    * [[cellToBoundary]] is a ring whose cells share one chart). */
+  private[functions] def chartFace(h: Long): Int = resolveChart(h)._1
+
+  /** WKT POLYGON form of [[cellToBoundary]] (lng-lat vertex order,
+    * ring closed) — the export format of the engine's other geometry
+    * functions, parseable by [[GeoF.parseRings]]/polyfill. */
+  def cellBoundaryWkt(hex: String): String = {
+    val vs = cellToBoundary(java.lang.Long.parseUnsignedLong(hex, 16))
+    val body = (vs :+ vs.head)
+      .map { case (lat, lng) => s"$lng $lat" }.mkString(", ")
+    s"POLYGON(($body))"
+  }
+
   // Hex-string forms (the engine's cell columns are canonical
   // lowercase 15-hex strings).
   def cellToParentHex(hex: String, parentRes: Int): String =

@@ -56,3 +56,34 @@ case class H3CenterLng(child: Expression) extends H3CenterBase {
       newChild: Expression): H3CenterLng = copy(child = newChild)
   override def prettyName: String = "h3_cell_lng"
 }
+
+/** `h3_cell_boundary(cell)` — the cell's polygon as WKT (h3lib
+  * `cellToBoundary`; 6 corners, 5 for pentagons), lng-lat vertex
+  * order, ring closed — composable with the engine's WKT surface
+  * (`ST_ASTEXT` / centroid / polyfill). Codegen like its siblings:
+  * one static call per row, no UDF SerDe. */
+case class H3Boundary(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"h3_cell_boundary expects a hex cell-id string, got " +
+          child.dataType.simpleString)
+  override def nullSafeEval(cell: Any): Any =
+    UTF8String.fromString(
+      H3.cellBoundaryWkt(cell.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.H3.cellBoundaryWkt($c.toString()))")
+  override protected def withNewChildInternal(
+      newChild: Expression): H3Boundary = copy(child = newChild)
+  override def prettyName: String = "h3_cell_boundary"
+}

@@ -250,7 +250,30 @@ object GeoQueries {
       .orderBy("zone_id")
   }
 
+  /** h3lib `cellToBoundary` → WKT → back through the engine's OWN WKT
+    * surface: each zone's res-5 cell polygon and its planar centroid,
+    * which must land back in the same cell — an in-plan closure of
+    * boundary ∘ index ∘ centroid the output exposes directly
+    * (`cell_back` = `cell`). No SQL oracle (DuckDB has no H3
+    * geometry) — rows-only gate; the geometric properties (corner
+    * counts, neighbor-shared corners, center containment, corner
+    * equidistance) are spec-pinned in `H3Spec`. */
+  private def h3Boundary(s: SparkSession, dir: String): DataFrame =
+    zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 5).as("cell"))
+      .select(col("zone_id"), col("cell"),
+        GeoF.h3Boundary(col("cell")).as("boundary"))
+      .select(col("zone_id"), col("cell"), col("boundary"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("boundary")),
+          GeoF.centroidLng(col("boundary")), 5).as("cell_back"))
+      .orderBy("zone_id")
+
   val all: Map[String, QueryDef] = Map(
+    "x_h3_boundary" -> QueryDef(h3Boundary, None),
     "x_h3_hierarchy" -> QueryDef(h3Hierarchy, Some(H3OracleSql.hierarchy)),
     "x_h3_compact" -> QueryDef(h3CompactQ, Some(H3OracleSql.compact)),
     "x_h3_uncompact" -> QueryDef(h3UncompactQ, Some(H3OracleSql.uncompact)),

@@ -587,6 +587,134 @@ class H3Spec extends AnyFunSuite {
       H3.cellToChildrenHex(hex, 10).toSeq)
   }
 
+  // ------------------------------------------------------------------
+  // Boundary
+  // ------------------------------------------------------------------
+  private def haversine(a: (Double, Double), b: (Double, Double)): Double = {
+    val (la1, lo1) = (math.toRadians(a._1), math.toRadians(a._2))
+    val (la2, lo2) = (math.toRadians(b._1), math.toRadians(b._2))
+    val s = math.sin((la2 - la1) / 2)
+    val t = math.sin((lo2 - lo1) / 2)
+    2 * math.asin(math.sqrt(
+      s * s + math.cos(la1) * math.cos(la2) * t * t))
+  }
+
+  test("cellToBoundary: 6 corners; edges separate the cell from each " +
+      "ring neighbor exactly (forward-index law)") {
+    // The non-tautological boundary law: a point just INSIDE any edge
+    // midpoint forward-indexes to the cell, just OUTSIDE to a ring-1
+    // neighbor, and the 6 edges face the 6 neighbors bijectively. This
+    // checks the boundary against latLngToCell itself — no reliance on
+    // spherical equidistance, which gnomonic anisotropy (radial sec²ρ
+    // vs tangential sec ρ) legitimately breaks by a few percent for
+    // cells away from their face center, in true H3 too.
+    val rnd = new scala.util.Random(20260816L)
+    var checked = 0
+    for (_ <- 1 to 120) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = 5 + rnd.nextInt(6)
+      val h = H3.latLngToCell(lat, lng, res)
+      val ring = H3.gridRing1(h).toSet
+      val bPre = H3.cellToBoundary(h)
+      val cPre = H3.cellToLatLng(h)
+      // degree-space midpoint arithmetic below is meaningless across
+      // the antimeridian wrap or at the poles — skip those cells
+      val wraps = math.abs(cPre._1) > 85 ||
+        bPre.exists(v => math.abs(v._2 - cPre._2) > 90)
+      if (!H3.isPentagonCell(h) && !ring.exists(H3.isPentagonCell) &&
+          !wraps) {
+        val b = bPre
+        assert(b.length === 6)
+        val c = cPre
+        val hit = scala.collection.mutable.Set.empty[Long]
+        for (v <- 0 until 6) {
+          val (la1, lo1) = b(v)
+          val (la2, lo2) = b((v + 1) % 6)
+          val (mLat, mLng) = ((la1 + la2) / 2, (lo1 + lo2) / 2)
+          val in = H3.latLngToCell(
+            mLat + (c._1 - mLat) * 0.05, mLng + (c._2 - mLng) * 0.05, res)
+          assert(in === h, s"inside-edge point left ${h.toHexString}")
+          val out = H3.latLngToCell(
+            mLat - (c._1 - mLat) * 0.05, mLng - (c._2 - mLng) * 0.05, res)
+          assert(out !== h, s"outside-edge point stayed in ${h.toHexString}")
+          assert(ring.contains(out),
+            s"outside-edge point skipped the ring of ${h.toHexString}")
+          hit += out
+          // corners too: nudged inward they index to h
+          val inC = H3.latLngToCell(
+            la1 + (c._1 - la1) * 0.05, lo1 + (c._2 - lo1) * 0.05, res)
+          assert(inC === h, s"inside-corner point left ${h.toHexString}")
+        }
+        assert(hit.size === 6,
+          s"edges of ${h.toHexString} face only ${hit.size} distinct " +
+            "neighbors")
+        checked += 1
+      }
+    }
+    assert(checked > 80)
+  }
+
+  test("cellToBoundary: adjacent interior cells share exactly two corners") {
+    val rnd = new scala.util.Random(555L)
+    var checked = 0
+    for (_ <- 1 to 40) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = 5 + rnd.nextInt(6)
+      val h = H3.latLngToCell(lat, lng, res)
+      val ring = H3.gridRing1(h)
+      if (!H3.isPentagonCell(h) && !ring.exists(H3.isPentagonCell)) {
+        val pitch = haversine(H3.cellToLatLng(h),
+          H3.cellToLatLng(ring.head))
+        val mine = H3.cellToBoundary(h)
+        for (n <- ring) {
+          val theirs = H3.cellToBoundary(n)
+          // cross-face neighbor pairs compute the shared corner
+          // through different charts — identical to within the
+          // projective distortion, bit-equal on a shared chart
+          val shared = mine.count(v =>
+            theirs.exists(w => haversine(v, w) < 0.05 * pitch))
+          assert(shared === 2,
+            s"${h.toHexString} and ${n.toHexString} share $shared corners")
+        }
+        checked += 1
+      }
+    }
+    assert(checked > 25)
+  }
+
+  test("cellToBoundary: pentagons have 5 corners at uniform radius") {
+    for ((_, plat, plng) <- H3.pentagonCenters.take(4); res <- Seq(1, 4)) {
+      val h = H3.latLngToCell(plat, plng, res)
+      if (H3.isPentagon(h)) {
+        val b = H3.cellToBoundary(h)
+        assert(b.length === 5)
+        val c = H3.cellToLatLng(h)
+        val rads = b.map(haversine(c, _))
+        val mean = rads.sum / 5
+        assert(rads.forall(r => math.abs(r - mean) < 0.15 * mean),
+          s"pentagon corner radii: ${rads.toList}")
+      }
+    }
+  }
+
+  test("cellBoundaryWkt parses through the engine's WKT surface and " +
+      "its centroid re-indexes to the same cell") {
+    val rnd = new scala.util.Random(808L)
+    for (_ <- 1 to 40) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = 4 + rnd.nextInt(6)
+      val hex = H3.latLngToCellString(lat, lng, res)
+      val wkt = H3.cellBoundaryWkt(hex)
+      assert(wkt.startsWith("POLYGON(("))
+      val Some((cx, cy)) = graft.functions.GeoF.wktCentroid(wkt)
+      assert(H3.latLngToCellString(cy, cx, res) === hex,
+        s"boundary centroid left the cell: $hex")
+    }
+  }
+
   test("regression pin: base cell stable across resolutions at city points") {
     // NOT a general H3 invariant (aperture-7 children overflow their
     // parent, so near res-0 edges the base-cell FIELD may vary with

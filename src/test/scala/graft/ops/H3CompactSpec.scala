@@ -76,6 +76,38 @@ class H3CompactSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("multi-res join over a compacted cover equals the join over the " +
+      "full fine-res cover") {
+    // compact preserves the covered cell set exactly, so joining facts'
+    // parent chains against the compacted cover must select the same
+    // fact/zone pairs as the direct fine-res equi-join — the property
+    // x_h3_multires_join's 100 TB shape rests on
+    import spark.implicits._
+    val wkt = "POLYGON((-0.3 -0.3, 0.3 -0.3, 0.3 0.3, -0.3 0.3, -0.3 -0.3))"
+    val fine = GeoF.h3PolyfillScala(wkt, 6)
+    assert(fine.length > 7, "fixture polygon too small to compact")
+    val cover = H3Compact.compact(
+      fine.map((1, _)).toSeq.toDF("zone_id", "cell"), "cell", 6,
+      Seq("zone_id"))
+    val rnd = new scala.util.Random(41L)
+    val facts = (1 to 200).map { i =>
+      (i, H3.latLngToCellString(
+        rnd.nextDouble() * 0.8 - 0.4, rnd.nextDouble() * 0.8 - 0.4, 6))
+    }.toDF("fact_id", "cell6")
+    val coverRes = cover
+      .select(GeoF.h3Resolution(col("cell")).as("r")).distinct()
+    val viaCompact = facts.crossJoin(broadcast(coverRes))
+      .select(col("fact_id"), GeoF.h3Parent(col("cell6"), col("r")).as("cell"))
+      .join(cover, "cell").select("fact_id", "zone_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val direct = facts
+      .join(fine.map((1, _)).toSeq.toDF("zone_id", "cell6"), "cell6")
+      .select("fact_id", "zone_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(viaCompact === direct)
+    assert(viaCompact.nonEmpty, "no fact landed in the polygon")
+  }
+
   test("compact plans one shuffle per span iteration, with bounded " +
       "group state") {
     val c5 = H3.cellToParentHex(
