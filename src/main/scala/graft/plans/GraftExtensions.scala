@@ -64,6 +64,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("h3_cell_lng"),
       new ExpressionInfo(classOf[H3CenterLng].getName, "h3_cell_lng"),
       (children: Seq[Expression]) => H3CenterLng(children.head)))
+    // hierarchy + boundary (h3lib cellToParent / cellToChildren /
+    // compactCells / cellToBoundary). Parent res is a runtime column
+    // (multi-res cover joins); children res is a literal (the 7^k
+    // fan-out bound belongs in the plan text).
+    ext.injectFunction((
+      FunctionIdentifier("h3_cell_to_parent"),
+      new ExpressionInfo(classOf[H3Parent].getName, "h3_cell_to_parent"),
+      (children: Seq[Expression]) => children match {
+        case Seq(cell, res) => H3Parent(cell, res)
+        case _ => throw new IllegalArgumentException(
+          "h3_cell_to_parent(<string cell>, <int res>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("h3_cell_to_children"),
+      new ExpressionInfo(classOf[H3Children].getName,
+        "h3_cell_to_children"),
+      (children: Seq[Expression]) => children match {
+        case Seq(cell, org.apache.spark.sql.catalyst.expressions
+          .Literal(res: Int, org.apache.spark.sql.types.IntegerType)) =>
+          H3Children(cell, res)
+        case _ => throw new IllegalArgumentException(
+          "h3_cell_to_children(<string cell>, <int literal res>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("h3_compact_cells"),
+      new ExpressionInfo(classOf[H3CompactArray].getName,
+        "h3_compact_cells"),
+      (children: Seq[Expression]) => H3CompactArray(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("h3_cell_boundary"),
+      new ExpressionInfo(classOf[H3Boundary].getName, "h3_cell_boundary"),
+      (children: Seq[Expression]) => H3Boundary(children.head)))
     ext.injectFunction((
       FunctionIdentifier("term_histogram"),
       new ExpressionInfo(classOf[TermHistogram].getName,

@@ -188,6 +188,24 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(1) === 4.0)
   }
 
+  test("GraftExtensions registers the H3 hierarchy + boundary for SQL use") {
+    // SF res-9 cell from the H3 docs; parent/children/compact/boundary
+    // must compose in pure SQL exactly like the column API
+    val r = spark.sql(
+      "SELECT h3_cell_to_parent('8928308280fffff', 5) AS p5," +
+        " size(h3_cell_to_children(h3_cell_to_parent(" +
+        "'8928308280fffff', 7), 8)) AS nk," +
+        " h3_compact_cells(h3_cell_to_children(" +
+        "h3_cell_to_parent('8928308280fffff', 7), 9)) AS comp," +
+        " h3_cell_boundary('8928308280fffff') AS b").head()
+    assert(r.getString(0) ===
+      graft.functions.H3.cellToParentHex("8928308280fffff", 5))
+    assert(r.getInt(1) === 7)
+    assert(r.getSeq[String](2) === Seq(
+      graft.functions.H3.cellToParentHex("8928308280fffff", 7)))
+    assert(r.getString(3).startsWith("POLYGON(("))
+  }
+
   test("ScaleGen copies are join-closed: FK joins scale exactly linearly") {
     import org.apache.spark.sql.functions.col
     val out = s"${sys.props("user.dir")}/target/qtmp/scalegen2x"
