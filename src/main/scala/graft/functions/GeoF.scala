@@ -287,6 +287,15 @@ object GeoF {
       graft.plans.H3Children(
         org.apache.spark.sql.GraftBridge.expression(cell), childRes))
 
+  /** h3lib `gridDistance` — shortest-grid-path length between two
+    * same-res cells ([[H3.gridDistance]], codegen via
+    * [[graft.plans.H3GridDistance]]). */
+  def h3GridDistance(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3GridDistance(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** h3lib `compactCells` over an in-row array of uniform-res cells —
     * the per-ancestor-group kernel of [[graft.ops.H3Compact]]. */
   def h3CompactArray(cells: Column): Column =

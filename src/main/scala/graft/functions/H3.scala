@@ -2048,6 +2048,74 @@ object H3 {
     * [[cellToBoundary]] is a ring whose cells share one chart). */
   private[functions] def chartFace(h: Long): Int = resolveChart(h)._1
 
+  // ------------------------------------------------------------------
+  // Grid distance (h3lib `gridDistance`): length of the shortest
+  // grid path between two same-res cells. Fast path: express both
+  // cells' overage-normalized lattice coordinates in ONE chart —
+  // directly when they share their owning face, else through the
+  // derived face-neighbor isometry (exact by the spec-pinned
+  // cross-chart consistency law) — and read the axial hex distance
+  // off the flat lattice. The flat formula is exact whenever a
+  // shortest path stays inside the shared double-chart and sees no
+  // pentagon (the 12 curvature defects); outside that domain —
+  // pentagon base cells involved, or non-adjacent owning faces — a
+  // bounded BFS over the exact traversal answers instead, and throws
+  // past the cap exactly like h3lib errors on far/distorted pairs.
+  // `GridDistSpec` pins flat == BFS over random pairs incl.
+  // cross-face ones.
+  // ------------------------------------------------------------------
+
+  /** Hex distance on the axial lattice whose unit moves are ±(1,0),
+    * ±(0,1), ±(1,1): same-sign offsets ride the (1,1) diagonal. */
+  @inline private def axialDist(da: Long, db: Long): Long =
+    if ((da >= 0) == (db >= 0)) max(abs(da), abs(db))
+    else abs(da) + abs(db)
+
+  /** BFS distance cap for the exact fallback: beyond this the pair is
+    * rejected (h3lib's gridDistance likewise fails on far pairs). */
+  private val GridDistBfsCap = 64
+
+  def gridDistance(ha: Long, hb: Long): Int = {
+    val res = requireValid(ha)
+    require(requireValid(hb) == res,
+      s"resolution mismatch: ${ha.toHexString} vs ${hb.toHexString}")
+    if (ha == hb) return 0
+    val pentTouched = IsPent(getBaseCell(ha)) || IsPent(getBaseCell(hb))
+    if (!pentTouched) {
+      val (fa, ia, ja, ka, _, _) = resolveChart(ha)
+      val (fb, ib, jb, kb, _, _) = resolveChart(hb)
+      var aA = ia - ka; var aB = ja - ka
+      val bA = ib - kb; val bB = jb - kb
+      if (fa == fb) return axialDist(aA - bA, aB - bB).toInt
+      var e = 0
+      while (e < 3) {
+        if (EdgeFace(fa)(e) == fb) {
+          // p_G = R(60°·c)·p_F + T_r — same map the consistency law pins
+          val c = EdgeRot(fa)(e)(res)
+          var n = 0
+          while (n < c) { val t = aA - aB; aB = aA; aA = t; n += 1 }
+          return axialDist(
+            aA + EdgeTA(fa)(e)(res) - bA,
+            aB + EdgeTB(fa)(e)(res) - bB).toInt
+        }
+        e += 1
+      }
+    }
+    // exact fallback: ring-by-ring BFS (each ring is exact traversal)
+    var k = 1
+    while (k <= GridDistBfsCap) {
+      if (gridDisk(ha, k).contains(hb)) return k
+      k += 1
+    }
+    throw new IllegalArgumentException(
+      f"gridDistance: 0x$ha%x and 0x$hb%x are farther than " +
+        f"$GridDistBfsCap or pentagon-distorted")
+  }
+
+  def gridDistanceHex(a: String, b: String): Int =
+    gridDistance(java.lang.Long.parseUnsignedLong(a, 16),
+      java.lang.Long.parseUnsignedLong(b, 16))
+
   /** WKT POLYGON form of [[cellToBoundary]] (lng-lat vertex order,
     * ring closed) — the export format of the engine's other geometry
     * functions, parseable by [[GeoF.parseRings]]/polyfill. */

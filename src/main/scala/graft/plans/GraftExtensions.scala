@@ -97,6 +97,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[H3Boundary].getName, "h3_cell_boundary"),
       (children: Seq[Expression]) => H3Boundary(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("h3_grid_distance"),
+      new ExpressionInfo(classOf[H3GridDistance].getName,
+        "h3_grid_distance"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => H3GridDistance(a, b)
+        case _ => throw new IllegalArgumentException(
+          "h3_grid_distance(<string cell>, <string cell>)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("term_histogram"),
       new ExpressionInfo(classOf[TermHistogram].getName,
         "term_histogram"),

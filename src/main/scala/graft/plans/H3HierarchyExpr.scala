@@ -143,3 +143,43 @@ object H3CompactArray {
       H3.compactCellsHex(in).map(UTF8String.fromString(_).asInstanceOf[Any]))
   }
 }
+
+/** `h3_grid_distance(a, b)` — h3lib `gridDistance`: shortest-grid-path
+  * length between two same-res cells ([[H3.gridDistance]]: flat chart
+  * formula through the derived face-neighbor isometries, exact-BFS
+  * fallback for pentagon-involved or non-adjacent-chart pairs). The
+  * proximity-filter primitive (`h3_grid_distance(a, b) <= k`) when the
+  * disk-explode join shape doesn't fit. */
+case class H3GridDistance(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"h3_grid_distance expects (string cell, string cell), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    H3.gridDistanceHex(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (aC, bC) => {
+      s"""
+         |${ev.value} = graft.functions.H3.gridDistanceHex(
+         |  $aC.toString(), $bC.toString());
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): H3GridDistance =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "h3_grid_distance"
+}

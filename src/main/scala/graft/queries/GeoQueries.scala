@@ -250,6 +250,33 @@ object GeoQueries {
       .orderBy("zone_id")
   }
 
+  /** h3lib `gridDistance` over the spatial-join candidates: zone pairs
+    * whose res-3 cells sit within grid distance 1 (the same disk-probe
+    * equi-join as `x_h3_spatial_join`), annotated with the EXACT
+    * distance ([[GeoF.h3GridDistance]] — flat chart formula through
+    * the derived isometries, BFS arm for pentagon pairs; 10 of 25
+    * fixture cells sit in pentagon base cells so both arms run). The
+    * proximity-filter primitive when the explode-join shape doesn't
+    * fit. No SQL oracle (no H3 in DuckDB) — rows-only gate; exactness
+    * is spec-pinned against the traversal ground truth in `H3Spec`. */
+  private def h3GridDistanceQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 3).as("cell"))
+    val probes = cells.select(col("zone_id").as("zone_a"),
+      col("cell").as("cell_a"),
+      explode(GeoF.h3GridDisk(col("cell"), 1)).as("cell"))
+    probes
+      .join(cells.select(col("zone_id").as("zone_b"), col("cell")), "cell")
+      .filter(col("zone_a") < col("zone_b"))
+      .select(col("zone_a"), col("zone_b"),
+        GeoF.h3GridDistance(col("cell_a"), col("cell")).as("grid_dist"))
+      .distinct()
+      .orderBy("zone_a", "zone_b", "grid_dist")
+  }
+
   /** h3lib `cellToBoundary` → WKT → back through the engine's OWN WKT
     * surface: each zone's res-5 cell polygon and its planar centroid,
     * which must land back in the same cell — an in-plan closure of
@@ -273,6 +300,7 @@ object GeoQueries {
       .orderBy("zone_id")
 
   val all: Map[String, QueryDef] = Map(
+    "x_h3_grid_distance" -> QueryDef(h3GridDistanceQ, None),
     "x_h3_boundary" -> QueryDef(h3Boundary, None),
     "x_h3_hierarchy" -> QueryDef(h3Hierarchy, Some(H3OracleSql.hierarchy)),
     "x_h3_compact" -> QueryDef(h3CompactQ, Some(H3OracleSql.compact)),

@@ -588,6 +588,53 @@ class H3Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Grid distance
+  // ------------------------------------------------------------------
+  test("gridDistance: equals the ring index of gridDisk (exact-traversal " +
+      "ground truth), symmetric, incl. cross-face and pentagon pairs") {
+    val rnd = new scala.util.Random(20260817L)
+    var crossFace = 0
+    for (_ <- 1 to 60) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = 3 + rnd.nextInt(8)
+      val h = H3.latLngToCell(lat, lng, res)
+      val disk = H3.gridDisk(h, 6)
+      // ring index = BFS depth = true grid distance; every disk member
+      // must agree, whichever internal path (flat chart formula or
+      // BFS fallback) answers
+      val byRing = (0 to 6).map(k => H3.gridDisk(h, k).toSet)
+      for (c <- disk) {
+        val truth = (0 to 6).find(k => byRing(k).contains(c)).get
+        assert(H3.gridDistance(h, c) === truth,
+          f"distance 0x$h%x → 0x$c%x != ring $truth")
+        assert(H3.gridDistance(c, h) === truth, "asymmetric distance")
+        if (H3.chartFace(c) != H3.chartFace(h)) crossFace += 1
+      }
+    }
+    assert(crossFace > 0, "no cross-face pair sampled — weak test")
+  }
+
+  test("gridDistance: pentagon-involved pairs route exactly (BFS arm)") {
+    for ((_, plat, plng) <- H3.pentagonCenters.take(3)) {
+      val h = H3.latLngToCell(plat, plng, 4)
+      assert(H3.isPentagon(h))
+      for (k <- 1 to 3; c <- H3.gridDisk(h, k)
+           if !H3.gridDisk(h, k - 1).contains(c)) {
+        assert(H3.gridDistance(h, c) === k)
+        assert(H3.gridDistance(c, h) === k)
+      }
+    }
+  }
+
+  test("gridDistance rejects mixed resolutions and malformed input") {
+    val a = H3.latLngToCell(10, 10, 5)
+    val b = H3.latLngToCell(10, 10, 6)
+    intercept[IllegalArgumentException] { H3.gridDistance(a, b) }
+    assert(H3.gridDistanceHex(f"$a%x", f"$a%x") === 0)
+  }
+
+  // ------------------------------------------------------------------
   // Boundary
   // ------------------------------------------------------------------
   private def haversine(a: (Double, Double), b: (Double, Double)): Double = {
