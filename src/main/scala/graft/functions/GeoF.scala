@@ -257,7 +257,21 @@ object GeoF {
   /** h3lib `cellToBoundary` as WKT — the cell's polygon (6 corners, 5
     * for pentagons), composable with the WKT surface here (ST_ASTEXT /
     * centroid / polyfill). Backed by [[H3.cellToBoundary]] through the
-    * codegen expression [[graft.plans.H3Boundary]]. */
+    * codegen expression [[graft.plans.H3Boundary]].
+    *
+    * DIVERGENCE FROM h3lib (documented where users see it, per the
+    * round-12 advice): corners are bit-exact H3 geometry on the cell's
+    * owning chart, but corners past an icosahedron edge unproject
+    * through the HOME chart without h3lib's per-face re-projection, and
+    * no edge-crossing distortion vertices are inserted (h3lib emits up
+    * to 10 for face-straddling hexagons); pentagon corners are
+    * spherical centroids of the exact generating center triples.
+    * Boundaries of face-straddling cells are therefore NOT
+    * h3lib-bit-identical, and coverage/containment unions over very
+    * coarse cells (res <= 2, where cells routinely straddle faces) can
+    * show small gaps/overlaps along icosahedron edges. The engine's own
+    * closure laws (centroid re-indexes to the cell; oracle-gated at
+    * res 9 in `x_h3_boundary`) hold everywhere. */
   def h3Boundary(cell: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.H3Boundary(

@@ -1905,7 +1905,13 @@ object H3 {
     val res = requireValid(h)
     require(childRes >= res && childRes <= MaxRes,
       s"child res $childRes out of [$res, $MaxRes]")
-    val out = new Array[Long](childrenSize(h, childRes).toInt)
+    val size = childrenSize(h, childRes)
+    // 7^12 > Int.MaxValue: an unchecked toInt would wrap to a negative
+    // (or wrong-size) array instead of a diagnosable error
+    require(size <= Int.MaxValue,
+      s"cellToChildren: $size children (res $res -> $childRes) exceed " +
+        "array addressing; materialize via uncompact/explode instead")
+    val out = new Array[Long](size.toInt)
     var n = 0
     def rec(cur: Long, r: Int, pentPath: Boolean): Unit = {
       if (r > childRes) { out(n) = cur; n += 1 }
@@ -2048,6 +2054,11 @@ object H3 {
     * [[cellToBoundary]] is a ring whose cells share one chart). */
   private[functions] def chartFace(h: Long): Int = resolveChart(h)._1
 
+  /** Test hook: whether a cell's base cell is in [[PentProximal]] —
+    * the gridDistance flat path's exclusion set. */
+  private[functions] def isPentProximalCell(h: Long): Boolean =
+    PentProximal(getBaseCell(h))
+
   // ------------------------------------------------------------------
   // Grid distance (h3lib `gridDistance`): length of the shortest
   // grid path between two same-res cells. Fast path: express both
@@ -2057,10 +2068,12 @@ object H3 {
   // cross-chart consistency law) — and read the axial hex distance
   // off the flat lattice. The flat formula is exact whenever a
   // shortest path stays inside the shared double-chart and sees no
-  // pentagon (the 12 curvature defects); outside that domain —
-  // pentagon base cells involved, or non-adjacent owning faces — a
-  // bounded BFS over the exact traversal answers instead, and throws
-  // past the cap exactly like h3lib errors on far/distorted pairs.
+  // pentagon (the 12 curvature defects); the guard is therefore on
+  // PROXIMITY, not just endpoint identity — any pair touching a
+  // pentagon base cell OR one of its neighboring base cells (where a
+  // shortest path could still graze the defect) takes the exact BFS
+  // arm; likewise non-adjacent owning faces. The BFS throws past its
+  // cap exactly like h3lib errors on far/distorted pairs.
   // `GridDistSpec` pins flat == BFS over random pairs incl.
   // cross-face ones.
   // ------------------------------------------------------------------
@@ -2075,12 +2088,33 @@ object H3 {
     * rejected (h3lib's gridDistance likewise fails on far pairs). */
   private val GridDistBfsCap = 64
 
+  /** Base cells that are pentagons OR grid-adjacent to one — the flat
+    * fast path's exclusion set. Endpoint base cells being hexagons is
+    * NOT enough: a shortest path between cells in pentagon-ADJACENT
+    * base cells can still route through the pentagon's curvature
+    * defect near an icosahedron vertex, where the 6-regular axial
+    * distance formula undercounts (h3lib errors on such pairs rather
+    * than answer). One full base cell of separation keeps every flat
+    * corridor a base-cell inradius away from the nearest defect
+    * (`GridDistSpec` pins flat == BFS over the remaining domain,
+    * including pairs in this second ring around each pentagon). */
+  private lazy val PentProximal: Array[Boolean] = {
+    val out = new Array[Boolean](NumBaseCells)
+    for (b <- 0 until NumBaseCells if IsPent(b)) {
+      out(b) = true
+      val res0 = (1L << 59) | (b.toLong << 45) | ((1L << 45) - 1)
+      for (nb <- gridRing1(res0)) out(getBaseCell(nb)) = true
+    }
+    out
+  }
+
   def gridDistance(ha: Long, hb: Long): Int = {
     val res = requireValid(ha)
     require(requireValid(hb) == res,
       s"resolution mismatch: ${ha.toHexString} vs ${hb.toHexString}")
     if (ha == hb) return 0
-    val pentTouched = IsPent(getBaseCell(ha)) || IsPent(getBaseCell(hb))
+    val pentTouched =
+      PentProximal(getBaseCell(ha)) || PentProximal(getBaseCell(hb))
     if (!pentTouched) {
       val (fa, ia, ja, ka, _, _) = resolveChart(ha)
       val (fb, ib, jb, kb, _, _) = resolveChart(hb)

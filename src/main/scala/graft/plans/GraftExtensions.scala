@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[H3CompactArray].getName,
         "h3_compact_cells"),
       (children: Seq[Expression]) => H3CompactArray(children.head)))
+    // NOTE: boundary WKT of face-straddling cells is not
+    // h3lib-bit-identical (home-chart unprojection, no distortion
+    // vertices; pentagon corners as spherical centroids) — the full
+    // divergence contract is on GeoF.h3Boundary's scaladoc
     ext.injectFunction((
       FunctionIdentifier("h3_cell_boundary"),
       new ExpressionInfo(classOf[H3Boundary].getName, "h3_cell_boundary"),

@@ -136,6 +136,11 @@ object H3CompactArray {
     val in = new Array[String](cells.numElements())
     var i = 0
     while (i < in.length) {
+      // checkInputDataTypes accepts containsNull arrays (SQL literals
+      // default to it); fail with the function's name, not an NPE
+      if (cells.isNullAt(i))
+        throw new IllegalArgumentException(
+          "h3_compact_cells: null cell id in input array")
       in(i) = cells.getUTF8String(i).toString
       i += 1
     }

@@ -101,10 +101,11 @@ object GeoQueries {
     * primitive of an H3 spatial join, over the same enrichment path the
     * reference indexes (`enrichment_query.py:10,17` stops at the cell;
     * the disk is the natural next operator a geo warehouse needs).
-    * No SQL oracle: DuckDB has no H3 traversal and the id set is not
-    * expressible relationally — the driver records the rows-only
-    * check; the algorithmic gate is `H3Spec`'s traversal properties
-    * (no-false-positives, symmetry, disk counts, pentagon rings). */
+    * Hash-gated since round 12: [[H3OracleSql.ring]] reconstructs the
+    * full disk membership in DuckDB from the SQL forward alone via
+    * probe-grid adjacency witnesses (≥3 boundary crossings per edge) —
+    * `H3Spec`'s traversal properties (symmetry, disk counts, pentagon
+    * rings) remain the algorithmic gate at other resolutions. */
   private def h3Ring(s: SparkSession, dir: String): DataFrame =
     zonesWkt(s, dir)
       .select(col("zone_id"),
@@ -120,7 +121,10 @@ object GeoQueries {
     * cell id. This is the 100 TB shape for proximity joins: cost is
     * collision volume on the cell key (shuffle-hash or broadcast),
     * never an all-pairs distance cross join; ring radius k trades
-    * reach for candidate volume exactly like the LSH band knobs. */
+    * reach for candidate volume exactly like the LSH band knobs.
+    * Hash-gated since round 12 ([[H3OracleSql.spatialJoin]]): DuckDB
+    * re-derives each zone's res-3 cell with the SQL forward and the
+    * adjacency relation with probe-grid boundary witnesses. */
   private def h3SpatialJoin(s: SparkSession, dir: String): DataFrame = {
     val cells = zonesWkt(s, dir)
       .select(col("zone_id"),
@@ -143,10 +147,14 @@ object GeoQueries {
     * At 100 TB the shape is polyfill-the-dimension + equi-join facts
     * indexed by point ([[GeoF.h3Cell]]): containment priced as
     * hash-join collision volume, never per-fact-row point-in-polygon.
-    * No SQL oracle (DuckDB has no H3) — rows-only gate here; the
-    * algorithmic gate is `GeoFSpec`'s soundness/completeness/hole
-    * properties and the count cross-check below is structural (every
-    * 0.5°-square zone at res 5 yields ~8-20 cells). */
+    * Hash-gated since round 12 ([[H3OracleSql.polyfill]]): DuckDB
+    * reconstructs every candidate cell's exact center via staged
+    * digit-0 center-chain probe refinement (res 7 discovery → res
+    * 9/11/13/15, final localization ≤ 6.2e-6° vs a measured 4.3e-5°
+    * worst center-to-boundary margin) and classifies center-in-square
+    * itself — the full membership set under the hash, with
+    * `GeoFSpec`'s soundness/completeness/hole properties as the
+    * algorithmic gate on arbitrary polygons. */
   private def h3Polyfill(s: SparkSession, dir: String): DataFrame =
     zonesWkt(s, dir)
       .select(col("zone_id"),
@@ -257,8 +265,12 @@ object GeoQueries {
     * the derived isometries, BFS arm for pentagon pairs; 10 of 25
     * fixture cells sit in pentagon base cells so both arms run). The
     * proximity-filter primitive when the explode-join shape doesn't
-    * fit. No SQL oracle (no H3 in DuckDB) — rows-only gate; exactness
-    * is spec-pinned against the traversal ground truth in `H3Spec`. */
+    * fit. Hash-gated since round 12 ([[H3OracleSql.gridDistance]]):
+    * the candidate pairs come from a 1-disk join, so their true
+    * distances are exactly {0, 1}, which DuckDB restates from the
+    * probe-witnessed adjacency relation; exactness on longer paths
+    * stays spec-pinned against the traversal ground truth in
+    * `H3Spec`. */
   private def h3GridDistanceQ(s: SparkSession, dir: String): DataFrame = {
     val cells = zonesWkt(s, dir)
       .select(col("zone_id"),
@@ -278,13 +290,25 @@ object GeoQueries {
   }
 
   /** h3lib `cellToBoundary` → WKT → back through the engine's OWN WKT
-    * surface: each zone's res-5 cell polygon and its planar centroid,
-    * which must land back in the same cell — an in-plan closure of
-    * boundary ∘ index ∘ centroid the output exposes directly
-    * (`cell_back` = `cell`). No SQL oracle (DuckDB has no H3
-    * geometry) — rows-only gate; the geometric properties (corner
-    * counts, neighbor-shared corners, center containment, corner
-    * equidistance) are spec-pinned in `H3Spec`. */
+    * surface, under the hash gate since round 12 via CLOSURE columns
+    * ([[H3OracleSql.boundary]]): each zone's res-5 cell polygon is
+    * built in-plan, then the output exposes (a) the ring's vertex
+    * count parsed from the WKT text (7 = closed hexagon) and (b) the
+    * planar WKT centroid re-indexed at res 9, which must equal the
+    * cell's res-9 digit-0 center-chain descendant — i.e. the boundary
+    * centroid must land within ~1% of the cell size from the true
+    * center (measured closure depth is 11, H3FixtureDump). A wrong
+    * corner, a broken ring, or a shifted unprojection moves the
+    * centroid or the comma count and fails the hash. Full corner
+    * geometry needs the inverse projection and stays
+    * SQL-inexpressible; corner-level laws (neighbor-shared corners,
+    * edge-midpoint bijections) are spec-pinned in `H3Spec`. Note the
+    * documented approximations of [[graft.functions.H3.cellToBoundary]]
+    * (home-chart unprojection past icosahedron edges — no distortion
+    * vertices — and pentagon corners as spherical centroids of exact
+    * center triples): WKT of face-straddling cells is NOT
+    * h3lib-bit-identical, which this closure gate tolerates by
+    * construction and the scaladoc there spells out. */
   private def h3Boundary(s: SparkSession, dir: String): DataFrame =
     zonesWkt(s, dir)
       .select(col("zone_id"),
@@ -293,23 +317,31 @@ object GeoQueries {
           GeoF.centroidLng(col("zone_geom")), 5).as("cell"))
       .select(col("zone_id"), col("cell"),
         GeoF.h3Boundary(col("cell")).as("boundary"))
-      .select(col("zone_id"), col("cell"), col("boundary"),
+      .select(col("zone_id"), col("cell"),
+        size(split(col("boundary"), ",")).as("n_pts"),
         GeoF.h3Cell(
           GeoF.centroidLat(col("boundary")),
-          GeoF.centroidLng(col("boundary")), 5).as("cell_back"))
+          GeoF.centroidLng(col("boundary")), 9).as("cell_back9"))
       .orderBy("zone_id")
 
   val all: Map[String, QueryDef] = Map(
-    "x_h3_grid_distance" -> QueryDef(h3GridDistanceQ, None),
-    "x_h3_boundary" -> QueryDef(h3Boundary, None),
+    "x_h3_grid_distance" ->
+      QueryDef(h3GridDistanceQ, Some(H3OracleSql.gridDistance)),
+    "x_h3_boundary" -> QueryDef(h3Boundary, Some(H3OracleSql.boundary)),
     "x_h3_hierarchy" -> QueryDef(h3Hierarchy, Some(H3OracleSql.hierarchy)),
     "x_h3_compact" -> QueryDef(h3CompactQ, Some(H3OracleSql.compact)),
     "x_h3_uncompact" -> QueryDef(h3UncompactQ, Some(H3OracleSql.uncompact)),
     "x_h3_multires_join" ->
-      QueryDef(h3MultiresJoin, Some(H3OracleSql.multiresJoin)),
-    "x_h3_polyfill" -> QueryDef(h3Polyfill, None),
-    "x_h3_ring" -> QueryDef(h3Ring, None),
-    "x_h3_spatial_join" -> QueryDef(h3SpatialJoin, None),
+      QueryDef(h3MultiresJoin, Some(H3OracleSql.multiresJoin),
+        bench = true,
+        benchNote = Some("geo containment chain end-to-end: polyfill -> " +
+          "distributed compact -> parent-explode -> equi-join; the DuckDB " +
+          "comparator prices the same counts as a point-vs-polygon range " +
+          "join, which is what a non-indexed engine pays at scale")),
+    "x_h3_polyfill" -> QueryDef(h3Polyfill, Some(H3OracleSql.polyfill)),
+    "x_h3_ring" -> QueryDef(h3Ring, Some(H3OracleSql.ring)),
+    "x_h3_spatial_join" ->
+      QueryDef(h3SpatialJoin, Some(H3OracleSql.spatialJoin)),
     "f5_wkt_centroid" -> QueryDef(wktCentroid, Some(wktCentroidSql)),
     "f6_hex_index" -> QueryDef(hexIndex, Some(H3OracleSql.f6)),
     "x_h3_roundtrip" -> QueryDef(h3Roundtrip, Some(H3OracleSql.f6))

@@ -16,10 +16,14 @@ package graft.queries
   * start from, analogous to sharing π): the 20 face centers/azimuths
   * (H3 `faceijk.c`), the res-0 gnomonic unit (3−√5)/2, and the
   * base-cell orientation table (`faceIjkBaseCells`/`baseCellData`
-  * content), embedded below as a static 380-row VALUES literal — dumped
-  * ONCE from graft's self-checked derivation (122 cells / 12 pentagons
-  * at the published numbers, end-to-end validated against published H3
-  * vectors in `H3Spec`) and pasted here as fixed text. Everything
+  * content), embedded in [[H3OracleGen]] as a static 380-row VALUES
+  * literal — dumped ONCE from graft's self-checked derivation (122
+  * cells / 12 pentagons at the published numbers, end-to-end validated
+  * against published H3 vectors in `H3Spec`) and fixed as text. Since
+  * round 12 the forward's SQL text is produced by [[H3OracleGen]] at
+  * any odd resolution (verified to reproduce the round-10 handwritten
+  * res-9 text value-for-value before the swap); the probe-grid oracles
+  * below compose it over deterministic point grids. Everything
   * downstream of those constants is independent SQL; a bug in either
   * engine's projection, rounding, digit, or rotation code makes the
   * hashes diverge.
@@ -31,370 +35,20 @@ package graft.queries
   * fixture points sit far from every boundary.
   */
 object H3OracleSql {
-  val f6: String =
-    """WITH pt AS (
+  /** Zone-centroid points in radians — the shared forward input. */
+  private val ptCte: String =
+    """pt AS (
       |  SELECT n_nationkey AS zone_id,
       |         (n_nationkey * 0.5 - 6.0) / 180.0 * pi() AS phi,
       |         (n_nationkey * 1.5 - 18.0) / 180.0 * pi() AS lam
       |  FROM nation
-      |), faces(f, flat, flng, faz) AS (VALUES
-      |    (0, 0.80358264971899, 1.2483974196173961, 5.6199582685239395),
-      |    (1, 1.3077478834556382, 2.5369450098779214, 5.7603390817141875),
-      |    (2, 1.054751253523952, -1.3475173589003966, 0.78021365439343),
-      |    (3, 0.6001915955381868, -0.45060390946975576, 0.4304693639799999),
-      |    (4, 0.49171542819877384, 0.40198820291130694, 6.130269123335111),
-      |    (5, 0.1727453274156187, 1.6781468852804338, 2.692877706530643),
-      |    (6, 0.6059293215713507, 2.9539233298124117, 2.982963003477244),
-      |    (7, 0.42737051832897965, -1.8888762003362853, 3.532912002790141),
-      |    (8, -0.07906611854921283, -0.7334295133808677, 3.494305004259568),
-      |    (9, -0.23096164445538364, 0.506495587332349, 3.0032141694995382),
-      |    (10, 0.07906611854921283, 2.4081631402089254, 5.930472956509812),
-      |    (11, 0.23096164445538364, -2.635097066257444, 0.13837848409025486),
-      |    (12, -0.1727453274156187, -1.4634457683093596, 0.4487149470591504),
-      |    (13, -0.6059293215713507, -0.18766932377738163, 0.15862965011254937),
-      |    (14, -0.42737051832897965, 1.2527164532535078, 5.891865957979238),
-      |    (15, -0.6001915955381868, 2.6909887441200375, 2.711123289609793),
-      |    (16, -0.49171542819877384, -2.7396044506784865, 3.294508837434268),
-      |    (17, -0.80358264971899, -1.8931952339723972, 3.80481969224544),
-      |    (18, -1.3077478834556382, -0.6046476437118721, 3.6644388790551923),
-      |    (19, -1.054751253523952, 1.7940752946893965, 2.361378999196363)
-      |), bctab(bf, bi, bj, bk, bc, brot, bpent, bcw) AS (VALUES
-      |    (0,0,0,0,16,0,0,0), (0,0,0,1,18,0,0,0), (0,0,0,2,24,0,1,0), (0,0,1,0,33,0,0,0), (0,0,1,1,30,0,0,0), (0,0,1,2,32,3,0,0),
-      |    (0,0,2,0,49,1,1,1), (0,0,2,1,48,3,0,0), (0,0,2,2,50,3,0,0), (0,1,0,0,8,0,0,0), (0,1,0,1,5,0,0,0), (0,1,0,2,10,5,0,0),
-      |    (0,1,1,0,22,0,0,0), (0,1,2,0,41,1,0,0), (0,2,0,0,4,0,1,0), (0,2,0,1,0,5,0,0), (0,2,0,2,2,5,0,0), (0,2,1,0,15,1,0,0),
-      |    (0,2,2,0,31,1,0,0), (1,0,0,0,2,0,0,0), (1,0,0,1,6,0,0,0), (1,0,0,2,14,0,1,0), (1,0,1,0,10,0,0,0), (1,0,1,1,11,0,0,0),
-      |    (1,0,1,2,17,3,0,0), (1,0,2,0,24,1,1,1), (1,0,2,1,23,3,0,0), (1,0,2,2,25,3,0,0), (1,1,0,0,0,0,0,0), (1,1,0,1,1,0,0,0),
-      |    (1,1,0,2,9,5,0,0), (1,1,1,0,5,1,0,0), (1,1,2,0,18,1,0,0), (1,2,0,0,4,1,1,0), (1,2,0,1,3,5,0,0), (1,2,0,2,7,5,0,0),
-      |    (1,2,1,0,8,1,0,0), (1,2,2,0,16,1,0,0), (2,0,0,0,7,0,0,0), (2,0,0,1,21,0,0,0), (2,0,0,2,38,0,1,0), (2,0,1,0,9,0,0,0),
-      |    (2,0,1,1,19,0,0,0), (2,0,1,2,34,3,0,0), (2,0,2,0,14,1,1,1), (2,0,2,1,20,3,0,0), (2,0,2,2,36,3,0,0), (2,1,0,0,3,0,0,0),
-      |    (2,1,0,1,13,0,0,0), (2,1,0,2,29,5,0,0), (2,1,1,0,1,1,0,0), (2,1,2,0,6,1,0,0), (2,2,0,0,4,2,1,0), (2,2,0,1,12,5,0,0),
-      |    (2,2,0,2,26,5,0,0), (2,2,1,0,0,1,0,0), (2,2,2,0,2,1,0,0), (3,0,0,0,26,0,0,0), (3,0,0,1,42,0,0,0), (3,0,0,2,58,0,1,0),
-      |    (3,0,1,0,29,0,0,0), (3,0,1,1,43,0,0,0), (3,0,1,2,62,3,0,0), (3,0,2,0,38,1,1,1), (3,0,2,1,47,3,0,0), (3,0,2,2,64,3,0,0),
-      |    (3,1,0,0,12,0,0,0), (3,1,0,1,28,0,0,0), (3,1,0,2,44,5,0,0), (3,1,1,0,13,1,0,0), (3,1,2,0,21,1,0,0), (3,2,0,0,4,3,1,0),
-      |    (3,2,0,1,15,5,0,0), (3,2,0,2,31,5,0,0), (3,2,1,0,3,1,0,0), (3,2,2,0,7,1,0,0), (4,0,0,0,31,0,0,0), (4,0,0,1,41,0,0,0),
-      |    (4,0,0,2,49,0,1,0), (4,0,1,0,44,0,0,0), (4,0,1,1,53,0,0,0), (4,0,1,2,61,3,0,0), (4,0,2,0,58,1,1,1), (4,0,2,1,65,3,0,0),
-      |    (4,0,2,2,75,3,0,0), (4,1,0,0,15,0,0,0), (4,1,0,1,22,5,0,0), (4,1,0,2,33,5,0,0), (4,1,1,0,28,1,0,0), (4,1,2,0,42,1,0,0),
-      |    (4,2,0,0,4,4,1,0), (4,2,0,1,8,5,0,0), (4,2,0,2,16,5,0,0), (4,2,1,0,12,1,0,0), (4,2,2,0,26,1,0,0), (5,0,0,0,50,0,0,0),
-      |    (5,0,0,1,48,0,0,0), (5,0,0,2,49,3,1,0), (5,0,1,0,32,0,0,0), (5,0,1,1,30,3,0,0), (5,0,1,2,33,3,0,0), (5,0,2,0,24,3,1,1),
-      |    (5,0,2,1,18,3,0,0), (5,0,2,2,16,3,0,0), (5,1,0,0,70,0,0,0), (5,1,0,1,67,0,0,0), (5,1,0,2,66,3,0,0), (5,1,1,0,52,0,0,0),
-      |    (5,1,2,0,37,3,0,0), (5,2,0,0,83,0,1,0), (5,2,0,1,87,3,0,0), (5,2,0,2,85,3,0,0), (5,2,1,0,74,3,0,0), (5,2,2,0,57,3,0,0),
-      |    (6,0,0,0,25,0,0,0), (6,0,0,1,23,0,0,0), (6,0,0,2,24,3,1,0), (6,0,1,0,17,0,0,0), (6,0,1,1,11,3,0,0), (6,0,1,2,10,3,0,0),
-      |    (6,0,2,0,14,3,1,1), (6,0,2,1,6,3,0,0), (6,0,2,2,2,3,0,0), (6,1,0,0,45,0,0,0), (6,1,0,1,39,0,0,0), (6,1,0,2,37,3,0,0),
-      |    (6,1,1,0,35,0,0,0), (6,1,2,0,27,3,0,0), (6,2,0,0,63,0,1,0), (6,2,0,1,59,3,0,0), (6,2,0,2,57,3,0,0), (6,2,1,0,56,3,0,0),
-      |    (6,2,2,0,46,3,0,0), (7,0,0,0,36,0,0,0), (7,0,0,1,20,0,0,0), (7,0,0,2,14,3,1,0), (7,0,1,0,34,0,0,0), (7,0,1,1,19,3,0,0),
-      |    (7,0,1,2,9,3,0,0), (7,0,2,0,38,3,1,1), (7,0,2,1,21,3,0,0), (7,0,2,2,7,3,0,0), (7,1,0,0,55,0,0,0), (7,1,0,1,40,0,0,0),
-      |    (7,1,0,2,27,3,0,0), (7,1,1,0,54,0,0,0), (7,1,2,0,51,3,0,0), (7,2,0,0,72,0,1,0), (7,2,0,1,60,3,0,0), (7,2,0,2,46,3,0,0),
-      |    (7,2,1,0,73,3,0,0), (7,2,2,0,71,3,0,0), (8,0,0,0,64,0,0,0), (8,0,0,1,47,0,0,0), (8,0,0,2,38,3,1,0), (8,0,1,0,62,0,0,0),
-      |    (8,0,1,1,43,3,0,0), (8,0,1,2,29,3,0,0), (8,0,2,0,58,3,1,1), (8,0,2,1,42,3,0,0), (8,0,2,2,26,3,0,0), (8,1,0,0,84,0,0,0),
-      |    (8,1,0,1,69,0,0,0), (8,1,0,2,51,3,0,0), (8,1,1,0,82,0,0,0), (8,1,2,0,76,3,0,0), (8,2,0,0,97,0,1,0), (8,2,0,1,89,3,0,0),
-      |    (8,2,0,2,71,3,0,0), (8,2,1,0,98,3,0,0), (8,2,2,0,96,3,0,0), (9,0,0,0,75,0,0,0), (9,0,0,1,65,0,0,0), (9,0,0,2,58,3,1,0),
-      |    (9,0,1,0,61,0,0,0), (9,0,1,1,53,3,0,0), (9,0,1,2,44,3,0,0), (9,0,2,0,49,3,1,1), (9,0,2,1,41,3,0,0), (9,0,2,2,31,3,0,0),
-      |    (9,1,0,0,94,0,0,0), (9,1,0,1,86,0,0,0), (9,1,0,2,76,3,0,0), (9,1,1,0,81,0,0,0), (9,1,2,0,66,3,0,0), (9,2,0,0,107,0,1,0),
-      |    (9,2,0,1,104,3,0,0), (9,2,0,2,96,3,0,0), (9,2,1,0,101,3,0,0), (9,2,2,0,85,3,0,0), (10,0,0,0,57,0,0,0), (10,0,0,1,59,0,0,0),
-      |    (10,0,0,2,63,3,1,0), (10,0,1,0,74,0,0,0), (10,0,1,1,78,0,0,0), (10,0,1,2,79,3,0,0), (10,0,2,0,83,3,1,1), (10,0,2,1,92,3,0,0),
-      |    (10,0,2,2,95,3,0,0), (10,1,0,0,37,0,0,0), (10,1,0,1,39,3,0,0), (10,1,0,2,45,3,0,0), (10,1,1,0,52,3,0,0), (10,1,2,0,70,3,0,0),
-      |    (10,2,0,0,24,0,1,0), (10,2,0,1,23,3,0,0), (10,2,0,2,25,3,0,0), (10,2,1,0,32,3,0,0), (10,2,2,0,50,3,0,0), (11,0,0,0,46,0,0,0),
-      |    (11,0,0,1,60,0,0,0), (11,0,0,2,72,3,1,0), (11,0,1,0,56,0,0,0), (11,0,1,1,68,0,0,0), (11,0,1,2,80,3,0,0), (11,0,2,0,63,3,1,1),
-      |    (11,0,2,1,77,3,0,0), (11,0,2,2,90,3,0,0), (11,1,0,0,27,0,0,0), (11,1,0,1,40,3,0,0), (11,1,0,2,55,3,0,0), (11,1,1,0,35,3,0,0),
-      |    (11,1,2,0,45,3,0,0), (11,2,0,0,14,0,1,0), (11,2,0,1,20,3,0,0), (11,2,0,2,36,3,0,0), (11,2,1,0,17,3,0,0), (11,2,2,0,25,3,0,0),
-      |    (12,0,0,0,71,0,0,0), (12,0,0,1,89,0,0,0), (12,0,0,2,97,3,1,0), (12,0,1,0,73,0,0,0), (12,0,1,1,91,0,0,0), (12,0,1,2,103,3,0,0),
-      |    (12,0,2,0,72,3,1,1), (12,0,2,1,88,3,0,0), (12,0,2,2,105,3,0,0), (12,1,0,0,51,0,0,0), (12,1,0,1,69,3,0,0), (12,1,0,2,84,3,0,0),
-      |    (12,1,1,0,54,3,0,0), (12,1,2,0,55,3,0,0), (12,2,0,0,38,0,1,0), (12,2,0,1,47,3,0,0), (12,2,0,2,64,3,0,0), (12,2,1,0,34,3,0,0),
-      |    (12,2,2,0,36,3,0,0), (13,0,0,0,96,0,0,0), (13,0,0,1,104,0,0,0), (13,0,0,2,107,3,1,0), (13,0,1,0,98,0,0,0), (13,0,1,1,110,0,0,0),
-      |    (13,0,1,2,115,3,0,0), (13,0,2,0,97,3,1,1), (13,0,2,1,111,3,0,0), (13,0,2,2,119,3,0,0), (13,1,0,0,76,0,0,0), (13,1,0,1,86,3,0,0),
-      |    (13,1,0,2,94,3,0,0), (13,1,1,0,82,3,0,0), (13,1,2,0,84,3,0,0), (13,2,0,0,58,0,1,0), (13,2,0,1,65,3,0,0), (13,2,0,2,75,3,0,0),
-      |    (13,2,1,0,62,3,0,0), (13,2,2,0,64,3,0,0), (14,0,0,0,85,0,0,0), (14,0,0,1,87,0,0,0), (14,0,0,2,83,3,1,0), (14,0,1,0,101,0,0,0),
-      |    (14,0,1,1,102,0,0,0), (14,0,1,2,100,3,0,0), (14,0,2,0,107,3,1,1), (14,0,2,1,112,3,0,0), (14,0,2,2,114,3,0,0), (14,1,0,0,66,0,0,0),
-      |    (14,1,0,1,67,3,0,0), (14,1,0,2,70,3,0,0), (14,1,1,0,81,3,0,0), (14,1,2,0,94,3,0,0), (14,2,0,0,49,0,1,0), (14,2,0,1,48,3,0,0),
-      |    (14,2,0,2,50,3,0,0), (14,2,1,0,61,3,0,0), (14,2,2,0,75,3,0,0), (15,0,0,0,95,0,0,0), (15,0,0,1,92,0,0,0), (15,0,0,2,83,0,1,0),
-      |    (15,0,1,0,79,0,0,0), (15,0,1,1,78,3,0,0), (15,0,1,2,74,3,0,0), (15,0,2,0,63,1,1,1), (15,0,2,1,59,3,0,0), (15,0,2,2,57,3,0,0),
-      |    (15,1,0,0,109,0,0,0), (15,1,0,1,108,0,0,0), (15,1,0,2,100,5,0,0), (15,1,1,0,93,0,0,0), (15,1,2,0,77,1,0,0), (15,2,0,0,117,0,1,0),
-      |    (15,2,0,1,118,5,0,0), (15,2,0,2,114,5,0,0), (15,2,1,0,106,1,0,0), (15,2,2,0,90,1,0,0), (16,0,0,0,90,0,0,0), (16,0,0,1,77,0,0,0),
-      |    (16,0,0,2,63,0,1,0), (16,0,1,0,80,0,0,0), (16,0,1,1,68,3,0,0), (16,0,1,2,56,3,0,0), (16,0,2,0,72,1,1,1), (16,0,2,1,60,3,0,0),
-      |    (16,0,2,2,46,3,0,0), (16,1,0,0,106,0,0,0), (16,1,0,1,93,5,0,0), (16,1,0,2,79,5,0,0), (16,1,1,0,99,0,0,0), (16,1,2,0,88,1,0,0),
-      |    (16,2,0,0,117,4,1,0), (16,2,0,1,109,5,0,0), (16,2,0,2,95,5,0,0), (16,2,1,0,113,1,0,0), (16,2,2,0,105,1,0,0), (17,0,0,0,105,0,0,0),
-      |    (17,0,0,1,88,0,0,0), (17,0,0,2,72,0,1,0), (17,0,1,0,103,0,0,0), (17,0,1,1,91,3,0,0), (17,0,1,2,73,3,0,0), (17,0,2,0,97,1,1,1),
-      |    (17,0,2,1,89,3,0,0), (17,0,2,2,71,3,0,0), (17,1,0,0,113,0,0,0), (17,1,0,1,99,5,0,0), (17,1,0,2,80,5,0,0), (17,1,1,0,116,0,0,0),
-      |    (17,1,2,0,111,1,0,0), (17,2,0,0,117,3,1,0), (17,2,0,1,106,5,0,0), (17,2,0,2,90,5,0,0), (17,2,1,0,121,1,0,0), (17,2,2,0,119,1,0,0),
-      |    (18,0,0,0,119,0,0,0), (18,0,0,1,111,0,0,0), (18,0,0,2,97,0,1,0), (18,0,1,0,115,0,0,0), (18,0,1,1,110,3,0,0), (18,0,1,2,98,3,0,0),
-      |    (18,0,2,0,107,1,1,1), (18,0,2,1,104,3,0,0), (18,0,2,2,96,3,0,0), (18,1,0,0,121,0,0,0), (18,1,0,1,116,5,0,0), (18,1,0,2,103,5,0,0),
-      |    (18,1,1,0,120,0,0,0), (18,1,2,0,112,1,0,0), (18,2,0,0,117,2,1,0), (18,2,0,1,113,5,0,0), (18,2,0,2,105,5,0,0), (18,2,1,0,118,1,0,0),
-      |    (18,2,2,0,114,1,0,0), (19,0,0,0,114,0,0,0), (19,0,0,1,112,0,0,0), (19,0,0,2,107,0,1,0), (19,0,1,0,100,0,0,0), (19,0,1,1,102,3,0,0),
-      |    (19,0,1,2,101,3,0,0), (19,0,2,0,83,1,1,1), (19,0,2,1,87,3,0,0), (19,0,2,2,85,3,0,0), (19,1,0,0,118,0,0,0), (19,1,0,1,120,5,0,0),
-      |    (19,1,0,2,115,5,0,0), (19,1,1,0,108,1,0,0), (19,1,2,0,92,1,0,0), (19,2,0,0,117,1,1,0), (19,2,0,1,121,5,0,0), (19,2,0,2,119,5,0,0),
-      |    (19,2,1,0,109,1,0,0), (19,2,2,0,95,1,0,0)
-      |), facepick AS (
-      |  SELECT zone_id, phi, lam,
-      |         arg_max(f, cos(phi)*cos(flat)*cos(lam - flng) + sin(phi)*sin(flat)) AS face,
-      |         max(cos(phi)*cos(flat)*cos(lam - flng) + sin(phi)*sin(flat)) AS dot
-      |  FROM pt CROSS JOIN faces
-      |  GROUP BY zone_id, phi, lam
-      |), proj AS (
-      |  -- gnomonic projection into the face plane, Class III rotation (res 9 odd),
-      |  -- aperture-7 scaling by sqrt(7) per res step
-      |  SELECT p.zone_id, p.face,
-      |         CASE WHEN acos(greatest(-1.0, least(1.0, dot))) < 1e-15 THEN 0.0
-      |              ELSE tan(acos(greatest(-1.0, least(1.0, dot)))) / 0.38196601125010500003
-      |                   * sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)
-      |                   * cos(theta) END AS hx,
-      |         CASE WHEN acos(greatest(-1.0, least(1.0, dot))) < 1e-15 THEN 0.0
-      |              ELSE tan(acos(greatest(-1.0, least(1.0, dot)))) / 0.38196601125010500003
-      |                   * sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)*sqrt(7)
-      |                   * sin(theta) END AS hy
-      |  FROM (
-      |    SELECT zone_id, face, dot,
-      |           -- theta = posAngle(faz - posAngle(az)) - asin(sqrt(3/28))  [Class III]
-      |           CASE WHEN m2 < 0 THEN m2 + 2*pi() ELSE m2 END AS theta
-      |    FROM (
-      |      SELECT zone_id, face, dot,
-      |             fmod(faz - (CASE WHEN m1 < 0 THEN m1 + 2*pi() ELSE m1 END)
-      |                  - asin(sqrt(3.0/28.0)) + 2*pi(), 2*pi()) AS m2
-      |      FROM (
-      |        SELECT fp.zone_id, fp.face, fp.dot, fc.faz,
-      |               fmod(atan2(cos(phi)*sin(lam - fc.flng),
-      |                          cos(fc.flat)*sin(phi)
-      |                          - sin(fc.flat)*cos(phi)*cos(lam - fc.flng)), 2*pi()) AS m1
-      |        FROM facepick fp JOIN faces fc ON fc.f = fp.face
-      |      )
-      |    )
-      |  ) p
-      |), rounded AS (
-      |  -- exact nearest hex center over the 4 enclosing parallelogram corners
-      |  SELECT zone_id, face,
-      |         CAST(best // 2147483648 AS BIGINT) - 1073741824 AS bi2,
-      |         fmod_j - 1073741824 AS bj2
-      |  FROM (
-      |    SELECT zone_id, face, best, CAST(best % 2147483648 AS BIGINT) AS fmod_j
-      |    FROM (
-      |      SELECT zone_id, face,
-      |             arg_min((ci + 1073741824) * 2147483648 + (cj + 1073741824),
-      |                     (ci - 0.5*cj - hx)*(ci - 0.5*cj - hx)
-      |                     + (cj*sqrt(3.0)/2.0 - hy)*(cj*sqrt(3.0)/2.0 - hy)) AS best
-      |      FROM (
-      |        SELECT zone_id, face, hx, hy,
-      |               CAST(floor(hx + (hy / (sqrt(3.0)/2.0)) * 0.5) AS BIGINT) + dx AS ci,
-      |               CAST(floor(hy / (sqrt(3.0)/2.0)) AS BIGINT) + dy AS cj
-      |        FROM proj CROSS JOIN (VALUES (0,0),(1,0),(0,1),(1,1)) corners(dx, dy)
-      |      )
-      |      GROUP BY zone_id, face
-      |    )
-      |  )
-      |), s9 AS (
-      |  SELECT zone_id, face, bi2 - m AS i, bj2 - m AS j, -m AS k
-      |  FROM (SELECT *, least(bi2, bj2, 0) AS m FROM rounded)
-      |),
-      |d9a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((3.0*ai - aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((ai + 2.0*aj)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s9)
-      |), d9b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d9a)
-      |), d9c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uj AS ci0, 3*uj + uk AS cj0, ui + 3*uk AS ck0
-      |  FROM d9b
-      |), s8 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d9
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d9c)
-      |),
-      |d8a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((2.0*ai + aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((3.0*aj - ai)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s8)
-      |), d8b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d8a)
-      |), d8c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uk AS ci0, ui + 3*uj AS cj0, uj + 3*uk AS ck0
-      |  FROM d8b
-      |), s7 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d8
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d8c)
-      |),
-      |d7a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((3.0*ai - aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((ai + 2.0*aj)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s7)
-      |), d7b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d7a)
-      |), d7c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uj AS ci0, 3*uj + uk AS cj0, ui + 3*uk AS ck0
-      |  FROM d7b
-      |), s6 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d7
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d7c)
-      |),
-      |d6a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((2.0*ai + aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((3.0*aj - ai)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s6)
-      |), d6b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d6a)
-      |), d6c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uk AS ci0, ui + 3*uj AS cj0, uj + 3*uk AS ck0
-      |  FROM d6b
-      |), s5 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d6
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d6c)
-      |),
-      |d5a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((3.0*ai - aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((ai + 2.0*aj)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s5)
-      |), d5b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d5a)
-      |), d5c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uj AS ci0, 3*uj + uk AS cj0, ui + 3*uk AS ck0
-      |  FROM d5b
-      |), s4 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d5
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d5c)
-      |),
-      |d4a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((2.0*ai + aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((3.0*aj - ai)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s4)
-      |), d4b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d4a)
-      |), d4c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uk AS ci0, ui + 3*uj AS cj0, uj + 3*uk AS ck0
-      |  FROM d4b
-      |), s3 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d4
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d4c)
-      |),
-      |d3a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((3.0*ai - aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((ai + 2.0*aj)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s3)
-      |), d3b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d3a)
-      |), d3c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uj AS ci0, 3*uj + uk AS cj0, ui + 3*uk AS ck0
-      |  FROM d3b
-      |), s2 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d3
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d3c)
-      |),
-      |d2a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((2.0*ai + aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((3.0*aj - ai)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s2)
-      |), d2b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d2a)
-      |), d2c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uk AS ci0, ui + 3*uj AS cj0, uj + 3*uk AS ck0
-      |  FROM d2b
-      |), s1 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d2
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d2c)
-      |),
-      |d1a AS (
-      |  SELECT zone_id, i AS li, j AS lj, k AS lk,
-      |         CAST(floor((3.0*ai - aj)/7.0 + 0.5) AS BIGINT) AS ui0, CAST(floor((ai + 2.0*aj)/7.0 + 0.5) AS BIGINT) AS uj0
-      |  FROM (SELECT zone_id, i, j, k,
-      |               CAST(i - k AS DOUBLE) AS ai, CAST(j - k AS DOUBLE) AS aj
-      |        FROM s1)
-      |), d1b AS (
-      |  SELECT zone_id, li, lj, lk,
-      |         ui0 - m AS ui, uj0 - m AS uj, -m AS uk
-      |  FROM (SELECT *, least(ui0, uj0, 0) AS m FROM d1a)
-      |), d1c AS (
-      |  SELECT zone_id, li, lj, lk, ui, uj, uk,
-      |         3*ui + uj AS ci0, 3*uj + uk AS cj0, ui + 3*uk AS ck0
-      |  FROM d1b
-      |), s0 AS (
-      |  SELECT zone_id, ui AS i, uj AS j, uk AS k,
-      |         4*(li - ci0 - m2) + 2*(lj - cj0 - m2) + (lk - ck0 - m2) AS d1
-      |  FROM (SELECT *, least(li - ci0, lj - cj0, lk - ck0) AS m2 FROM d1c)
-      |),
-      |asm AS (
-      |  SELECT s.zone_id, s9.face, s.i, s.j, s.k,
-      |         [t1.d1, t2.d2, t3.d3, t4.d4, t5.d5, t6.d6, t7.d7, t8.d8, t9.d9] AS digits
-      |  FROM s0 s
-      |  JOIN s9 USING (zone_id)
-      |  JOIN (SELECT zone_id, d9 FROM s8) t9 USING (zone_id)
-      |JOIN (SELECT zone_id, d8 FROM s7) t8 USING (zone_id)
-      |JOIN (SELECT zone_id, d7 FROM s6) t7 USING (zone_id)
-      |JOIN (SELECT zone_id, d6 FROM s5) t6 USING (zone_id)
-      |JOIN (SELECT zone_id, d5 FROM s4) t5 USING (zone_id)
-      |JOIN (SELECT zone_id, d4 FROM s3) t4 USING (zone_id)
-      |JOIN (SELECT zone_id, d3 FROM s2) t3 USING (zone_id)
-      |JOIN (SELECT zone_id, d2 FROM s1) t2 USING (zone_id)
-      |JOIN (SELECT zone_id, d1 FROM s0) t1 USING (zone_id)
-      |), looked AS (
-      |  SELECT asm.zone_id, asm.digits, bc, brot AS rot,
-      |         bpent = 1 AS pent, bcw = 1 AS cwoff
-      |  FROM asm JOIN bctab ON bf = face AND bi = i AND bj = j AND bk = k
-      |), p0 AS (
-      |  -- pentagon leading-K escape: one cw or ccw 60-degree rotation when
-      |  -- the raw leading digit is the deleted K axis
-      |  SELECT zone_id, bc, rot, pent, digits,
-      |         CASE WHEN pent AND coalesce(list_filter(digits, d -> d != 0)[1], 0) = 1
-      |              THEN CASE WHEN cwoff THEN list_transform(digits, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 5) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) ELSE list_transform(digits, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) END
-      |              ELSE digits END AS pd0
-      |  FROM looked
-      |), p1 AS (SELECT *, CASE WHEN pent AND rot >= 1 THEN CASE WHEN coalesce(list_filter(list_transform(pd0, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END), d -> d != 0)[1], 0) = 1 THEN list_transform(list_transform(pd0, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END), d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) ELSE list_transform(pd0, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) END ELSE pd0 END AS pd1 FROM p0
-      |), p2 AS (SELECT *, CASE WHEN pent AND rot >= 2 THEN CASE WHEN coalesce(list_filter(list_transform(pd1, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END), d -> d != 0)[1], 0) = 1 THEN list_transform(list_transform(pd1, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END), d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) ELSE list_transform(pd1, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) END ELSE pd1 END AS pd2 FROM p1
-      |), p3 AS (SELECT *, CASE WHEN pent AND rot >= 3 THEN CASE WHEN coalesce(list_filter(list_transform(pd2, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END), d -> d != 0)[1], 0) = 1 THEN list_transform(list_transform(pd2, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END), d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) ELSE list_transform(pd2, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) END ELSE pd2 END AS pd3 FROM p2
-      |), p4 AS (SELECT *, CASE WHEN pent AND rot >= 4 THEN CASE WHEN coalesce(list_filter(list_transform(pd3, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END), d -> d != 0)[1], 0) = 1 THEN list_transform(list_transform(pd3, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END), d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) ELSE list_transform(pd3, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + 1) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) END ELSE pd3 END AS pd4 FROM p3
-      |), fin AS (
-      |  SELECT zone_id,
-      |         576460752303423488 + 9 * 4503599627370496
-      |         + bc * 35184372088832
-      |         + list_sum(list_transform(
-      |             CASE WHEN pent THEN pd4 ELSE list_transform(digits, d -> CASE WHEN d = 0 THEN 0 ELSE (CASE ((CASE d WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 END) + rot) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 WHEN 5 THEN 3 END) END) END,
-      |             (d, idx) -> d * CAST(round(power(8.0, 15 - idx)) AS BIGINT)))
-      |         + 262143 AS h
-      |  FROM p4
-      |)
-      |SELECT zone_id, lower(hex(h)) AS h3_9 FROM fin ORDER BY zone_id""".stripMargin
+      |)""".stripMargin
+
+  val f6: String =
+    s"""WITH ${H3OracleGen.constCtes},
+       |$ptCte${H3OracleGen.forward("pt", 9, Seq("zone_id"), "fwd")}
+       |SELECT zone_id, lower(hex(h)) AS h3_9 FROM fwd ORDER BY zone_id"""
+      .stripMargin
 
   // ------------------------------------------------------------------
   // Hierarchy oracles (round 12). The H3 index IS the hierarchy —
@@ -511,10 +165,272 @@ object H3OracleSql {
     * their zone's 0.25°-half-width square while a res-6 cell's
     * circumradius is ~0.03°, so every fact's cell CENTER is inside the
     * zone polygon and the polyfill→compact→parent-chain join counts
-    * exactly the per-zone fact population — which the oracle states
-    * directly, with no H3 at all. */
+    * exactly the per-zone fact population. The oracle (since round 12,
+    * now also the bench comparator) states that count the way a
+    * non-indexed engine would have to: recompute each fact's point and
+    * RANGE-JOIN it against every zone polygon — genuine
+    * point-in-polygon pricing (the zones are axis-aligned squares, so
+    * the polygon test is two interval predicates), no H3 anywhere.
+    * Spark's plan instead pays hash-join collision volume on a
+    * compacted cell cover; the bench ratio is exactly the
+    * "containment priced as hash join" claim, measured. */
   val multiresJoin: String =
-    """SELECT n_nationkey AS zone_id, count(*) AS n_facts
-      |FROM customer JOIN nation ON c_custkey % 25 = n_nationkey
+    """WITH facts AS (
+      |  SELECT c_custkey AS fact_id,
+      |         (c_custkey % 25) * 0.5 - 6.0
+      |           + (((c_custkey * 7919) % 31) - 15.0) * 0.01 AS lat,
+      |         (c_custkey % 25) * 1.5 - 18.0
+      |           + (((c_custkey * 104729) % 31) - 15.0) * 0.01 AS lng
+      |  FROM customer
+      |)
+      |SELECT n_nationkey AS zone_id, count(*) AS n_facts
+      |FROM facts f JOIN nation n
+      |  ON f.lat BETWEEN n_nationkey * 0.5 - 6.25 AND n_nationkey * 0.5 - 5.75
+      | AND f.lng BETWEEN n_nationkey * 1.5 - 18.25 AND n_nationkey * 1.5 - 17.75
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Probe-grid oracles (round 12) for the five formerly rows-only H3
+  // queries. The only H3 machinery DuckDB runs is the FORWARD
+  // ([[H3OracleGen.forward]]) over deterministic point grids — no
+  // traversal, no inverse, no boundary code in SQL. Two reconstruction
+  // principles, both engine-independent:
+  //
+  //  * ADJACENCY (ring / spatial join / grid distance): two cells are
+  //    grid-adjacent iff they share an edge, and a fine point grid
+  //    crossing that edge yields many adjacent-probe pairs labeled
+  //    with the two ids. In a hexagonal tessellation exactly 3 cells
+  //    meet at each vertex and all three are pairwise edge-adjacent,
+  //    so non-adjacent cells never touch — the nearest "false" pair
+  //    (grid distance 2) is separated by an intervening corridor
+  //    ≥ 0.03° wide at res 5, vs probe step 0.008°. A ≥3-witness
+  //    threshold additionally absorbs any single misrounded probe on
+  //    a cell boundary. Shared-edge length ≥ 0.07° at res 5 projects
+  //    ≥ 0.05° on one axis → ≥ 6 true witnesses, so no false negative.
+  //
+  //  * CENTERS (polyfill): the aperture-7 digit-0 child shares its
+  //    parent's center EXACTLY, so a probe whose forward id has
+  //    digits 6..r all zero lies inside the res-r center-chain cell
+  //    of its res-5 ancestor — within one res-r circumradius of that
+  //    ancestor's exact center. Staged grids (res 7 discovery, then
+  //    res 9/11/13/15 refinement, each grid centered on the previous
+  //    stage's witness average) localize every candidate center to
+  //    ≤ 6.2e-6°, and each stage classifies cells whose center is
+  //    provably inside/outside the zone square at that stage's error
+  //    bound, so only boundary-band cells descend.
+  // ------------------------------------------------------------------
+
+  /** Zone squares: analytic centers, for probe-grid anchoring. */
+  private val zonesCte: String =
+    """zones AS (
+      |  SELECT n_nationkey AS zone_id,
+      |         n_nationkey * 0.5 - 6.0 AS clat,
+      |         n_nationkey * 1.5 - 18.0 AS clng
+      |  FROM nation
+      |)""".stripMargin
+
+  /** Probe grid + forward + adjacency witness at `res`: emits CTEs
+    * `adj(c1, c2)` (witnessed edge-adjacent cell pairs, c1 < c2, ≥ 3
+    * independent boundary crossings) and `anch(zone_id, anchor)` (each
+    * zone centroid's cell — the (0,0) probe, so one forward pass serves
+    * both). `delta` is the probe step in degrees, grid [-halfN, halfN]².
+    */
+  private def adjacencyCtes(res: Int, delta: Double, halfN: Int): String = {
+    val psrc = s"psrc$res"
+    val out = s"pcell$res"
+    s""",
+$psrc AS (
+  SELECT zone_id, gx, gy,
+         (clat + gy*$delta)/180.0*pi() AS phi,
+         (clng + gx*$delta)/180.0*pi() AS lam
+  FROM zones, range(-$halfN,${halfN + 1}) t1(gx), range(-$halfN,${halfN + 1}) t2(gy)
+)${H3OracleGen.forward(psrc, res, Seq("zone_id", "gx", "gy"), out)},
+wit AS (
+  SELECT least(a.h, b.h) AS c1, greatest(a.h, b.h) AS c2
+  FROM $out a JOIN $out b
+    ON a.zone_id = b.zone_id AND a.gx + 1 = b.gx AND a.gy = b.gy
+  WHERE a.h <> b.h
+  UNION ALL
+  SELECT least(a.h, b.h), greatest(a.h, b.h)
+  FROM $out a JOIN $out b
+    ON a.zone_id = b.zone_id AND a.gx = b.gx AND a.gy + 1 = b.gy
+  WHERE a.h <> b.h
+),
+adj AS (SELECT c1, c2 FROM wit GROUP BY c1, c2 HAVING count(*) >= 3),
+anch AS (SELECT zone_id, h AS anchor FROM $out WHERE gx = 0 AND gy = 0)"""
+  }
+
+  /** `x_h3_ring`: each zone's res-5 cell and its full 1-disk — the
+    * disk is the anchor plus every witnessed-adjacent cell. Probe step
+    * 0.008° vs min cell edge ~0.072° (measured 0.0719–0.0893 across
+    * fixture zones); grid half-extent 44·0.008 = 0.352° covers anchor
+    * center offset (≤ 0.09°) + neighbor spacing (≤ 0.155°) + neighbor
+    * circumradius (≤ 0.09°). */
+  val ring: String =
+    s"""WITH ${H3OracleGen.constCtes},
+       |$zonesCte${adjacencyCtes(5, 0.008, 44)},
+       |ringm AS (
+       |  SELECT zone_id, anchor, anchor AS member FROM anch
+       |  UNION ALL
+       |  SELECT zone_id, anchor, c2 FROM anch JOIN adj ON c1 = anchor
+       |  UNION ALL
+       |  SELECT zone_id, anchor, c1 FROM anch JOIN adj ON c2 = anchor
+       |)
+       |SELECT zone_id, lower(hex(anchor)) AS cell,
+       |       lower(hex(member)) AS ring_cell
+       |FROM ringm ORDER BY zone_id, ring_cell""".stripMargin
+
+  /** Zone pairs whose res-3 cells are identical or witnessed-adjacent —
+    * shared by `x_h3_spatial_join` (pair list) and `x_h3_grid_distance`
+    * (pair + 0/1 distance). Res-3 cells: edge ≥ ~0.5°, step 0.05°,
+    * half-extent 2.5° covers each anchor's full 1-ring. */
+  private def res3Pairs(select: String): String =
+    s"""WITH ${H3OracleGen.constCtes},
+       |$zonesCte${adjacencyCtes(3, 0.05, 50)},
+       |pairs AS (
+       |  SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
+       |         CASE WHEN a.anchor = b.anchor THEN 0 ELSE 1 END AS grid_dist
+       |  FROM anch a JOIN anch b ON a.zone_id < b.zone_id
+       |  WHERE a.anchor = b.anchor
+       |     OR EXISTS (SELECT 1 FROM adj
+       |                WHERE c1 = least(a.anchor, b.anchor)
+       |                  AND c2 = greatest(a.anchor, b.anchor))
+       |)
+       |$select FROM pairs ORDER BY zone_a, zone_b""".stripMargin
+
+  /** `x_h3_spatial_join`. */
+  val spatialJoin: String = res3Pairs("SELECT zone_a, zone_b")
+
+  /** `x_h3_grid_distance`: the query emits the engine's
+    * [[graft.functions.H3.gridDistance]] on each candidate pair; since
+    * candidates come from a 1-disk probe join, the true distance is 0
+    * (same cell) or 1 (adjacent), which the witness restates. */
+  val gridDistance: String =
+    res3Pairs("SELECT zone_a, zone_b, CAST(grid_dist AS INT) AS grid_dist")
+
+  // Staged polyfill refinement parameters. Measured fixture res-5 cell
+  // geometry: center spacing 0.1246–0.1545° → edge (= circumradius)
+  // 0.0719–0.0893°; bounds widened ~10% to eMin5 = 0.0635, eMax5 =
+  // 0.0982 before deriving the stage constants. Per refinement stage
+  // (res r): probe step δr = 1.1·eMin(r) (a hexagon of inradius
+  // 0.866·eMin always contains a grid point at step ≤ 1.2247·eMin);
+  // classification error bound errR = 1.05·eMax(r) (witness average
+  // lies within one circumradius of the true center). A 25×25 grid at
+  // δr spans ±13.2·eMin(r), covering the previous estimate error
+  // (7·eMax = 10.8·eMin) plus the center cell itself (1.55·eMin) plus
+  // the in-ball guarantee. Final localization ≤ 1.05·eMax(15) =
+  // 6.2e-6°; the measured minimum center-to-zone-boundary margin over
+  // all fixture candidate cells is 4.3e-5° (H3FixtureDump, spec-pinned
+  // in H3Spec), a 7× margin — the classification at res 15 is
+  // therefore exact for these fixtures, and that reliance is the
+  // documented condition of this oracle.
+  private val d7 = 0.009979
+  private val dRef = Map(9 -> 1.4255e-3, 11 -> 2.0364e-4,
+    13 -> 2.9092e-5, 15 -> 4.156e-6)
+  private val errAt = Map(7 -> 0.014730, 9 -> 0.0021043,
+    11 -> 3.0061e-4, 13 -> 4.2944e-5)
+
+  /** Bits of digits 6..r (the digit-0-chain witness mask). */
+  private def chainMask(r: Int): Long = (1L << 30) - (1L << (3 * (15 - r)))
+
+  private def inUncCtes(r: Int): String = {
+    val e = errAt(r)
+    s""",
+in$r AS (
+  SELECT e.zone_id, e.cell FROM est$r e JOIN zones z USING (zone_id)
+  WHERE elat > z.clat - 0.25 + $e AND elat < z.clat + 0.25 - $e
+    AND elng > z.clng - 0.25 + $e AND elng < z.clng + 0.25 - $e
+),
+unc$r AS MATERIALIZED (
+  SELECT e.zone_id, e.cell, e.elat, e.elng
+  FROM est$r e JOIN zones z USING (zone_id)
+  WHERE NOT (elat > z.clat - 0.25 + $e AND elat < z.clat + 0.25 - $e
+         AND elng > z.clng - 0.25 + $e AND elng < z.clng + 0.25 - $e)
+    AND NOT (elat < z.clat - 0.25 - $e OR elat > z.clat + 0.25 + $e
+          OR elng < z.clng - 0.25 - $e OR elng > z.clng + 0.25 + $e)
+)"""
+  }
+
+  /** `x_h3_polyfill`: every res-5 cell whose center lies inside the
+    * zone square, reconstructed with no inverse projection in SQL —
+    * discovery probes the square (+0.03° margin, covering any center
+    * cell that could be inside) at res 7, then uncertain cells refine
+    * through res 9/11/13/15 center-chain witnesses. See the stage
+    * constants above for the error-bound accounting. */
+  val polyfill: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${H3OracleGen.constCtes},
+$zonesCte,
+dsrc AS (
+  SELECT zone_id, clat + gy*$d7 AS plat, clng + gx*$d7 AS plng,
+         (clat + gy*$d7)/180.0*pi() AS phi,
+         (clng + gx*$d7)/180.0*pi() AS lam
+  FROM zones, range(-29,30) t1(gx), range(-29,30) t2(gy)
+)${H3OracleGen.forward("dsrc", 7, Seq("zone_id", "plat", "plng"), "dcell")},
+est7 AS MATERIALIZED (
+  SELECT zone_id,
+         ((h & ~(15::BIGINT << 52)) | (5::BIGINT << 52) | ${chainMask(7)}) AS cell,
+         avg(plat) AS elat, avg(plng) AS elng
+  FROM dcell
+  WHERE (h & ${chainMask(7)}) = 0
+  GROUP BY 1, 2
+)${inUncCtes(7)}"""
+    var prevUnc = "unc7"
+    for (r <- Seq(9, 11, 13, 15)) {
+      val dl = dRef(r)
+      sb ++= s""",
+src$r AS (
+  SELECT zone_id, cell, elat + gy*$dl AS plat, elng + gx*$dl AS plng,
+         (elat + gy*$dl)/180.0*pi() AS phi, (elng + gx*$dl)/180.0*pi() AS lam
+  FROM $prevUnc, range(-12,13) t1(gx), range(-12,13) t2(gy)
+)${H3OracleGen.forward(s"src$r", r, Seq("zone_id", "cell", "plat", "plng"), s"cell$r")},
+est$r AS MATERIALIZED (
+  SELECT zone_id, cell, avg(plat) AS elat, avg(plng) AS elng
+  FROM cell$r
+  WHERE (h & ${chainMask(r)}) = 0
+    AND ((h & ~(15::BIGINT << 52)) | (5::BIGINT << 52) | ${chainMask(r)}) = cell
+  GROUP BY zone_id, cell
+)"""
+      if (r < 15) { sb ++= inUncCtes(r); prevUnc = s"unc$r" }
+    }
+    sb ++= s""",
+in15 AS (
+  SELECT e.zone_id, e.cell FROM est15 e JOIN zones z USING (zone_id)
+  WHERE elat > z.clat - 0.25 AND elat < z.clat + 0.25
+    AND elng > z.clng - 0.25 AND elng < z.clng + 0.25
+),
+allin AS (
+  SELECT * FROM in7 UNION ALL SELECT * FROM in9 UNION ALL
+  SELECT * FROM in11 UNION ALL SELECT * FROM in13 UNION ALL
+  SELECT * FROM in15
+)
+SELECT zone_id, lower(hex(cell)) AS cell
+FROM allin ORDER BY zone_id, cell"""
+    sb.toString
+  }
+
+  /** `x_h3_boundary` closure oracle: the query emits each zone cell's
+    * boundary vertex count (parsed from the WKT text) and the re-index
+    * of the boundary's planar centroid at res 9. The oracle restates
+    * both from the forward alone: a hexagon ring closes with 7 points
+    * (6 for a true pentagon cell — none among the fixtures, but stated
+    * conditionally anyway), and the centroid must land in the res-9
+    * digit-0 center-chain descendant of the cell — measured closure
+    * depth is 11 for every fixture zone (H3FixtureDump), so res 9
+    * carries ~50× margin while still requiring the boundary centroid
+    * to sit within ~1% of the cell size from the true center. Full
+    * corner geometry is genuinely SQL-inexpressible here (it needs the
+    * inverse projection); the closure columns are the oracle-able
+    * surface, per the round-11 verdict's explicit allowance. */
+  val boundary: String =
+    s"""WITH ${H3OracleGen.constCtes},
+       |$ptCte${H3OracleGen.forward("pt", 5, Seq("zone_id"), "fwd")}
+       |SELECT zone_id, lower(hex(h)) AS cell,
+       |       CAST(CASE WHEN ((h >> 45) & 127) IN
+       |                   (4,14,24,38,49,58,63,72,83,97,107,117)
+       |                  AND (h & ${(1L << 45) - (1L << 30)}) = 0
+       |            THEN 6 ELSE 7 END AS INT) AS n_pts,
+       |       lower(hex((h & ~(15::BIGINT << 52) & ~${chainMask(9)})
+       |                 | (9::BIGINT << 52))) AS cell_back9
+       |FROM fwd ORDER BY zone_id""".stripMargin
 }

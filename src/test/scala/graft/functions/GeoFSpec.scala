@@ -269,4 +269,56 @@ class GeoFSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(fromCol === cells.toSeq)
   }
+
+  test("polyfill oracle margin: every fixture candidate center sits " +
+    ">= 3e-5 deg from its zone boundary (H3OracleSql.polyfill relies " +
+    "on 6.2e-6 deg localization)") {
+    // The x_h3_polyfill DuckDB oracle classifies center-in-square after
+    // localizing each center to <= 6.2e-6 deg (res-15 center-chain
+    // witnesses). That is exact iff no candidate center lies within the
+    // localization error of a zone edge. Measured worst margin: 4.3e-5
+    // (zone 24). Pin >= 3e-5 — 5x the oracle error, under the measured
+    // value — so a fixture or polyfill change that erodes the margin
+    // fails HERE with a message, not as an opaque gate hash mismatch.
+    var worst = Double.MaxValue
+    for (k <- 0 until 25) {
+      val lat0 = k * 0.5 - 6.0; val lng0 = k * 1.5 - 18.0
+      val wkt = s"POLYGON((${lng0 - 0.25} ${lat0 - 0.25}, " +
+        s"${lng0 + 0.25} ${lat0 - 0.25}, ${lng0 + 0.25} ${lat0 + 0.25}, " +
+        s"${lng0 - 0.25} ${lat0 + 0.25}, ${lng0 - 0.25} ${lat0 - 0.25}))"
+      val cand = GeoF.h3PolyfillScala(wkt, 5)
+        .flatMap(h => H3.gridDisk(java.lang.Long.parseLong(h, 16), 1))
+        .distinct
+      for (c <- cand) {
+        val (clat, clng) = H3.cellToLatLng(c)
+        val m = Seq(
+          math.abs(clat - (lat0 - 0.25)), math.abs(clat - (lat0 + 0.25)),
+          math.abs(clng - (lng0 - 0.25)), math.abs(clng - (lng0 + 0.25))
+        ).min
+        if (m < worst) worst = m
+      }
+    }
+    assert(worst >= 3e-5, f"polyfill oracle margin eroded: $worst%.2e")
+  }
+
+  test("boundary oracle closure: every fixture cell's WKT-boundary " +
+    "planar centroid re-indexes onto the digit-0 chain at res >= 9") {
+    // x_h3_boundary's oracle states cell_back9 = the res-9 center-chain
+    // descendant; measured closure depth is 11 for all 25 zones, so
+    // res 9 carries ~50x margin. Pin the depth here with the engine's
+    // OWN WKT centroid (the exact expression the query runs).
+    for (k <- 0 until 25) {
+      val c = H3.latLngToCell(k * 0.5 - 6.0, k * 1.5 - 18.0, 5)
+      val wkt = H3.cellToBoundary(c)
+        .map { case (la, lo) => s"$lo $la" } match {
+        case pts => s"POLYGON((${(pts :+ pts.head).mkString(", ")}))"
+      }
+      val clat = GeoF.centroidLatJava(wkt)
+      val clng = GeoF.centroidLngJava(wkt)
+      var chain = (c & ~(15L << 52)) | (9L << 52)
+      for (d <- 6 to 9) chain &= ~(7L << ((15 - d) * 3))
+      assert(H3.latLngToCell(clat, clng, 9) == chain,
+        s"zone $k boundary centroid left the res-9 center chain")
+    }
+  }
 }
