@@ -1725,6 +1725,65 @@ object H3 {
     mis
   }
 
+  /** Pentagon-quotient consistency stats (round 12, the deleted-axis
+    * analogue of [[countHexIsoMismatches]]): for every face edge and
+    * every coordinate X where BOTH charts assemble into the SAME
+    * pentagon base cell, the two canonical labels must lie in one
+    * order-5 pentagon-rotation orbit, and the orbit step must be the
+    * same for every such coordinate of that (face, edge, baseCell) —
+    * the hexagonal edge isometry is off by exactly the vertex's
+    * curvature defect inside the pentagon's 5-sector quotient, a
+    * CONSTANT per unfolding, never a coordinate-dependent scramble.
+    * Returns (pairsChecked, outOfOrbitCount, stepsPerEdgePentagon).
+    * The spec pins: zero out-of-orbit, singleton step sets, steps in
+    * {0, 1, 4} (identity or ±1 sector). */
+  private[functions] def pentIsoOrbitStats(res: Int)
+      : (Int, Int, Map[(Int, Int, Int), Set[Int]]) = {
+    var pairs = 0
+    var outOfOrbit = 0
+    val steps = scala.collection.mutable.Map
+      .empty[(Int, Int, Int), Set[Int]]
+    val lim = TriW(res).map(w => max(abs(w._1), abs(w._2))).max + 4
+    for (f <- 0 until 20; e <- 0 until 3) {
+      val g = EdgeFace(f)(e)
+      val c = EdgeRot(f)(e)(res)
+      var a = -lim
+      while (a <= lim) {
+        var b = -lim
+        while (b <= lim) {
+          val hF = assembleFromChart(f, a, b, 0L, res)
+          if (hF >= 0 && IsPent(getBaseCell(hF))) {
+            var xa = a; var xb = b
+            var n = 0
+            while (n < c) { val t = xa - xb; xb = xa; xa = t; n += 1 }
+            xa += EdgeTA(f)(e)(res)
+            xb += EdgeTB(f)(e)(res)
+            val hG = assembleFromChart(g, xa, xb, 0L, res)
+            if (hG >= 0 && getBaseCell(hG) == getBaseCell(hF)) {
+              pairs += 1
+              var k = 0
+              var cur = hF
+              var found = -1
+              while (k < 5) {
+                if (cur == hG && found < 0) found = k
+                cur = rotatePent60ccw(cur)
+                k += 1
+              }
+              if (found < 0) outOfOrbit += 1
+              else {
+                val key = (f, e, getBaseCell(hF))
+                steps(key) = steps.getOrElse(key, Set.empty) + found
+              }
+            }
+          }
+          b += 1
+        }
+        a += 1
+      }
+    }
+    (pairs, outOfOrbit, steps.toMap)
+  }
+
   /** Coordinate-level label-consistency probe: for every edge and a
     * dense coordinate patch, compare assembleF(X) with
     * assembleG(iso_r(X)) wherever both are defined. */

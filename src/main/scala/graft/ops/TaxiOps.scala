@@ -83,11 +83,13 @@ object TaxiOps {
       trips("pickup_location_id") === ranked("zone_id"), "left")
       .filter(col("finish_rank") === 1)
       .select(keys.map(trips(_)) :+ ranked("hex").as("hex_pickup"): _*)
-    // shuffle_hash on the 4-key rejoin: both branches shuffle on the same
-    // composite identity either way; hashing one side skips the two
-    // full-width sorts SMJ would add (same measured win as the
-    // j_enrich_join_graph fact-fact edge, CoreQueries J3).
-    doff.join(pup.hint("shuffle_hash"), keys, "inner")
+    // NO shuffle_hash hint on the 4-key rejoin (round 12): the build
+    // side is the full trips table — a hinted SHJ can neither be
+    // demoted by AQE nor spill its build, and the identical
+    // j_enrich_join_graph edge OOM'd at sf10 / 8g heap. Sort-merge
+    // spills; fact×fact edges with an unbounded build side never take
+    // the hint (see CoreQueries J3 for the measured failure).
+    doff.join(pup, keys, "inner")
       .withColumn("daypart", DateTimeF.daypart(col("pickup_datetime")))
   }
 

@@ -177,13 +177,17 @@ object CoreQueries {
       .filter(col("finish_rank") === 1)
       .select((keys.map(col) :+ col("p_name").as("pickup_zone")): _*)
 
-    // shuffle_hash on the J3 fact-fact edge: both branches shuffle on the
-    // composite key regardless; the hash build skips sorting two
-    // fact-scale inputs (6.1 → 5.5 s at sf1, same rationale as
-    // a3_daily_metrics / w_star_join). Build side is rows/partitions per
-    // task — bounded at 100 TB as partition count scales; AQE re-plans
-    // if runtime stats disagree.
-    doff.join(pup.hint("shuffle_hash"), keys, "inner")
+    // NO shuffle_hash hint on the J3 fact-fact edge (round 12): the
+    // build side here is the FULL fact table (pup is lineitem-scale),
+    // and a hinted SHJ cannot be demoted by AQE nor spill its build —
+    // at sf10 / 8g heap this edge died with SparkOutOfMemoryError
+    // ("not enough memory to build hash map"), falsifying the round-10
+    // "bounded by partition count" rationale on any fixed-memory
+    // executor. Sort-merge spills gracefully and cost only ~10% at sf1
+    // (6.1 vs 5.5 s). Policy: shuffle_hash only where the build side is
+    // a strictly smaller table (the orders edges in a3/w_star, which
+    // passed sf10), never fact×fact with an unbounded build.
+    doff.join(pup, keys, "inner")
       .select(keys.map(col) :+ col("dropoff_zone") :+ col("pickup_zone") :+
         DateTimeF.daypart(col("l_shipdate")).as("daypart"): _*)
   }
@@ -418,8 +422,13 @@ object CoreQueries {
     // either way, but the hash build skips sorting two fact-scale inputs
     // (measured 6.9 s → 2.6 s at sf1). orders is the smaller side and the
     // per-partition build is |orders|/numShufflePartitions, which stays
-    // bounded at 100 TB because partition count scales with the cluster;
-    // AQE can still re-plan the join if runtime stats disagree.
+    // bounded at 100 TB because partition count scales with the cluster.
+    // Round-12 caveat from the sf10 OOM on the J3 fact×fact edge: a
+    // hinted SHJ is NOT demoted by AQE and its build cannot spill, so
+    // the hint is reserved for edges whose build side is the strictly
+    // smaller table (orders here — narrow key projection, passed the
+    // sf10 window at 18.4 s); an unbounded fact-scale build never takes
+    // it (see enrichJoinGraphRaw).
     val tripss = tbl(s, dir, "lineitem")
       .join(tbl(s, dir, "orders").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"), "inner")

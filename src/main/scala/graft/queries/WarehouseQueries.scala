@@ -609,13 +609,22 @@ object WarehouseQueries {
     * orders → lineitem, revenue per (region, nation). The scale plan:
     * region/nation/customer-dim side collapses to broadcasts where small;
     * the orders⋈lineitem fact⋈fact edge shuffles once on the order key.
-    * Revenue is a decimal-exact product-sum (price × (1−discount) cast to
-    * decimal BEFORE multiplying) with one final double cast — the 1−d
-    * subtraction is the same IEEE op in both engines, so the decimal
-    * quantization matches bit-for-bit. */
+    *
+    * Revenue is the decimal-exact product-sum price × (1−discount),
+    * computed as SCALED-INTEGER money (round 12): price and discount
+    * are exact 2-decimal values, so cents × (100−discount_cents) is the
+    * exact scale-4 product as a plain Long, and the sum aggregates in
+    * Long instead of a precision-28 Decimal buffer (Spark backs
+    * Decimal buffers over 18 digits with BigDecimal — measured
+    * 3.18 → 2.85 s at sf1 for this query, DecimalLab). The oracle
+    * stays in DECIMAL arithmetic, so the hash gate re-proves the
+    * scaled-integer form equals the decimal quantization every round.
+    * Exactness bound: per-group cent-products sum < 2^53 through
+    * ~sf30 (2.5e15 at sf10); the final /1e4 is one correctly-rounded
+    * double division, identical to Decimal.toDouble. */
   private def starJoin(s: SparkSession, dir: String): DataFrame = {
-    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+    val rev = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
     tbl(s, dir, "region")
       .join(tbl(s, dir, "nation"),
         col("r_regionkey") === col("n_regionkey"))
@@ -628,14 +637,17 @@ object WarehouseQueries {
       // sorting two fact-scale inputs (same rationale measured on
       // a3_daily_metrics; this edge 5.3 → 4.0 s at sf1). The build side
       // is |orders|/shufflePartitions per task — bounded at 100 TB
-      // because partition count scales with the cluster; AQE can still
-      // re-plan from runtime stats.
+      // because partition count scales with the cluster. Round-12
+      // caveat (sf10 OOM on the J3 fact×fact edge): hinted SHJ builds
+      // cannot spill and AQE cannot demote them, so the hint is
+      // reserved for strictly-smaller build sides like this one
+      // (passed the sf10 window at 13.8 s) — never fact×fact.
       .hint("shuffle_hash")
       .join(tbl(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_lineitems"),
-        sum(rev).cast("double").as("revenue"))
+        (sum(rev).cast("double") / lit(1e4)).as("revenue"))
       .orderBy("r_name", "n_name")
   }
 

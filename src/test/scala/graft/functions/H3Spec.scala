@@ -421,12 +421,51 @@ class H3Spec extends AnyFunSuite {
     // where BOTH charts can assemble, assembleF(X) == assembleG(iso(X))
     // for hexagon base cells. (Pentagon digit strings live in a
     // 5-sector quotient — the plain hexagonal isometry does not apply
-    // across the deleted axis; pentagon consistency is pinned by the
-    // class-init straddle CSP and the pentagon ring/disk tests.)
+    // across the deleted axis; their table-checked law is the
+    // pentagon-quotient orbit test below, plus the class-init straddle
+    // CSP and the pentagon ring/disk tests.)
     for (res <- 0 to 3) {
       val hexMis = H3.countHexIsoMismatches(res)
       assert(hexMis === 0,
         s"res $res: $hexMis hexagon cross-chart assembly mismatches")
+    }
+  }
+
+  test("pentagon-quotient consistency: cross-chart pentagon assemblies " +
+      "lie in one order-5 orbit — identity on the shared sector, " +
+      "exactly ONE defect step beyond (res 0-3, every edge, every coord)") {
+    // Round-12 law (the deleted-axis analogue of the hexagon law
+    // above): inside a pentagon base cell the hexagonal edge isometry
+    // is exact on the sector both charts physically share and off by
+    // the icosahedron vertex's curvature defect past it. So for every
+    // coordinate where both charts assemble into the same pentagon
+    // base cell: (a) the two canonical labels lie in ONE order-5
+    // pentagon-rotation orbit — zero exceptions; (b) per (face, edge,
+    // pentagon) the observed steps are {0} ∪ at most one nonzero step;
+    // (c) that step is a single sector (+1 or -1 ≡ 4), one direction
+    // per unfolding, never a 2+ jump and never both directions. An
+    // out-of-orbit pair or a mixed/multi-sector step would mean the
+    // derived tables' pentagon slots disagree in a way no single
+    // defect explains.
+    for (res <- 0 to 3) {
+      val (pairs, outOfOrbit, steps) = H3.pentIsoOrbitStats(res)
+      assert(outOfOrbit === 0,
+        s"res $res: $outOfOrbit cross-chart pentagon pairs outside the " +
+          "order-5 orbit")
+      val bad = steps.filter { case (_, ks) =>
+        val nz = ks - 0
+        nz.size > 1 || !nz.subsetOf(Set(1, 4))
+      }
+      assert(bad.isEmpty,
+        s"res $res: non-single-defect steps at ${bad.take(3)}")
+      if (res > 0) {
+        assert(pairs > 100,
+          s"res $res: only $pairs pentagon pairs enumerated — weak law")
+        // non-vacuity of the defect half: the one-sector step is
+        // actually observed (it is, on every pentagon edge at res>=1)
+        assert(steps.exists(_._2.exists(_ != 0)),
+          s"res $res: no defect-step pair enumerated — weak law")
+      }
     }
   }
 
