@@ -106,8 +106,17 @@ object GraphQueries {
       .select(tagged(TagO, col("l_orderkey")).as("a"),
         tagged(TagS, col("l_suppkey")).as("b"))
     val fwd = co.union(os)
+    // NO localCheckpoint on the edge list (round 12): checkpointing und
+    // pinned ~150M deserialized rows (multi-GB of storage memory) for
+    // the whole query at sf10 and starved the BFS levels' hash
+    // aggregates ("UNABLE_TO_ACQUIRE_MEMORY ... got 0" mid-suite — the
+    // one sf10 failure of the round). Its lineage is constant-depth
+    // (scan → project → union), so there is nothing to cut: each level
+    // re-derives the edges from the 2-column parquet scan, which is the
+    // only shape that exists at 100 TB anyway (an edge list the size of
+    // the fact table is never memory-resident; per-level state —
+    // frontier and labels — is what Bfs checkpoints).
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint() // scanned once per BFS level
     val seeds = tbl(s, dir, "customer")
       .filter(col("c_custkey") % 500 === 0)
       .select(tagged(TagC, col("c_custkey")).as("node"))
