@@ -233,10 +233,17 @@ object GeoQueries {
     * zone and the count is exactly the per-zone fact population — which
     * the oracle states with no H3 at all ([[H3OracleSql.multiresJoin]]). */
   private def h3MultiresJoin(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the compacted cover feeds TWO consumers (the
+    // distinct-res dimension and the join broadcast) and without it the
+    // whole polyfill -> compact chain executes twice (plan audit: zero
+    // ReusedExchange). The cover is the small result of big compute —
+    // exactly the checkpoint pattern this round's BFS fix reserves it
+    // for (compacted covers are >= 7x smaller than the fine polyfill,
+    // orders of magnitude smaller than the fact side).
     val cover = graft.ops.H3Compact.compact(
       zonesWkt(s, dir).select(col("zone_id"),
         explode(GeoF.h3Polyfill(col("zone_geom"), 6)).as("cell")),
-      "cell", 6, Seq("zone_id"))
+      "cell", 6, Seq("zone_id")).localCheckpoint(false)
     val coverRes = cover
       .select(GeoF.h3Resolution(col("cell")).as("r")).distinct()
     val zk = col("c_custkey") % 25
