@@ -148,9 +148,25 @@ object H3OracleGen {
     * suffixed `_<out>` so multiple forwards compose in one query.
     * Returns text to splice into the WITH list (leading comma included).
     */
+  /** Column names the generated stages use internally — a key column
+    * shadowing one would silently corrupt joins (found the hard way:
+    * a key named `k` captured the bctab lookup's ijk coordinate and
+    * dropped 147 of 150 rows). */
+  private val ReservedCols: Set[String] =
+    Set("phi", "lam", "face", "dot", "theta", "m1", "m2", "hx", "hy",
+      "ci", "cj", "dx", "dy", "best", "bi2", "bj2", "m", "i", "j", "k",
+      "li", "lj", "lk", "ai", "aj", "ui", "uj", "uk", "ui0", "uj0",
+      "ci0", "cj0", "ck0", "digits", "bc", "rot", "pent", "cwoff", "h",
+      "f", "flat", "flng", "faz", "bf", "bi", "bj", "bk", "brot",
+      "bpent", "bcw") ++ (0 to 15).map(d => s"d$d") ++
+      (0 to 4).map(t => s"pd$t")
+
   def forward(src: String, res: Int, keys: Seq[String], out: String): String = {
     require(res % 2 == 1 && res >= 1 && res <= 15,
       s"forward oracle supports odd res 1..15, got $res")
+    val clash = keys.map(_.toLowerCase).toSet.intersect(ReservedCols)
+    require(clash.isEmpty,
+      s"forward key column(s) $clash shadow generated stage columns")
     val ks = keys.mkString(", ")
     val fpks = keys.map("fp." + _).mkString(", ")
     val sqrt7s = Seq.fill(res)("sqrt(7)").mkString("*")

@@ -409,6 +409,32 @@ FROM allin ORDER BY zone_id, cell"""
     sb.toString
   }
 
+  /** `st_h3_enrich` oracle — the streaming H3 enrichment's batch
+    * answer: each event's synthetic point (deterministic per
+    * `user_id % 150`, so the forward runs over ≤150 distinct points at
+    * any scale factor; ~40% land in pentagon base cells) is indexed at
+    * res 7 by the independent SQL forward, then events aggregate per
+    * cell. The streaming side computes the identical degree formulas
+    * column-wise and indexes in-stream through the codegen H3
+    * expression — stream/batch unification checked through the full
+    * geo path, not just time windows. */
+  val streamEnrich: String =
+    s"""WITH ${H3OracleGen.constCtes},
+       |ks AS (SELECT DISTINCT user_id % 150 AS ukey FROM events),
+       |pts AS (
+       |  SELECT ukey,
+       |         ((ukey % 25) * 0.5 - 6.0
+       |           + (((ukey * 7919) % 97) - 48) * 0.004) / 180.0 * pi() AS phi,
+       |         ((ukey % 25) * 1.5 - 18.0
+       |           + (((ukey * 104729) % 97) - 48) * 0.004) / 180.0 * pi() AS lam
+       |  FROM ks
+       |)${H3OracleGen.forward("pts", 7, Seq("ukey"), "kc")},
+       |ev AS (SELECT user_id % 150 AS ukey, value FROM events)
+       |SELECT lower(hex(kc.h)) AS cell, count(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM ev JOIN kc USING (ukey)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** `x_h3_boundary` closure oracle: the query emits each zone cell's
     * boundary vertex count (parsed from the WKT text) and the re-index
     * of the boundary's planar centroid at res 9. The oracle restates

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{eventsTbl, tbl}
+import graft.functions.GeoF
 import graft.streaming.StreamIngest
 
 /** Streaming operators registered as synchronous queries: each runs a
@@ -477,7 +478,50 @@ object StreamQueries {
       |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Streaming H3 enrichment (round 12) — the reference's geo
+    * enrichment path (F6's `H3_FROMGEOGPOINT`) as a STREAM transform:
+    * events arrive as files, each event's deterministic synthetic
+    * point (keyed on `user_id % 150`, spread ±0.19° inside its zone,
+    * ~40% in pentagon base cells) is indexed at res 7 IN-STREAM
+    * through the codegen [[graft.functions.H3]] expression, and a
+    * complete-mode aggregation counts events per cell. The oracle
+    * ([[H3OracleSql.streamEnrich]]) re-derives every cell id with the
+    * independent SQL forward and states the batch answer — the
+    * stream/batch unification gate over the full geo path. At scale
+    * the shape is the 100 TB streaming-enrichment standard: a
+    * stateless per-row codegen transform (no shuffle before the
+    * keyed aggregation), with the cell id as the aggregation key. */
+  private def streamH3Enrich(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("h3enrich"))
+    eventsTbl(s, dir).select("user_id", "value").repartition(4)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = s.read.parquet(s"$base/src").schema
+    val stream = s.readStream.schema(schema).parquet(s"$base/src")
+    val k = col("user_id") % 150
+    val zone = (k % 25).cast("double")
+    val enriched = stream
+      .withColumn("cell", GeoF.h3Cell(
+        zone * 0.5 - 6.0 +
+          (((k * 7919) % 97).cast("double") - 48.0) * 0.004,
+        zone * 1.5 - 18.0 +
+          (((k * 104729) % 97).cast("double") - 48.0) * 0.004, 7))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    val q = enriched.writeStream
+      .format("memory")
+      .queryName("graft_stream_h3")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_h3").orderBy("cell")
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "st_h3_enrich" -> QueryDef(streamH3Enrich,
+      Some(H3OracleSql.streamEnrich)),
     "st_stream_static_join" -> QueryDef(streamStaticJoin,
       Some(streamStaticJoinSql)),
     "st_foreach_upsert" -> QueryDef(foreachUpsert, Some(foreachUpsertSql)),
