@@ -115,4 +115,51 @@ class StreamSpec extends SparkSpec {
       .head().getLong(0)
     assert(a === b)
   }
+
+  test("streaming H3 enrichment is microbatch-split-invariant and " +
+      "equals the batch geo path") {
+    import org.apache.spark.sql.functions._
+    // The st_h3_enrich gate drains the source in one AvailableNow pass;
+    // this pins the other half of the streaming contract: splitting the
+    // same files into one-file microbatches (state carried across batch
+    // boundaries by the complete-mode agg) must yield the identical
+    // per-cell answer, and both must equal the plain batch computation.
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("user.dir"), "target"), "st_h3")
+      .toString
+    graft.eventsTbl(spark, sf).select("user_id", "value").repartition(4)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val k = col("user_id") % 150
+    val zone = (k % 25).cast("double")
+    def enrich(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cell", graft.functions.GeoF.h3Cell(
+        zone * 0.5 - 6.0 +
+          (((k * 7919) % 97).cast("double") - 48.0) * 0.004,
+        zone * 1.5 - 18.0 +
+          (((k * 104729) % 97).cast("double") - 48.0) * 0.004, 7))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    val schema = spark.read.parquet(s"$base/src").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // 4 genuine microbatches
+      .parquet(s"$base/src")
+    val q = enrich(stream).writeStream
+      .format("memory").queryName("st_h3_split")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val split = spark.table("st_h3_split").orderBy("cell").collect().toSeq
+    val batch = enrich(spark.read.parquet(s"$base/src"))
+      .orderBy("cell").collect().toSeq
+    val gated = graft.SparkEntry.queries("st_h3_enrich")(spark, sf)
+      .collect().toSeq
+    assert(split.nonEmpty && split === batch,
+      "microbatch-split answer diverged from the batch geo path")
+    assert(split === gated,
+      "split-drain answer diverged from the registered single-drain query")
+  }
 }
