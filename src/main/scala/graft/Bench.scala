@@ -13,8 +13,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // min-of-N steady-state sampling; N=1 for one-off scale points (sf1)
-    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    // min-of-N steady-state sampling; N=1 for one-off scale points (sf1).
+    // N=5 is THE recorded protocol (round 13): this host shows stochastic
+    // CPU steal (identical plans measured 1.5 s and 69 s minutes apart),
+    // and the round-12 post-close band measurement showed N=3 minima
+    // still riding the steal band on ~2 of 34 queries per window while
+    // N=5 recovers the steady state (w_star_join 2.59 s at N=5 vs
+    // straddling 1.46–2.28x across N<=2 windows). Interleaving (below)
+    // makes the extra passes cheap insurance, not 2x wall-clock risk.
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
     if (samples < 1) {
       System.err.println(s"[bench] SPARK_GRAFT_BENCH_SAMPLES must be ≥ 1")
       sys.exit(2)
@@ -57,6 +64,22 @@ object Bench {
     }
     val spark = sparkBuilder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // One known-benign stderr pattern, suppressed surgically (round 13):
+    // cleanSlate()'s System.gc() collects the weakly-held accumulators of
+    // ALREADY-FINISHED actions, and a late completion event from a
+    // limit-short-circuited job (e.g. a convergence `.head()` whose
+    // remaining tasks were cancelled after the limit was satisfied) then
+    // fails the accumulator lookup inside DAGScheduler.updateAccumulators,
+    // which logError's a full "access non-existent accumulator" stack
+    // trace with rc=0 — pure noise that polluted the BENCH_r12 artifact
+    // tail. The race is in the harness's between-runs hygiene, not any
+    // query, so the fix is scoped to THIS logger in THIS main: real
+    // failures still surface as thrown exceptions on the timed action
+    // (recorded in "failed") and as TaskSetManager/executor log lines,
+    // neither of which routes through the DAGScheduler logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
     val names = SparkEntry.benchNames.filter(n => only.forall(_.contains(n)))
       .filter(SparkEntry.benchQueries.contains)
@@ -74,7 +97,11 @@ object Bench {
     // identical plans). A warm-up failure (e.g. the warm-up fixture
     // absent) must not mark the query failed — only the timed runs at the
     // target SF decide that.
-    names.foreach { name =>
+    val warmNames =
+      if (sys.env.get("SPARK_GRAFT_WARM_ALL").contains("1"))
+        SparkEntry.benchNames.filter(SparkEntry.benchQueries.contains)
+      else names
+    warmNames.foreach { name =>
       try SparkEntry.benchQueries(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -100,20 +127,62 @@ object Bench {
     // slate the cold per-query DuckDB comparator gets.
     def cleanSlate(): Unit = {
       spark.catalog.clearCache()
+      // blocking (round 13): with blocking=false the block-removal work
+      // is enqueued async and lands INSIDE the next timed sample
+      val blockingUnpersist =
+        !sys.env.get("SPARK_GRAFT_BLOCKING_UNPERSIST").contains("0")
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = blockingUnpersist))
       System.gc()
     }
 
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // Sample schedule (round 13): (pass, name) visit order.
+    //  - interleave: pass 1 runs every query once, then pass 2, … — the
+    //    round-7 protocol (one host-steal window hits at most one sample
+    //    of each query).
+    //  - burst: all N samples of a query back-to-back — measured 0.5–0.9 s
+    //    faster steady-state on the iterative/driver-action queries
+    //    (x_shortest_path 2.4 → 1.5 s at sf0.1): consecutive same-query
+    //    runs let JIT tiering converge on that query's hot paths, which
+    //    interleaving resets every pass.
+    //  - hybrid: two passes of bursts (ceil/floor split) — per-query JIT
+    //    convergence within each burst, and a steal window can still
+    //    only eat one of the two bursts.
+    val schedule = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCHEDULE", "hybrid")
+    val visits: Seq[(Int, String)] = schedule match {
+      case "interleave" =>
+        for (pass <- 1 to samples; name <- names) yield (pass, name)
+      case "burst" =>
+        for (name <- names; pass <- 1 to samples) yield (pass, name)
+      case "hybrid" =>
+        val first = samples - samples / 2
+        (for (name <- names; pass <- 1 to first) yield (pass, name)) ++
+          (for (name <- names; pass <- first + 1 to samples)
+            yield (pass, name))
+      case other =>
+        System.err.println(s"[bench] unknown schedule '$other'")
+        sys.exit(2)
+    }
     val best = scala.collection.mutable.Map.empty[String, Double]
     var failed = List.empty[String]
-    for (pass <- 1 to samples; name <- names if !failed.contains(name)) {
+    for ((pass, name) <- visits if !failed.contains(name)) {
       cleanSlate()
       try {
+        val gc0 = if (debug) gcMillis else 0L
         val t0 = System.nanoTime()
-        SparkEntry.benchQueries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        val df = SparkEntry.benchQueries(name)(spark, sfDir)
+        val tPlan = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        if (debug) System.err.println(
+          f"[benchdbg] $name%-26s pass$pass $dt%.3f s " +
+            f"build ${(tPlan - t0) / 1e9}%.3f gc ${(gcMillis - gc0) / 1e3}%.3f")
         best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
       } catch {
         case e: Throwable =>
@@ -206,7 +275,10 @@ object Bench {
         sys.props("user.dir"), "target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, fullJson + "\n")
-      System.err.println(s"[bench] full artifact: $out")
+      // no success-path stderr: the driver snapshots the LAST ~2000 chars
+      // of output as the round artifact's tail, and the contract (round
+      // 13) is that a clean run's tail holds ONLY the JSON line and the
+      // sbt success line — harness chatter belongs on failure paths
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] full artifact write skipped: ${e.getMessage}")
     }
