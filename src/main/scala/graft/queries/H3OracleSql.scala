@@ -302,11 +302,51 @@ anch AS (SELECT zone_id, h AS anchor FROM $out WHERE gx = 0 AND gy = 0)"""
   val spatialJoin: String = res3Pairs("SELECT zone_a, zone_b")
 
   /** `x_h3_grid_distance`: the query emits the engine's
-    * [[graft.functions.H3.gridDistance]] on each candidate pair; since
-    * candidates come from a 1-disk probe join, the true distance is 0
-    * (same cell) or 1 (adjacent), which the witness restates. */
+    * [[graft.functions.H3.gridDistance]] on each 2-disk candidate pair
+    * (round 13 — the round-12 form was 1-disk, so the gate only ever
+    * stated distances {0, 1} and barely constrained the flat formula
+    * beyond adjacency). True distances here are {0, 1, 2}, restated
+    * engine-independently from the probe-witnessed adjacency relation:
+    * 0 = same anchor, 1 = witnessed-adjacent, 2 = a chain of two
+    * witnessed hops with 0/1 excluded first (a length-2 chain bounds
+    * the distance above by 2, and the exclusion bounds it below). The
+    * mid cell of any true distance-2 pair lies within ~1.5° of both
+    * zone centroids at res 3 (anchors ≤ 2 center spacings ≈ 2° apart,
+    * spacing 0.87–1°), well inside each zone's 2.5° probe half-extent,
+    * so both hops are always witnessed and the chain test has no false
+    * negatives; the union over zones of per-zone grids supplies both
+    * edges. */
   val gridDistance: String =
-    res3Pairs("SELECT zone_a, zone_b, CAST(grid_dist AS INT) AS grid_dist")
+    s"""WITH ${H3OracleGen.constCtes},
+       |$zonesCte${adjacencyCtes(3, 0.05, 50)},
+       |und AS (
+       |  SELECT c1 AS a, c2 AS b FROM adj
+       |  UNION ALL
+       |  SELECT c2 AS a, c1 AS b FROM adj
+       |),
+       |cand AS (
+       |  SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
+       |         a.anchor AS anch_a, b.anchor AS anch_b
+       |  FROM anch a JOIN anch b ON a.zone_id < b.zone_id
+       |),
+       |pairs AS (
+       |  SELECT zone_a, zone_b,
+       |         CASE
+       |           WHEN anch_a = anch_b THEN 0
+       |           WHEN EXISTS (SELECT 1 FROM adj
+       |                        WHERE c1 = least(anch_a, anch_b)
+       |                          AND c2 = greatest(anch_a, anch_b))
+       |             THEN 1
+       |           WHEN EXISTS (SELECT 1 FROM und u1
+       |                        JOIN und u2 ON u1.b = u2.a
+       |                        WHERE u1.a = anch_a AND u2.b = anch_b)
+       |             THEN 2
+       |         END AS grid_dist
+       |  FROM cand
+       |)
+       |SELECT zone_a, zone_b, CAST(grid_dist AS INT) AS grid_dist
+       |FROM pairs WHERE grid_dist IS NOT NULL
+       |ORDER BY zone_a, zone_b""".stripMargin
 
   // Staged polyfill refinement parameters. Measured fixture res-5 cell
   // geometry: center spacing 0.1246–0.1545° → edge (= circumradius)

@@ -28,6 +28,35 @@ object StreamQueries {
     p
   }
 
+  /** Drain a (bounded, AvailableNow-able) streaming result through a
+    * memory sink and return the final batch DataFrame.
+    *
+    * The sink name is unique PER INVOCATION (round-13 ADVICE): a fixed
+    * `queryName` throws `QUERY_NAME_ALREADY_ACTIVE` if a prior query
+    * with that name is still registered in the session, and its stale
+    * temp view pinned the previous run's rows for the session lifetime.
+    * The result is eagerly localCheckpointed so the temp view — the only
+    * live reference into the sink — can be dropped before returning;
+    * repeated invocations leave nothing behind in the catalog or the
+    * sink store. (Eager checkpoint cost is bounded: memory-sink results
+    * are aggregated/joined OUTPUT, never the event stream itself.) */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong
+  private def drainToMemory(s: SparkSession, out: DataFrame,
+      mode: String): DataFrame = {
+    val name = s"graft_mem_${sinkSeq.incrementAndGet()}_${
+      java.lang.Long.toHexString(System.nanoTime())}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    res
+  }
+
   /** File-source streaming ingest (S1's streaming twin): events land as
     * parquet files, the stream drains them into an append table, and the
     * result must equal the batch read — counted per event_type. */
@@ -57,15 +86,8 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$base/src")
     val schema = s.read.parquet(s"$base/src").schema
     val stream = s.readStream.schema(schema).parquet(s"$base/src")
-    val q = StreamIngest.dailyTypeCounts(stream)
-      .writeStream
-      .format("memory")
-      .queryName("graft_stream_window")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_window").orderBy("day", "event_type")
+    drainToMemory(s, StreamIngest.dailyTypeCounts(stream), "complete")
+      .orderBy("day", "event_type")
   }
 
   private val streamWindowCountsSql =
@@ -90,17 +112,11 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "2")
       .parquet(s"$base/src")
       .as[graft.streaming.UserEvent]
-    val q = StreamIngest.userRunningStats(stream)
-      .writeStream
-      .format("memory")
-      .queryName("graft_stream_state")
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val drained =
+      drainToMemory(s, StreamIngest.userRunningStats(stream).toDF(), "update")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
-    s.table("graft_stream_state")
+    drained
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1).drop("rk")
       .orderBy("user_id")
@@ -188,7 +204,7 @@ object StreamQueries {
     ev.unionByName(sentinels).repartition(4)
       .write.mode("overwrite").parquet(s"$base/src")
     val schema = s.read.parquet(s"$base/src").schema
-    val q = s.readStream.schema(schema).parquet(s"$base/src")
+    val sessions = s.readStream.schema(schema).parquet(s"$base/src")
       .withWatermark("ts", "1 second")
       .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
       .agg(count(lit(1)).as("n_events"),
@@ -197,14 +213,7 @@ object StreamQueries {
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
         (unix_micros(col("w.end")) - SessGapUs).as("end_us"),
         col("n_events"), col("sum_value"))
-      .writeStream
-      .format("memory")
-      .queryName("graft_stream_session")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_session")
+    drainToMemory(s, sessions, "append")
       .filter(col("start_us") < unix_micros(lit(sentinelTs))) // belt+braces
       .orderBy("user_id", "start_us")
   }
@@ -255,7 +264,7 @@ object StreamQueries {
     val clicks = stream(s"$base/clicks").withWatermark("ts", "1 hour")
     val purchases = stream(s"$base/purchases")
       .withWatermark("p_ts", "1 hour")
-    val q = clicks.join(purchases,
+    val joined = clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("p_ts") >= col("ts") &&
         col("p_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"))
@@ -263,14 +272,7 @@ object StreamQueries {
         unix_micros(col("ts")).as("click_us"),
         col("p_event_id"), unix_micros(col("p_ts")).as("purchase_us"),
         col("value"))
-      .writeStream
-      .format("memory")
-      .queryName("graft_stream_ssjoin")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_ssjoin")
+    drainToMemory(s, joined, "append")
       .orderBy("event_id", "p_event_id")
   }
 
@@ -324,7 +326,7 @@ object StreamQueries {
     val clicks = stream(s"$base/clicks").withWatermark("ts", "1 hour")
     val purchases = stream(s"$base/purchases")
       .withWatermark("p_ts", "1 hour")
-    val q = clicks.join(purchases,
+    val joined = clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("p_ts") >= col("ts") &&
         col("p_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"),
@@ -333,14 +335,7 @@ object StreamQueries {
         unix_micros(col("ts")).as("click_us"),
         col("p_event_id"), unix_micros(col("p_ts")).as("purchase_us"),
         col("value"))
-      .writeStream
-      .format("memory")
-      .queryName("graft_stream_ssouter")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_ssouter")
+    drainToMemory(s, joined, "append")
       .filter(col("event_id") >= 0) // drop the sentinel click
       .orderBy(col("event_id"), col("p_event_id"))
   }
@@ -455,21 +450,14 @@ object StreamQueries {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
     val dim = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
-    val q = stream
+    val enriched = stream
       .join(broadcast(dim),
         (col("user_id") % 25).cast("int") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("sum_value"))
-      .writeStream
-      .format("memory")
-      .queryName("graft_stream_static")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_static").orderBy("n_name")
+    drainToMemory(s, enriched, "complete").orderBy("n_name")
   }
 
   private val streamStaticJoinSql =
@@ -509,14 +497,7 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("sum_value"))
-    val q = enriched.writeStream
-      .format("memory")
-      .queryName("graft_stream_h3")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_h3").orderBy("cell")
+    drainToMemory(s, enriched, "complete").orderBy("cell")
   }
 
   val all: Map[String, QueryDef] = Map(

@@ -621,7 +621,17 @@ object WarehouseQueries {
     * scaled-integer form equals the decimal quantization every round.
     * Exactness bound: per-group cent-products sum < 2^53 through
     * ~sf30 (2.5e15 at sf10); the final /1e4 is one correctly-rounded
-    * double division, identical to Decimal.toDouble. */
+    * double division, identical to Decimal.toDouble.
+    *
+    * The cliff FAILS LOUDLY (round-13 ADVICE): past ~sf30 the
+    * Long→double cast would silently double-round, so the plan guards
+    * each group with `raise_error` unless BOTH (a) |sum| < 2^53 (the
+    * double-exact window) and (b) n < 2^32 — each per-row product is
+    * < 2^31 (price ≤ ~10.5M cents < 2^24, discount factor ≤ 100), so
+    * (b) proves the Long sum itself cannot have wrapped 2^63, which
+    * makes (a) sound rather than spoofable by silent non-ANSI Long
+    * overflow. A gate run at such a scale dies with the named error
+    * instead of hash-mismatching by luck. */
   private def starJoin(s: SparkSession, dir: String): DataFrame = {
     val rev = round(col("l_extendedprice") * 100).cast("long") *
       (lit(100L) - round(col("l_discount") * 100).cast("long"))
@@ -646,8 +656,17 @@ object WarehouseQueries {
       .join(tbl(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_lineitems"),
-        (sum(rev).cast("double") / lit(1e4)).as("revenue"))
+      .agg(count(lit(1)).as("n_lineitems"), sum(rev).as("_cents4"))
+      .select(col("r_name"), col("n_name"), col("n_lineitems"),
+        when(abs(col("_cents4")) < lit(1L << 53) &&
+            col("n_lineitems") < lit(1L << 32),
+          col("_cents4").cast("double") / lit(1e4))
+          .otherwise(raise_error(concat(
+            lit("starJoin scaled-integer revenue left the double-exact " +
+              "window (|cents4| >= 2^53 or n >= 2^32) for group "),
+            col("r_name"), lit("/"), col("n_name"),
+            lit("; use the decimal-sum form at this scale"))))
+          .as("revenue"))
       .orderBy("r_name", "n_name")
   }
 

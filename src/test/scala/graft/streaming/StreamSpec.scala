@@ -162,4 +162,23 @@ class StreamSpec extends SparkSpec {
     assert(split === gated,
       "split-drain answer diverged from the registered single-drain query")
   }
+
+  test("memory-sink stream queries are re-invocable in one session and " +
+      "leave no temp view behind (round-13 ADVICE)") {
+    // Before round 13 every memory sink used a FIXED queryName: a second
+    // invocation in the same session threw QUERY_NAME_ALREADY_ACTIVE /
+    // TempTableAlreadyExists, and the stale temp view pinned the prior
+    // run's rows. drainToMemory derives a per-invocation name and drops
+    // the view after an eager checkpoint of the result.
+    val first = graft.SparkEntry.queries("st_h3_enrich")(spark, sf)
+      .collect().toSeq
+    val second = graft.SparkEntry.queries("st_h3_enrich")(spark, sf)
+      .collect().toSeq
+    assert(first.nonEmpty && first === second,
+      "re-invocation changed the answer")
+    val leftover = spark.catalog.listTables()
+      .collect().map(_.name).filter(_.startsWith("graft_mem_"))
+    assert(leftover.isEmpty,
+      s"memory-sink temp views leaked: ${leftover.mkString(", ")}")
+  }
 }
