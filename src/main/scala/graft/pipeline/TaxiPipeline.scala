@@ -72,6 +72,15 @@ object Runner {
                       timeoutMs: Long): Boolean = {
     val sc = catalog.spark.sparkContext
     val group = s"graft-stage-${st.name}-${System.nanoTime()}"
+    // Streaming queries do NOT run under the stage's job group:
+    // StreamExecution submits its microbatch jobs from its own thread
+    // under its own group (the query runId), so cancelJobGroup below
+    // never reaches them, and interrupting the stage thread only breaks
+    // its awaitTermination — the query itself would keep RUNNING (a
+    // leaked stream holding sources, state and cluster slots across
+    // retries). Snapshot the active-query set before the attempt and
+    // stop everything the attempt started (round 13, verdict item 6).
+    val streamsBefore = catalog.spark.streams.active.map(_.id).toSet
     val task = new java.util.concurrent.FutureTask[Boolean](() => {
       sc.setJobGroup(group, s"pipeline stage ${st.name}",
         interruptOnCancel = true)
@@ -85,6 +94,12 @@ object Runner {
       case _: java.util.concurrent.TimeoutException =>
         task.cancel(true)
         sc.cancelJobGroup(group)
+        catalog.spark.streams.active
+          .filterNot(q => streamsBefore.contains(q.id))
+          .foreach { q =>
+            try q.stop()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         throw new StageTimeoutException(st.name, timeoutMs)
       case e: java.util.concurrent.ExecutionException =>
         throw e.getCause // the stage's own failure, not the wrapper's

@@ -253,6 +253,9 @@ object GeoQueries {
     // aggregate + one broadcast build fewer in the fact-side chain, and
     // the probe explode becomes a literal array (sf1 chain cost was
     // 4.7×, dominated by this fixed 11-job AQE granularity, not data).
+    // (A static 0..6 explode with no collect was A/B'd at sf1 and lost:
+    // 1.67 s vs 1.14 s solo same-window — the 7/|resSet| extra probe
+    // rows cost more than the collect's one extra driver action saves.)
     val resSet: Array[Int] = cover
       .select(GeoF.h3Resolution(col("cell")).as("r")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -343,7 +346,43 @@ object GeoQueries {
           GeoF.centroidLng(col("boundary")), 9).as("cell_back9"))
       .orderBy("zone_id")
 
+  /** F5 planar-vs-spherical centroid divergence, MEASURED (round 13,
+    * verdict item 5). The reference's enrichment path is
+    * `H3_FROMGEOGPOINT(ST_CENTROID(geom), …)` (`enrichment_query.py:
+    * 10,17`); BigQuery's ST_CENTROID is spherical while the engine's
+    * F5 default is the planar shoelace (exact-analytic on the fixture
+    * squares, which is what lets the oracle state it directly). This
+    * query indexes BOTH centroids of every fixture zone at res 9 and
+    * reports whether the cell flips. Oracle: DuckDB recomputes the
+    * spherical centroid independently from the 4 analytic vertices via
+    * the published great-circle edge-integral (Σ (a×b)·θ/|a×b| over
+    * ring edges) and runs both points through the independent SQL
+    * forward — so the WKT parse, the spherical expression, and both H3
+    * indexings sit under the hash. MEASURED: 0 of 25 zones flip — the
+    * spherical latitude shift of a 0.5° quad is O(Δφ²·tanφ) ≈ 1.8e-4°
+    * at the fixture latitudes, about a tenth of a res-9 cell
+    * (~1.8e-3° across), so the planar F5 default is res-9-equivalent
+    * to BigQuery's spherical ST_CENTROID at these zone sizes. The
+    * flip bit stays in the gated output: a polygon large enough (or a
+    * res fine enough) to flip would show up here as a hash change,
+    * and SURVEY §2.8's F5 note now carries the measured number
+    * instead of "can flip". */
+  private def centroidSphFlip(s: SparkSession, dir: String): DataFrame =
+    zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 9).as("cell_planar"),
+        GeoF.h3Cell(
+          GeoF.centroidSphLat(col("zone_geom")),
+          GeoF.centroidSphLng(col("zone_geom")), 9).as("cell_sph"))
+      .select(col("zone_id"), col("cell_planar"), col("cell_sph"),
+        (col("cell_planar") =!= col("cell_sph")).as("flipped"))
+      .orderBy("zone_id")
+
   val all: Map[String, QueryDef] = Map(
+    "f5b_centroid_sph_flip" ->
+      QueryDef(centroidSphFlip, Some(H3OracleSql.centroidSphFlip)),
     "x_h3_grid_distance" ->
       QueryDef(h3GridDistanceQ, Some(H3OracleSql.gridDistance)),
     "x_h3_boundary" -> QueryDef(h3Boundary, Some(H3OracleSql.boundary)),

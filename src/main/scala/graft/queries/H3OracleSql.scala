@@ -50,6 +50,70 @@ object H3OracleSql {
        |SELECT zone_id, lower(hex(h)) AS h3_9 FROM fwd ORDER BY zone_id"""
       .stripMargin
 
+  /** `f5b_centroid_sph_flip` (round 13): planar vs spherical centroid of
+    * each fixture zone, both indexed at res 9, plus the flip bit. The
+    * planar centroid is the analytic zone center; the spherical one is
+    * recomputed here INDEPENDENTLY from the 4 analytic ring vertices via
+    * the published great-circle edge integral: for consecutive unit
+    * vectors a, b the edge contributes (a×b)·θ/|a×b| (θ = arc angle),
+    * and the summed vector's direction is the spherical centroid — the
+    * fixture rings are counter-clockwise, so the right-hand rule already
+    * points the sum into the zone (no hemisphere sign fix needed here;
+    * the engine side carries one for arbitrary winding). Both points run
+    * through the same independent SQL forward as `f6_hex_index`. */
+  val centroidSphFlip: String =
+    s"""WITH ${H3OracleGen.constCtes},
+       |verts AS (
+       |  SELECT n_nationkey AS zone_id, i,
+       |         (n_nationkey * 0.5 - 6.0 + dy) / 180.0 * pi() AS vphi,
+       |         (n_nationkey * 1.5 - 18.0 + dx) / 180.0 * pi() AS vlam
+       |  FROM nation,
+       |       (VALUES (0, -0.25, -0.25), (1, 0.25, -0.25),
+       |               (2, 0.25, 0.25), (3, -0.25, 0.25)) v(i, dx, dy)
+       |),
+       |vec AS (
+       |  SELECT zone_id, i,
+       |         cos(vphi)*cos(vlam) AS x, cos(vphi)*sin(vlam) AS y,
+       |         sin(vphi) AS z
+       |  FROM verts
+       |),
+       |edges AS (
+       |  SELECT a.zone_id,
+       |         a.y*b.z - a.z*b.y AS cx,
+       |         a.z*b.x - a.x*b.z AS cy,
+       |         a.x*b.y - a.y*b.x AS cz,
+       |         a.x*b.x + a.y*b.y + a.z*b.z AS dt
+       |  FROM vec a JOIN vec b
+       |    ON a.zone_id = b.zone_id AND b.i = (a.i + 1) % 4
+       |),
+       |sums AS (
+       |  SELECT zone_id,
+       |         sum(cx * atan2(sqrt(cx*cx+cy*cy+cz*cz), dt)
+       |               / sqrt(cx*cx+cy*cy+cz*cz)) AS vx,
+       |         sum(cy * atan2(sqrt(cx*cx+cy*cy+cz*cz), dt)
+       |               / sqrt(cx*cx+cy*cy+cz*cz)) AS vy,
+       |         sum(cz * atan2(sqrt(cx*cx+cy*cy+cz*cz), dt)
+       |               / sqrt(cx*cx+cy*cy+cz*cz)) AS vz
+       |  FROM edges GROUP BY zone_id
+       |),
+       |pts AS (
+       |  SELECT zone_id, 0 AS kind,
+       |         (zone_id * 0.5 - 6.0) / 180.0 * pi() AS phi,
+       |         (zone_id * 1.5 - 18.0) / 180.0 * pi() AS lam
+       |  FROM sums
+       |  UNION ALL
+       |  SELECT zone_id, 1 AS kind,
+       |         atan2(vz, sqrt(vx*vx + vy*vy)) AS phi,
+       |         atan2(vy, vx) AS lam
+       |  FROM sums
+       |)${H3OracleGen.forward("pts", 9, Seq("zone_id", "kind"), "fc")}
+       |SELECT zone_id,
+       |       max(CASE WHEN kind = 0 THEN lower(hex(h)) END) AS cell_planar,
+       |       max(CASE WHEN kind = 1 THEN lower(hex(h)) END) AS cell_sph,
+       |       max(CASE WHEN kind = 0 THEN lower(hex(h)) END)
+       |         <> max(CASE WHEN kind = 1 THEN lower(hex(h)) END) AS flipped
+       |FROM fc GROUP BY zone_id ORDER BY zone_id""".stripMargin
+
   // ------------------------------------------------------------------
   // Hierarchy oracles (round 12). The H3 index IS the hierarchy —
   // parent = digit truncation, children = digit enumeration — so once

@@ -96,6 +96,52 @@ class RunnerSpec extends SparkSpec {
     assert(calls === 2)
   }
 
+  test("execution timeout over a STREAMING stage (C5, round 13): the " +
+      "hung query is torn down before the retry, not leaked") {
+    // Job-group cancellation cannot reach a streaming query's jobs
+    // (StreamExecution submits them under its own group), so the Runner
+    // must stop queries the attempt started. The stage starts a file
+    // stream with a slow ProcessingTime trigger and blocks in
+    // awaitTermination (never terminates on its own), the policy times
+    // it out twice, and afterwards NO active query may remain in the
+    // session — a leaked stream would also poison every later test in
+    // this suite's shared session.
+    val srcDir = Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("user.dir"), "target"),
+      "stream_hang").toString
+    import spark.implicits._
+    Seq(1L, 2L).toDF("x").write.mode("overwrite").parquet(srcDir)
+    val before = spark.streams.active.length
+    var starts = 0
+    val policy = fastPolicy.copy(
+      timeout = scala.concurrent.duration.Duration(2, "s"))
+    val e = intercept[StageFailedException] {
+      Runner.run(freshCatalog(), Seq(
+        Stage("hung_stream", { c =>
+          starts += 1
+          val schema = c.spark.read.parquet(srcDir).schema
+          val q = c.spark.readStream.schema(schema).parquet(srcDir)
+            .writeStream.format("noop")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime("1 hour"))
+            .start()
+          q.awaitTermination() // hangs until torn down
+          true
+        })), policy)
+    }
+    assert(e.stage === "hung_stream")
+    assert(e.getCause.isInstanceOf[StageTimeoutException])
+    assert(starts === 2, "retry must have run a second attempt")
+    // the teardown must be synchronous enough that nothing is left
+    // running once the runner has thrown
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (spark.streams.active.length > before &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.streams.active.length === before,
+      s"leaked streaming queries: ${
+        spark.streams.active.map(_.name).mkString(", ")}")
+  }
+
   test("catalog lifecycle: truncate/append/exists/drop (S5–S8)") {
     import spark.implicits._
     val cat = freshCatalog()
