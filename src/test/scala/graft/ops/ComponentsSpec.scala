@@ -35,4 +35,40 @@ class ComponentsSpec extends SparkSpec {
     val got = cc(Seq((2L, 1L), (3L, 1L)))
     assert(got === Map(2L -> 1L, 3L -> 1L))
   }
+
+  test("giant component (skewed cluster, round 13): one cluster holding " +
+      "most of the corpus resolves correctly and per-round state stays " +
+      "aggregate-shaped") {
+    // The sf10 skew question (verdict item 7): what happens when one
+    // near-dup cluster is a large fraction of the corpus? Fixture: a
+    // 50k-node component that is deliberately HUB-SHAPED mid-algorithm
+    // (random attachment chains, depth O(log n)) plus scattered pairs.
+    // Correctness: every giant-cluster node must label to the minimum.
+    // Scale mechanism (why no salting is needed): the only per-key
+    // reduction the algorithm does is groupBy(u).min — map-side
+    // combinable, so a hot key (the emerging component root, whose
+    // in-degree approaches the full cluster size in late rounds)
+    // reduces to ONE row per map partition before the exchange; the
+    // subsequent join on u fans the min back OUT (one row per edge,
+    // no per-key accumulation); and collect-style per-key state is
+    // never built. AQE's skew-join split covers the join-side
+    // partition imbalance at real scale. This spec pins the
+    // correctness half on a genuinely skewed graph; the mechanism
+    // audit above is the PLANS.md round-13 note.
+    val n = 50000
+    val rnd = new scala.util.Random(13)
+    // random-attachment tree rooted at 1: node i attaches to a random
+    // earlier node — expected depth O(log n), so the contraction needs
+    // several genuine rounds rather than one star collapse
+    val giant = (2 to n).map(i => (i.toLong, (rnd.nextInt(i - 1) + 1).toLong))
+    val pairs = (1 to 200).map(i => (1000000L + 2 * i, 1000001L + 2 * i))
+    val edges = rnd.shuffle(giant ++ pairs)
+    val got = Components.connected(spark, edges.toDF("src", "dst"))
+    val labels = got.as[(Long, Long)].collect().toMap
+    (2 to n).foreach(i => assert(labels(i.toLong) === 1L,
+      s"giant-cluster node $i mislabeled"))
+    pairs.foreach { case (a, b) =>
+      assert(labels(b) === a, s"scattered pair ($a,$b) mislabeled") }
+    assert(!labels.contains(1L), "root must not appear as a non-root row")
+  }
 }
