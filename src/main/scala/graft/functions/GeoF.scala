@@ -259,19 +259,26 @@ object GeoF {
     * centroid / polyfill). Backed by [[H3.cellToBoundary]] through the
     * codegen expression [[graft.plans.H3Boundary]].
     *
-    * DIVERGENCE FROM h3lib (documented where users see it, per the
-    * round-12 advice): corners are bit-exact H3 geometry on the cell's
-    * owning chart, but corners past an icosahedron edge unproject
-    * through the HOME chart without h3lib's per-face re-projection, and
-    * no edge-crossing distortion vertices are inserted (h3lib emits up
-    * to 10 for face-straddling hexagons); pentagon corners are
-    * spherical centroids of the exact generating center triples.
-    * Boundaries of face-straddling cells are therefore NOT
-    * h3lib-bit-identical, and coverage/containment unions over very
-    * coarse cells (res <= 2, where cells routinely straddle faces) can
-    * show small gaps/overlaps along icosahedron edges. The engine's own
-    * closure laws (centroid re-indexes to the cell; oracle-gated at
-    * res 9 in `x_h3_boundary`) hold everywhere. */
+    * DIVERGENCE FROM h3lib (documented where users see it): since
+    * round 13 corners use PER-FACE re-projection — a corner past the
+    * home face is recomputed as the lattice centroid in the chart of a
+    * generating neighbor on the corner's OWNING face, making shared
+    * corners chart-canonical across neighbors (agreement ≤ 1e-13 of
+    * pitch, exhaustively spec-pinned at res 0–2 in `H3Spec`; the
+    * pre-13 home-chart unprojection diverged by the projective
+    * distortion at face edges, the round-12 advice's coarse-res
+    * gap/overlap concern). Residual divergences: (1) the home-chart
+    * value survives only as a fallback where NO generating cell lives
+    * on the corner's owning face — 7 / 14 / 24 corners at res 0 / 1 / 2
+    * (of 660 / 4 620 / 32 340; near icosahedron vertices), enumerated
+    * and pinned in `H3Spec`; (2) no edge-crossing DISTORTION vertices
+    * are inserted (h3lib emits up to 10 vertices for face-straddling
+    * hexagons; this surface always emits the 6 true corners), so a
+    * straddling cell's WKT undercounts the boundary's bend at the face
+    * edge; (3) pentagon corners are spherical centroids of the exact
+    * generating center triples. The engine's own closure laws
+    * (centroid re-indexes to the cell; oracle-gated at res 9 in
+    * `x_h3_boundary`) hold everywhere. */
   def h3Boundary(cell: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.H3Boundary(

@@ -2038,16 +2038,36 @@ object H3 {
   // i.e. the substrate lattice point c + (u_i + u_{i+1})/3. Vertices
   // are computed exactly there and unprojected through the owning
   // chart — bit-exact H3 geometry for cells whose corners sit on their
-  // face (the overwhelming case at res ≥ 1). Two documented
-  // approximations vs h3lib: (1) corners past an icosahedron edge are
-  // unprojected through the HOME chart's gnomonic plane (h3lib
-  // re-projects per face and inserts edge-crossing distortion
-  // vertices — a sub-pitch second-order difference confined to
-  // face-straddling cells); (2) pentagon corners straddle five charts,
-  // so they are taken as the spherical centroid of each
-  // mutually-adjacent center triple (center + two consecutive ring-1
-  // neighbors, each center itself exact) — the same point to second
-  // order in the pitch.
+  // face (the overwhelming case at res ≥ 1).
+  //
+  // PER-FACE RE-PROJECTION (round 13, closing the round-12 advice): a
+  // corner past the home face's icosahedron edge is NOT unprojected
+  // through the home chart any more. Every hexagon corner is shared by
+  // exactly three cells (the cell and two consecutive ring-1
+  // neighbors), and the corner direction is owned by exactly one face
+  // triangle (faces are the Voronoi regions of face centers; a planar
+  // point beyond a face-edge line unprojects beyond that edge's great
+  // circle, so the ownership test is exact even on a distorted
+  // unprojection). If a generating cell's own chart face owns the
+  // corner, the corner is that chart's lattice centroid — bit-exact
+  // h3lib geometry — and every generating cell on that face computes
+  // the same point (ulp-identical lattice arithmetic), making corners
+  // chart-canonical across neighbors (spec-pinned in H3Spec). The
+  // HOME-chart value remains only as the fallback when NO generating
+  // cell lives on the corner's owning face (possible only near
+  // icosahedron vertices where 5 faces meet; the fallback count is
+  // enumerated and pinned in H3Spec — a second-order-of-pitch
+  // approximation confined to those corners).
+  //
+  // Remaining documented divergences vs h3lib: (1) no edge-crossing
+  // DISTORTION vertices are inserted (h3lib emits up to 10 vertices
+  // for face-straddling hexagons; this surface always emits the 6 true
+  // corners — now per-face-exact — so unions of straddling cells can
+  // still undercount the boundary's bend at the face edge); (2)
+  // pentagon corners straddle five charts and are taken as the
+  // spherical centroid of each mutually-adjacent center triple (each
+  // center itself exact) — the same point to second order in the
+  // pitch.
   // ------------------------------------------------------------------
 
   /** CCW unit neighbor directions in axial (a,b) coords — see
@@ -2059,9 +2079,19 @@ object H3 {
   /** h3lib `cellToBoundary`: the cell's polygon vertices as
     * (latDeg, lngDeg), in ring order, without repeating the first
     * vertex — 6 for hexagons, 5 for pentagon cells. */
-  def cellToBoundary(h: Long): Array[(Double, Double)] = {
+  def cellToBoundary(h: Long): Array[(Double, Double)] =
+    cellToBoundaryResolved(h)._1
+
+  /** [[cellToBoundary]] plus a bitmask of HOME-CHART-FALLBACK corners
+    * (bit v set ⇔ corner v left the home face and no generating cell's
+    * chart owns it — the enumerable residual the class comment
+    * documents; always 0 for pentagons, whose corners use the
+    * spherical-centroid construction). Test hook for the H3Spec
+    * corner-canonicity law. */
+  private[functions] def cellToBoundaryResolved(
+      h: Long): (Array[(Double, Double)], Int) = {
     requireValid(h)
-    if (isPentagon(h)) return pentagonBoundary(h)
+    if (isPentagon(h)) return (pentagonBoundary(h), 0)
     val res = getResolution(h)
     val (face, i, j, k, _, _) = resolveChart(h)
     val a = i - k
@@ -2069,6 +2099,10 @@ object H3 {
     val cx = a.toDouble - 0.5 * b
     val cy = b * Sin60
     val out = new Array[(Double, Double)](6)
+    var fallback = 0
+    // neighbor charts, resolved lazily only if some corner leaves the
+    // home face (boundary is never a hot path: one gated query + specs)
+    var ringCharts: Array[(Int, Double, Double)] = null
     var v = 0
     while (v < 6) {
       val (a1, b1) = BoundaryDirs(v)
@@ -2077,10 +2111,71 @@ object H3 {
       val wb = (b1 + b2) / 3.0
       val (latR, lngR) =
         hex2dToGeo(face, cx + (wa - 0.5 * wb), cy + wb * Sin60, res)
-      out(v) = (toDegrees(latR), toDegrees(lngR))
+      var best = (toDegrees(latR), toDegrees(lngR))
+      if (nearestFace(latR, lngR) != face) {
+        // overage: the corner's owning face is not the home chart. Find
+        // a generating neighbor whose OWN chart is the owning face and
+        // take the corner as that chart's lattice centroid (bit-exact).
+        if (ringCharts == null)
+          ringCharts = gridRing1(h).filterNot(isPentagon).map { n =>
+            val (nf, ni, nj, nk, _, _) = resolveChart(n)
+            val na = ni - nk
+            val nb = nj - nk
+            (nf, na.toDouble - 0.5 * nb, nb * Sin60)
+          }
+        // unit vector of the (approximate) corner for matching
+        val ax0 = cos(latR) * cos(lngR)
+        val ay0 = cos(latR) * sin(lngR)
+        val az0 = sin(latR)
+        var done = false
+        var c = 0
+        while (!done && c < ringCharts.length) {
+          val (nf, ncx, ncy) = ringCharts(c)
+          if (nf != face) {
+            // which of n's 6 corners is ours: the one nearest the
+            // approximation (true shared corners are within
+            // second-order-of-pitch; corners of NON-adjacent ring cells
+            // are >= ~0.58 pitch away, so the self-scaled threshold
+            // below is unambiguous)
+            var w = 0
+            while (!done && w < 6) {
+              val (c1, d1) = BoundaryDirs(w)
+              val (c2, d2) = BoundaryDirs((w + 1) % 6)
+              val va = (c1 + c2) / 3.0
+              val vb = (d1 + d2) / 3.0
+              val (nlatR, nlngR) =
+                hex2dToGeo(nf, ncx + (va - 0.5 * vb), ncy + vb * Sin60, res)
+              if (nearestFace(nlatR, nlngR) == nf) { // no overage there
+                val bx = cos(nlatR) * cos(nlngR)
+                val by = cos(nlatR) * sin(nlngR)
+                val bz = sin(nlatR)
+                // angular distance candidate-corner -> approx corner,
+                // self-scaled by the candidate's circumradius (corner
+                // to its own cell center)
+                val dCorner =
+                  acos(max(-1.0, min(1.0, ax0 * bx + ay0 * by + az0 * bz)))
+                val (clatR, clngR) = hex2dToGeo(nf, ncx, ncy, res)
+                val ccx = cos(clatR) * cos(clngR)
+                val ccy = cos(clatR) * sin(clngR)
+                val ccz = sin(clatR)
+                val dCenter =
+                  acos(max(-1.0, min(1.0, bx * ccx + by * ccy + bz * ccz)))
+                if (dCorner < 0.3 * dCenter) {
+                  best = (toDegrees(nlatR), toDegrees(nlngR))
+                  done = true
+                }
+              }
+              w += 1
+            }
+          }
+          c += 1
+        }
+        if (!done) fallback |= 1 << v
+      }
+      out(v) = best
       v += 1
     }
-    out
+    (out, fallback)
   }
 
   /** Pentagon boundary: corners as spherical centroids of each

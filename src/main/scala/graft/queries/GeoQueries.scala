@@ -324,13 +324,13 @@ object GeoQueries {
     * centroid or the comma count and fails the hash. Full corner
     * geometry needs the inverse projection and stays
     * SQL-inexpressible; corner-level laws (neighbor-shared corners,
-    * edge-midpoint bijections) are spec-pinned in `H3Spec`. Note the
-    * documented approximations of [[graft.functions.H3.cellToBoundary]]
-    * (home-chart unprojection past icosahedron edges — no distortion
-    * vertices — and pentagon corners as spherical centroids of exact
-    * center triples): WKT of face-straddling cells is NOT
-    * h3lib-bit-identical, which this closure gate tolerates by
-    * construction and the scaladoc there spells out. */
+    * edge-midpoint bijections, and since round 13 the per-face
+    * corner-canonicity law with its exactly-enumerated fallback set)
+    * are spec-pinned in `H3Spec`. The residual divergences of
+    * [[graft.functions.H3.cellToBoundary]] vs h3lib (no distortion
+    * vertices; pentagon corners as spherical centroids; the enumerated
+    * near-icosahedron-vertex fallback) are documented at its scaladoc
+    * and tolerated by this closure gate by construction. */
   private def h3Boundary(s: SparkSession, dir: String): DataFrame =
     zonesWkt(s, dir)
       .select(col("zone_id"),

@@ -797,6 +797,64 @@ class H3Spec extends AnyFunSuite {
     assert(checked > 25)
   }
 
+  test("cellToBoundary per-face corners (round 13): shared corners are " +
+      "chart-canonical, the home-chart fallback is enumerated and tiny") {
+    // Exhaustive at res 0–2 (122 / 842 / 5882 cells). Law 1: every
+    // corner shared by two hexagons — when NEITHER side fell back to
+    // the home chart — agrees to ulp level (both sides computed the
+    // same lattice point in the corner's OWNING chart; the pre-round-13
+    // home-chart unprojection diverged by up to the projective
+    // distortion, which the old adjacent-cells law tolerated at
+    // 0.05·pitch). Law 2: the fallback corner count (no generating cell
+    // lives on the corner's owning face — only possible near icosahedron
+    // vertices / pentagon-adjacent corners) is pinned EXACTLY per res:
+    // 7 of 660, 14 of 4620, 24 of 32340 (probe-measured; res 3 adds
+    // only 3 more at 226380 corners — the residual shrinks geometrically
+    // with res as cells pull away from face vertices).
+    val expectedFallback = Map(0 -> 7, 1 -> 14, 2 -> 24)
+    for (res <- 0 to 2) {
+      var corners = 0
+      var fallbacks = 0
+      var sharedPairs = 0
+      var worstRel = 0.0
+      val cells = (0 until 122).flatMap { bc =>
+        val b = (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+        if (res == 0) Seq(b) else H3.cellToChildren(b, res).toSeq
+      }
+      val bnd = scala.collection.mutable.Map
+        .empty[Long, (Array[(Double, Double)], Int)]
+      def get(h: Long) = bnd.getOrElseUpdate(h, H3.cellToBoundaryResolved(h))
+      for (h <- cells if !H3.isPentagonCell(h)) {
+        val (mine, fb) = get(h)
+        corners += 6
+        fallbacks += Integer.bitCount(fb)
+        val ring = H3.gridRing1(h)
+        val pitch = haversine(H3.cellToLatLng(h), H3.cellToLatLng(ring.head))
+        for (n <- ring if !H3.isPentagonCell(n)) {
+          val (theirs, nfb) = get(n)
+          for (v <- 0 until 6 if (fb & (1 << v)) == 0) {
+            var wi = 0
+            while (wi < 6) {
+              if ((nfb & (1 << wi)) == 0 &&
+                  haversine(mine(v), theirs(wi)) < 0.05 * pitch) {
+                sharedPairs += 1
+                val rel = haversine(mine(v), theirs(wi)) / pitch
+                if (rel > worstRel) worstRel = rel
+              }
+              wi += 1
+            }
+          }
+        }
+      }
+      assert(fallbacks === expectedFallback(res),
+        s"res $res fallback corners: $fallbacks of $corners")
+      assert(sharedPairs > corners, // every interior corner matches twice
+        s"res $res matched only $sharedPairs shared corner pairs")
+      assert(worstRel < 1e-9,
+        f"res $res worst shared-corner divergence $worstRel%.3e of pitch")
+    }
+  }
+
   test("cellToBoundary: pentagons have 5 corners at uniform radius") {
     for ((_, plat, plng) <- H3.pentagonCenters.take(4); res <- Seq(1, 4)) {
       val h = H3.latLngToCell(plat, plng, res)
