@@ -234,17 +234,28 @@ object GeoQueries {
     * zone and the count is exactly the per-zone fact population — which
     * the oracle states with no H3 at all ([[H3OracleSql.multiresJoin]]). */
   private def h3MultiresJoin(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: the compacted cover feeds TWO consumers (the
-    // distinct-res dimension and the join broadcast) and without it the
-    // whole polyfill -> compact chain executes twice (plan audit: zero
-    // ReusedExchange). The cover is the small result of big compute —
-    // exactly the checkpoint pattern this round's BFS fix reserves it
-    // for (compacted covers are >= 7x smaller than the fine polyfill,
-    // orders of magnitude smaller than the fact side).
-    val cover = graft.ops.H3Compact.compact(
-      zonesWkt(s, dir).select(col("zone_id"),
-        explode(GeoF.h3Polyfill(col("zone_geom"), 6)).as("cell")),
-      "cell", 6, Seq("zone_id")).localCheckpoint(false)
+    // ROW-LOCAL compaction (round 13, second cut): polyfill emits each
+    // zone's complete res-6 cell set as ONE array in ONE row, and
+    // compaction is zone-scoped here — so the minimal cover is a pure
+    // per-row kernel call ([[GeoF.h3CompactArray]], the same codegen
+    // kernel the distributed path groups for), NOT a shuffle. This
+    // replaces the 2-iteration [[graft.ops.H3Compact.compact]] chain
+    // (same output, oracle-checked; the distributed compact remains the
+    // right tool when the cover arrives exploded/ungrouped — the
+    // `x_h3_compact` gate still exercises it). Scale note: per-row
+    // state is the polyfill array itself, which the polyfill expression
+    // already bounds; a polygon too big for that bound needs the
+    // exploded + distributed path anyway.
+    //
+    // localCheckpoint: the cover feeds TWO consumers (the distinct-res
+    // collect and the join broadcast) and without it the polyfill →
+    // compact scan executes twice. The cover is the small result of
+    // real compute — the checkpoint-the-SMALL-side pattern.
+    val cover = zonesWkt(s, dir)
+      .select(col("zone_id"),
+        explode(GeoF.h3CompactArray(
+          GeoF.h3Polyfill(col("zone_geom"), 6))).as("cell"))
+      .localCheckpoint(false)
     // Distinct-res dimension as a BOUNDED driver collect (round 13,
     // verdict item 3): a compacted res-6 cover holds at most the 7
     // resolutions 0..6, so this collect is fixture-independent-bounded
