@@ -154,6 +154,15 @@ object Bench {
     //  - hybrid: two passes of bursts (ceil/floor split) — per-query JIT
     //    convergence within each burst, and a steal window can still
     //    only eat one of the two bursts.
+    // Scale-point guidance: run sf ≥ 10 windows with
+    // SPARK_GRAFT_BENCH_SCHEDULE=interleave. Back-to-back passes of a
+    // memory-bound query leave no drain time for the previous pass's
+    // async cleanup (broadcasts/shuffle files release via the
+    // ContextCleaner AFTER cleanSlate's gc returns), and per-pass times
+    // are large enough there that JIT tier-up is noise anyway —
+    // measured: x_containment_pairs pass 2 OOM'd the 8g default heap
+    // under burst at sf10 while the interleaved window (30 queries of
+    // spacing) ran the identical plan clean in the same session config.
     val schedule = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCHEDULE", "hybrid")
     val visits: Seq[(Int, String)] = schedule match {
       case "interleave" =>
