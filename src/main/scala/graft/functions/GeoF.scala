@@ -284,6 +284,18 @@ object GeoF {
       graft.plans.H3Boundary(
         org.apache.spark.sql.GraftBridge.expression(cell)))
 
+  /** [[h3Boundary]] plus h3lib's edge-crossing DISTORTION vertices
+    * (round 13): wherever a cell edge crosses an icosahedron face edge
+    * — the perpendicular-bisector great circle of two face centers —
+    * the exact intersection point is inserted, giving full h3lib
+    * vertex parity (up to 10 vertices) for face-straddling cells where
+    * the plain form emits the 6 true corners only. Same WKT surface;
+    * laws spec-pinned exhaustively at res 0–2 in `H3Spec`. */
+  def h3BoundaryFull(cell: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3BoundaryFull(
+        org.apache.spark.sql.GraftBridge.expression(cell)))
+
   // ------------------- H3 hierarchy (parent / children) ------------------
 
   /** h3lib `cellToParent` — the res-`res` ancestor by digit truncation

@@ -2178,6 +2178,158 @@ object H3 {
     (out, fallback)
   }
 
+  /** h3lib `cellToBoundary` WITH edge-crossing DISTORTION vertices
+    * (round 13, completing the boundary-parity advice): h3lib emits an
+    * extra vertex wherever a cell edge crosses an icosahedron face
+    * edge (up to 10 vertices for a face-straddling hexagon), because
+    * the gnomonic lattice edge bends there on the sphere. Faces are
+    * the Voronoi regions of the 20 face centers, so a face edge IS the
+    * perpendicular-bisector great circle of two face centers, and the
+    * distortion vertex is the EXACT intersection of the cell edge's
+    * great circle (normal p×q) with that bisector plane (normal
+    * c_a−c_b) — computed in closed form once a subdivision walk along
+    * the edge has located which face pair each crossing separates
+    * (the subdivision only identifies the pair and the ordering; the
+    * emitted point is exact regardless of the walk's depth). Cells
+    * whose corners all sit on one face return [[cellToBoundary]]
+    * verbatim. Laws (on-both-circles, between-corners, count =
+    * sampled face changes, straddle-free identity) are exhaustively
+    * spec-pinned at res 0–2 in `H3Spec`. */
+  def cellToBoundaryFull(h: Long): Array[(Double, Double)] =
+    cellToBoundaryFullMarked(h)._1
+
+  /** [[cellToBoundaryFull]] plus a parallel flags array: true = an
+    * inserted distortion vertex, false = a true corner. Test hook. */
+  private[functions] def cellToBoundaryFullMarked(
+      h: Long): (Array[(Double, Double)], Array[Boolean]) = {
+    val corners = cellToBoundary(h)
+    val n = corners.length
+    def unit(p: (Double, Double)): Array[Double] = {
+      val la = toRadians(p._1); val lo = toRadians(p._2)
+      Array(cos(la) * cos(lo), cos(la) * sin(lo), sin(la))
+    }
+    def faceOf(v: Array[Double]): Int = {
+      var best = 0; var bd = -2.0; var f = 0
+      while (f < 20) {
+        val d = v(0) * FaceX(f) + v(1) * FaceY(f) + v(2) * FaceZ(f)
+        if (d > bd) { bd = d; best = f }
+        f += 1
+      }
+      best
+    }
+    def cross(a: Array[Double], b: Array[Double]): Array[Double] =
+      Array(a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2),
+        a(0) * b(1) - a(1) * b(0))
+    def mid(a: Array[Double], b: Array[Double]): Array[Double] = {
+      val m = Array(a(0) + b(0), a(1) + b(1), a(2) + b(2))
+      val l = sqrt(m(0) * m(0) + m(1) * m(1) + m(2) * m(2))
+      Array(m(0) / l, m(1) / l, m(2) / l)
+    }
+    val us = corners.map(unit)
+    val fs = us.map(faceOf)
+    val outP = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val outM = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def slerp(a: Array[Double], b: Array[Double], t: Double)
+        : Array[Double] = {
+      val om = acos(max(-1.0, min(1.0,
+        a(0) * b(0) + a(1) * b(1) + a(2) * b(2))))
+      if (om < 1e-12) a
+      else {
+        val sa = sin((1 - t) * om) / sin(om)
+        val sb = sin(t * om) / sin(om)
+        val m = Array(sa * a(0) + sb * b(0), sa * a(1) + sb * b(1),
+          sa * a(2) + sb * b(2))
+        val l = sqrt(m(0) * m(0) + m(1) * m(1) + m(2) * m(2))
+        Array(m(0) / l, m(1) / l, m(2) / l)
+      }
+    }
+    var v = 0
+    while (v < n) {
+      val p = us(v); val q = us((v + 1) % n)
+      outP += corners(v); outM += false
+      // Crossing detection runs UNCONDITIONALLY: an edge can enter a
+      // neighboring face region and return (both corners on one face,
+      // two crossings — routine for res-0 edges clipping a face
+      // corner), so an endpoint-face gate would miss pairs. 256 uniform
+      // samples isolate every change interval (face incursions along a
+      // cell edge are never narrower than a fraction of the edge), then
+      // each interval bisects 48 deep before the closed-form point.
+      val gc = cross(p, q) // full-edge great-circle normal
+      val gcl = sqrt(gc(0) * gc(0) + gc(1) * gc(1) + gc(2) * gc(2))
+      // exact crossing between the face-fa / face-fb Voronoi regions
+      // on this edge's great circle, oriented into the (a, b) sub-arc.
+      // None = ALONG-EDGE degenerate: the cell edge runs (numerically)
+      // inside the face-boundary great circle itself — routine for
+      // res-0 cells whose edges lie on icosahedron edges. Face identity
+      // flickers at float noise along such an arc, but the arc is a
+      // single great circle on the boundary — straight in BOTH charts —
+      // so no distortion bend exists and h3lib's substrate walk (which
+      // canonicalizes boundary vertices to one face) emits nothing.
+      def exact(fa: Int, fb: Int, a: Array[Double],
+          b: Array[Double]): Option[(Double, Double)] = {
+        val n2 = Array(FaceX(fa) - FaceX(fb), FaceY(fa) - FaceY(fb),
+          FaceZ(fa) - FaceZ(fb))
+        val n2l = sqrt(n2(0) * n2(0) + n2(1) * n2(1) + n2(2) * n2(2))
+        val d = cross(gc, n2)
+        val l = sqrt(d(0) * d(0) + d(1) * d(1) + d(2) * d(2))
+        if (l < 1e-3 * gcl * n2l) None // tangent/along-edge: no bend
+        else {
+          val s = d(0) * (a(0) + b(0)) + d(1) * (a(1) + b(1)) +
+            d(2) * (a(2) + b(2))
+          val sg = if (s >= 0) 1.0 else -1.0
+          val x = Array(sg * d(0) / l, sg * d(1) / l, sg * d(2) / l)
+          Some((toDegrees(asin(max(-1.0, min(1.0, x(2))))),
+            toDegrees(atan2(x(1), x(0)))))
+        }
+      }
+      // A crossing can coincide with a corner (res-0 corners sit ON
+      // icosahedron edges) or with the previous crossing — emit
+      // neither (h3lib never duplicates vertices). Chordal 1e-9
+      // (cos of a 1e-9 angle is 1.0 in double).
+      var lastEmit: Array[Double] = null
+      def emit(pt: (Double, Double)): Unit = {
+        val x = unit(pt)
+        def near(y: Array[Double]) = {
+          val dx = x(0) - y(0); val dy = x(1) - y(1); val dz = x(2) - y(2)
+          dx * dx + dy * dy + dz * dz < 1e-18
+        }
+        if (!near(p) && !near(q) &&
+            (lastEmit == null || !near(lastEmit))) {
+          outP += pt; outM += true; lastEmit = x
+        }
+      }
+      def bisect(a0: Array[Double], fa0: Int, b0: Array[Double],
+          fb0: Int, depth: Int): Unit = {
+        var a = a0; var fa = fa0; var b = b0; var fb = fb0
+        var d = depth
+        while (d > 0) {
+          val m = mid(a, b); val fm = faceOf(m)
+          if (fm == fa) { a = m }
+          else if (fm == fb) { b = m }
+          else { // a third face inside the interval: split
+            bisect(a, fa, m, fm, d - 1)
+            bisect(m, fm, b, fb, d - 1)
+            return
+          }
+          d -= 1
+        }
+        exact(fa, fb, a, b).foreach(emit)
+      }
+      val Samples = 256
+      var prev = p; var fPrev = fs(v)
+      var s = 1
+      while (s <= Samples) {
+        val cur = if (s == Samples) q else slerp(p, q, s.toDouble / Samples)
+        val fCur = if (s == Samples) fs((v + 1) % n) else faceOf(cur)
+        if (fCur != fPrev) bisect(prev, fPrev, cur, fCur, 48)
+        prev = cur; fPrev = fCur
+        s += 1
+      }
+      v += 1
+    }
+    (outP.toArray, outM.toArray)
+  }
+
   /** Pentagon boundary: corners as spherical centroids of each
     * (center, nᵢ, nᵢ₊₁) triple over the azimuth-ordered exact ring-1
     * neighbor centers. */
@@ -2207,6 +2359,15 @@ object H3 {
   /** Owning chart face of a cell (test hook: the exactness domain of
     * [[cellToBoundary]] is a ring whose cells share one chart). */
   private[functions] def chartFace(h: Long): Int = resolveChart(h)._1
+
+  /** Owning face of a point (test hook for the distortion-vertex
+    * laws: faces are the Voronoi regions of the face centers). */
+  private[functions] def faceOfPoint(latDeg: Double, lngDeg: Double): Int =
+    nearestFace(toRadians(latDeg), toRadians(lngDeg))
+
+  /** Face-center unit vector (test hook for the bisector laws). */
+  private[functions] def faceCenter(f: Int): Array[Double] =
+    Array(FaceX(f), FaceY(f), FaceZ(f))
 
   /** Test hook: whether a cell's base cell is in [[PentProximal]] —
     * the gridDistance flat path's exclusion set. */
@@ -2309,6 +2470,15 @@ object H3 {
     * functions, parseable by [[GeoF.parseRings]]/polyfill. */
   def cellBoundaryWkt(hex: String): String = {
     val vs = cellToBoundary(java.lang.Long.parseUnsignedLong(hex, 16))
+    val body = (vs :+ vs.head)
+      .map { case (lat, lng) => s"$lng $lat" }.mkString(", ")
+    s"POLYGON(($body))"
+  }
+
+  /** WKT form of [[cellToBoundaryFull]] (corners + distortion
+    * vertices) — full h3lib vertex parity for face-straddling cells. */
+  def cellBoundaryFullWkt(hex: String): String = {
+    val vs = cellToBoundaryFull(java.lang.Long.parseUnsignedLong(hex, 16))
     val body = (vs :+ vs.head)
       .map { case (lat, lng) => s"$lng $lat" }.mkString(", ")
     s"POLYGON(($body))"

@@ -92,14 +92,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[H3CompactArray].getName,
         "h3_compact_cells"),
       (children: Seq[Expression]) => H3CompactArray(children.head)))
-    // NOTE: boundary WKT of face-straddling cells is not
-    // h3lib-bit-identical (home-chart unprojection, no distortion
-    // vertices; pentagon corners as spherical centroids) — the full
-    // divergence contract is on GeoF.h3Boundary's scaladoc
+    // NOTE: h3_cell_boundary emits the 6 true corners only (since
+    // round 13 per-face exact; see GeoF.h3Boundary's scaladoc for the
+    // enumerated fallback + pentagon divergences);
+    // h3_cell_boundary_full additionally inserts h3lib's edge-crossing
+    // distortion vertices for face-straddling cells (full vertex
+    // parity; laws spec-pinned in H3Spec)
     ext.injectFunction((
       FunctionIdentifier("h3_cell_boundary"),
       new ExpressionInfo(classOf[H3Boundary].getName, "h3_cell_boundary"),
       (children: Seq[Expression]) => H3Boundary(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("h3_cell_boundary_full"),
+      new ExpressionInfo(classOf[H3BoundaryFull].getName,
+        "h3_cell_boundary_full"),
+      (children: Seq[Expression]) => H3BoundaryFull(children.head)))
     ext.injectFunction((
       FunctionIdentifier("h3_grid_distance"),
       new ExpressionInfo(classOf[H3GridDistance].getName,

@@ -87,3 +87,34 @@ case class H3Boundary(child: Expression)
       newChild: Expression): H3Boundary = copy(child = newChild)
   override def prettyName: String = "h3_cell_boundary"
 }
+
+/** `h3_cell_boundary_full(cell)` — [[H3Boundary]] plus h3lib's
+  * edge-crossing DISTORTION vertices (exact bisector-plane
+  * intersections; up to 10 vertices for face-straddling hexagons) —
+  * full vertex parity where the plain form emits the 6 true corners
+  * only. */
+case class H3BoundaryFull(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"h3_cell_boundary_full expects a hex cell-id string, got " +
+          child.dataType.simpleString)
+  override def nullSafeEval(cell: Any): Any =
+    UTF8String.fromString(
+      H3.cellBoundaryFullWkt(cell.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.H3.cellBoundaryFullWkt($c.toString()))")
+  override protected def withNewChildInternal(
+      newChild: Expression): H3BoundaryFull = copy(child = newChild)
+  override def prettyName: String = "h3_cell_boundary_full"
+}

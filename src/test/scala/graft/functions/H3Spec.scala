@@ -855,6 +855,119 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  test("cellToBoundaryFull (round 13): distortion vertices sit exactly " +
+      "on the edge great circle AND the face boundary, between their " +
+      "corners; faces change only at inserted vertices; straddle-free " +
+      "cells are identical to the plain form") {
+    def unit(p: (Double, Double)): Array[Double] = {
+      val la = math.toRadians(p._1); val lo = math.toRadians(p._2)
+      Array(math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo),
+        math.sin(la))
+    }
+    def cross(a: Array[Double], b: Array[Double]) =
+      Array(a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2),
+        a(0) * b(1) - a(1) * b(0))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+    def norm(a: Array[Double]) = {
+      val l = math.sqrt(dot(a, a)); Array(a(0) / l, a(1) / l, a(2) / l)
+    }
+    def slerp(a: Array[Double], b: Array[Double], t: Double) = {
+      val o = math.acos(math.max(-1.0, math.min(1.0, dot(a, b))))
+      val sa = math.sin((1 - t) * o) / math.sin(o)
+      val sb = math.sin(t * o) / math.sin(o)
+      norm(Array(sa * a(0) + sb * b(0), sa * a(1) + sb * b(1),
+        sa * a(2) + sb * b(2)))
+    }
+    def faceOf(v: Array[Double]): Int = {
+      val lat = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, v(2)))))
+      val lng = math.toDegrees(math.atan2(v(1), v(0)))
+      H3.faceOfPoint(lat, lng)
+    }
+    var straddling = 0
+    var inserted = 0
+    var identical = 0
+    for (res <- 0 to 2) {
+      val cells = (0 until 122).flatMap { bc =>
+        val b = (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+        if (res == 0) Seq(b) else H3.cellToChildren(b, res).toSeq
+      }
+      for (h <- cells) {
+        val plain = H3.cellToBoundary(h)
+        val (full, marks) = H3.cellToBoundaryFullMarked(h)
+        // the true corners survive verbatim, in ring order
+        assert(full.zip(marks).filter(!_._2).map(_._1).toSeq
+          === plain.toSeq, s"corners not preserved for ${h.toHexString}")
+        val nFull = full.length
+        val us = full.map(unit)
+        if (!marks.exists(identity)) {
+          assert(nFull === plain.length)
+          identical += 1
+        } else {
+          straddling += 1
+          for (i <- 0 until nFull if marks(i)) {
+            inserted += 1
+            // surrounding TRUE corners (insertions never wrap a corner)
+            var pi = (i - 1 + nFull) % nFull
+            while (marks(pi)) pi = (pi - 1 + nFull) % nFull
+            var qi = (i + 1) % nFull
+            while (marks(qi)) qi = (qi + 1) % nFull
+            val p = us(pi); val q = us(qi); val x = us(i)
+            // exactly on the corner pair's great circle
+            val gc = norm(cross(p, q))
+            assert(math.abs(dot(gc, x)) < 1e-12,
+              s"${h.toHexString} v$i off the edge great circle")
+            // strictly between its corners (arc angles add up)
+            val o = math.acos(math.max(-1.0, math.min(1.0, dot(p, q))))
+            val o1 = math.acos(math.max(-1.0, math.min(1.0, dot(p, x))))
+            val o2 = math.acos(math.max(-1.0, math.min(1.0, dot(x, q))))
+            assert(math.abs(o1 + o2 - o) < 1e-9 && o1 > 1e-12 &&
+              o2 > 1e-12, s"${h.toHexString} v$i not between its corners")
+            // exactly on the face boundary it separates: the faces a
+            // hair before/after along the ring differ, and V sits on
+            // their bisector plane to float precision
+            val before = faceOf(slerp(us((i - 1 + nFull) % nFull), x,
+              1.0 - 1e-7))
+            val after = faceOf(slerp(x, us((i + 1) % nFull), 1e-7))
+            assert(before !== after,
+              s"${h.toHexString} v$i does not separate two faces")
+            val cA = H3.faceCenter(before); val cB = H3.faceCenter(after)
+            assert(math.abs(dot(x, Array(cA(0) - cB(0), cA(1) - cB(1),
+              cA(2) - cB(2)))) < 1e-12,
+              s"${h.toHexString} v$i off the face bisector")
+          }
+          // faces change ONLY at inserted vertices: every segment
+          // between consecutive full-ring vertices is face-constant at
+          // sampled interior points — UNLESS the segment runs ALONG a
+          // face boundary (res-0 edges on icosahedron edges), where
+          // face identity is float noise; there, every sample must sit
+          // ON the bisector of the observed face pair instead
+          for (i <- 0 until nFull) {
+            val a = us(i); val b = us((i + 1) % nFull)
+            val samples = (1 to 9).map(k => slerp(a, b, k / 10.0))
+            val faces = samples.map(faceOf).distinct
+            if (faces.length > 1) {
+              assert(faces.length === 2,
+                s"${h.toHexString} segment $i spans ${faces.length} faces")
+              val cA = H3.faceCenter(faces(0))
+              val cB = H3.faceCenter(faces(1))
+              val nrm = Array(cA(0) - cB(0), cA(1) - cB(1), cA(2) - cB(2))
+              samples.foreach { sPt =>
+                assert(math.abs(dot(sPt, nrm)) < 1e-12,
+                  s"${h.toHexString} segment $i changes face mid-segment " +
+                    "while not along the boundary")
+              }
+            }
+          }
+        }
+      }
+    }
+    assert(straddling > 0 && identical > straddling &&
+      inserted >= straddling,
+      s"implausible counts: straddling=$straddling identical=$identical " +
+        s"inserted=$inserted")
+  }
+
   test("cellToBoundary: pentagons have 5 corners at uniform radius") {
     for ((_, plat, plng) <- H3.pentagonCenters.take(4); res <- Seq(1, 4)) {
       val h = H3.latLngToCell(plat, plng, res)

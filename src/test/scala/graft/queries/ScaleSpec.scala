@@ -204,6 +204,18 @@ class ScaleSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq(
       graft.functions.H3.cellToParentHex("8928308280fffff", 7)))
     assert(r.getString(3).startsWith("POLYGON(("))
+    // the full-parity form (round 13): a fine interior cell equals the
+    // plain boundary; a face-straddling res-0 cell gains distortion
+    // vertices (more commas in the ring)
+    val f = spark.sql(
+      "SELECT h3_cell_boundary_full('8928308280fffff') AS fine," +
+        " h3_cell_boundary('8005fffffffffff') AS plain0," +
+        " h3_cell_boundary_full('8005fffffffffff') AS full0").head()
+    assert(f.getString(0) ===
+      graft.functions.H3.cellBoundaryWkt("8928308280fffff"))
+    def nPts(w: String) = w.count(_ == ',')
+    assert(nPts(f.getString(2)) >= nPts(f.getString(1)),
+      "full form must never have fewer vertices")
   }
 
   test("ScaleGen copies are join-closed: FK joins scale exactly linearly") {
