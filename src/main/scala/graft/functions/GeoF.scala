@@ -271,14 +271,16 @@ object GeoF {
     * value survives only as a fallback where NO generating cell lives
     * on the corner's owning face — 7 / 14 / 24 corners at res 0 / 1 / 2
     * (of 660 / 4 620 / 32 340; near icosahedron vertices), enumerated
-    * and pinned in `H3Spec`; (2) no edge-crossing DISTORTION vertices
-    * are inserted (h3lib emits up to 10 vertices for face-straddling
-    * hexagons; this surface always emits the 6 true corners), so a
-    * straddling cell's WKT undercounts the boundary's bend at the face
-    * edge; (3) pentagon corners are spherical centroids of the exact
-    * generating center triples. The engine's own closure laws
-    * (centroid re-indexes to the cell; oracle-gated at res 9 in
-    * `x_h3_boundary`) hold everywhere. */
+    * and pinned in `H3Spec`; (2) this surface always emits the TRUE
+    * CORNERS only — for h3lib's edge-crossing distortion vertices (up
+    * to 10 per face-straddling hexagon) use [[h3BoundaryFull]]; (3)
+    * pentagon corners ADOPT the flanking hexagons' per-face-exact
+    * corners (bit-level agreement with BOTH flanks, spec-pinned), the
+    * spherical-centroid skeleton surviving only where both flanks fall
+    * back — exactly 2 / 0 / 9 / 0 of 60 corners at res 0–3, enumerated
+    * in `H3Spec`. The engine's own closure laws (centroid re-indexes
+    * to the cell; oracle-gated at res 9 in `x_h3_boundary`) hold
+    * everywhere. */
   def h3Boundary(cell: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.H3Boundary(

@@ -2330,29 +2330,81 @@ object H3 {
     (outP.toArray, outM.toArray)
   }
 
-  /** Pentagon boundary: corners as spherical centroids of each
+  /** Pentagon boundary. Corner skeleton: spherical centroid of each
     * (center, nᵢ, nᵢ₊₁) triple over the azimuth-ordered exact ring-1
-    * neighbor centers. */
+    * neighbor centers — the same point as h3lib's to second order in
+    * the pitch. UPGRADE (round 13, second half): every pentagon corner
+    * is ALSO a corner of its two flanking ring-1 HEXAGONS, whose
+    * corners are per-face exact since this round — so each corner
+    * adopts the matched neighbor corner (nearest to the skeleton
+    * approximation; corner spacing is ~0.58 pitch vs a second-order
+    * approximation error, so the match is unambiguous) whenever that
+    * neighbor corner itself resolved to its owning chart. Both
+    * flanking hexagons compute a resolved shared corner in the SAME
+    * owning chart (ulp-identical — spec-pinned), so the choice of
+    * flank doesn't matter. The spherical-centroid skeleton survives
+    * only where BOTH flanks' matched corners are home-chart fallbacks
+    * (enumerated in H3Spec alongside the hexagon fallback set). */
   private def pentagonBoundary(h: Long): Array[(Double, Double)] = {
     val (cLat, cLng) = cellToLatLng(h)
     val cLatR = toRadians(cLat); val cLngR = toRadians(cLng)
     val nbrs = gridRing1(h).map { n =>
       val (la, lo) = cellToLatLng(n)
-      (geoAzimuth(cLatR, cLngR, toRadians(la), toRadians(lo)), la, lo)
+      (geoAzimuth(cLatR, cLngR, toRadians(la), toRadians(lo)), la, lo, n)
     }.sortBy(_._1)
     require(nbrs.length == 5, s"pentagon ring size ${nbrs.length}")
     val cv = Array(cos(cLatR) * cos(cLngR), cos(cLatR) * sin(cLngR),
       sin(cLatR))
+    // per-face-exact corner sets of the five flanking hexagons (a
+    // pentagon's ring-1 is always 5 hexagons: pentagon base cells are
+    // never adjacent), with their fallback marks
+    val flank = nbrs.map { case (_, _, _, n) =>
+      if (isPentagon(n)) null else cellToBoundaryResolved(n)
+    }
+    def unitOf(latDeg: Double, lngDeg: Double): Array[Double] = {
+      val p = toRadians(latDeg); val q = toRadians(lngDeg)
+      Array(cos(p) * cos(q), cos(p) * sin(q), sin(p))
+    }
     Array.tabulate(5) { v =>
-      val (_, la1, lo1) = nbrs(v)
-      val (_, la2, lo2) = nbrs((v + 1) % 5)
+      val (_, la1, lo1, _) = nbrs(v)
+      val (_, la2, lo2, _) = nbrs((v + 1) % 5)
       val (p1, q1) = (toRadians(la1), toRadians(lo1))
       val (p2, q2) = (toRadians(la2), toRadians(lo2))
       val x = cv(0) + cos(p1) * cos(q1) + cos(p2) * cos(q2)
       val y = cv(1) + cos(p1) * sin(q1) + cos(p2) * sin(q2)
       val z = cv(2) + sin(p1) + sin(p2)
       val n = sqrt(x * x + y * y + z * z)
-      (toDegrees(asin(z / n)), toDegrees(atan2(y, x)))
+      val approx = (toDegrees(asin(z / n)), toDegrees(atan2(y, x)))
+      val av = unitOf(approx._1, approx._2)
+      // adopt the nearest RESOLVED corner of either flank; threshold
+      // self-scaled by the flank's own circumradius (nearest corner of
+      // the right flank is second-order close; any other corner is
+      // ≥ ~0.58 pitch away)
+      var best: (Double, Double) = null
+      var bestD = Double.MaxValue
+      Seq(v, (v + 1) % 5).foreach { fi =>
+        val fb = flank(fi)
+        if (fb != null) {
+          val (corners, marks) = fb
+          val (fla, flo) = (nbrs(fi)._2, nbrs(fi)._3)
+          val fcv = unitOf(fla, flo)
+          var w = 0
+          while (w < corners.length) {
+            if ((marks & (1 << w)) == 0) {
+              val u = unitOf(corners(w)._1, corners(w)._2)
+              val dx = u(0) - av(0); val dy = u(1) - av(1)
+              val dz = u(2) - av(2)
+              val d2 = dx * dx + dy * dy + dz * dz
+              val cx = u(0) - fcv(0); val cy = u(1) - fcv(1)
+              val cz = u(2) - fcv(2)
+              val r2 = cx * cx + cy * cy + cz * cz // flank circumradius²
+              if (d2 < 0.09 * r2 && d2 < bestD) { bestD = d2; best = corners(w) }
+            }
+            w += 1
+          }
+        }
+      }
+      if (best != null) best else approx
     }
   }
 

@@ -968,6 +968,60 @@ class H3Spec extends AnyFunSuite {
         s"inserted=$inserted")
   }
 
+  test("pentagon corners adopt the flanking hexagons' per-face-exact " +
+      "corners (round 13): bit-level agreement with BOTH flanks, " +
+      "residual spherical-centroid corners enumerated") {
+    // Every pentagon corner is shared with two ring-1 hexagons. After
+    // the per-face upgrade, a corner the flanks RESOLVE is computed in
+    // the corner's owning chart by both — so the pentagon's adopted
+    // corner must appear (to ~ulp, chordal 1e-12) in BOTH flanks'
+    // resolved corner sets. The spherical-centroid skeleton survives
+    // only where both flanks fell back (near icosahedron vertices) —
+    // pinned EXACTLY per res: 2 / 0 / 9 / 0 of 60 corners at res 0-3.
+    val expectedApprox = Map(0 -> 2, 1 -> 0, 2 -> 9, 3 -> 0)
+    def unit(la: Double, lo: Double) = {
+      val p = math.toRadians(la); val q = math.toRadians(lo)
+      Array(math.cos(p) * math.cos(q), math.cos(p) * math.sin(q),
+        math.sin(p))
+    }
+    for (res <- 0 to 3) {
+      var adopted = 0; var approx = 0; var inBoth = 0
+      val pents = (0 until 122).filter { bc =>
+        val b = (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+        H3.isPentagonCell(b)
+      }.map { bc =>
+        (1L << 59) | (res.toLong << 52) | (bc.toLong << 45) |
+          ((1L << (3 * (15 - res))) - 1)
+      }
+      assert(pents.length === 12)
+      for (h <- pents) {
+        val corners = H3.cellToBoundary(h)
+        assert(corners.length === 5)
+        val flanks = H3.gridRing1(h).map(H3.cellToBoundaryResolved)
+        for (c <- corners) {
+          val cu = unit(c._1, c._2)
+          var hits = 0
+          flanks.foreach { case (fc, marks) =>
+            fc.zipWithIndex.foreach { case (w, wi) =>
+              val u = unit(w._1, w._2)
+              val d2 = (u(0) - cu(0)) * (u(0) - cu(0)) +
+                (u(1) - cu(1)) * (u(1) - cu(1)) +
+                (u(2) - cu(2)) * (u(2) - cu(2))
+              if (d2 < 1e-24 && (marks & (1 << wi)) == 0) hits += 1
+            }
+          }
+          if (hits >= 1) adopted += 1 else approx += 1
+          if (hits >= 2) inBoth += 1
+        }
+      }
+      assert(approx === expectedApprox(res),
+        s"res $res: $approx skeleton corners (adopted $adopted)")
+      assert(inBoth === adopted,
+        s"res $res: an adopted corner matched only ONE flank " +
+          s"($inBoth of $adopted) — flank charts disagree")
+    }
+  }
+
   test("cellToBoundary: pentagons have 5 corners at uniform radius") {
     for ((_, plat, plng) <- H3.pentagonCenters.take(4); res <- Seq(1, 4)) {
       val h = H3.latLngToCell(plat, plng, res)
