@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Harness logging config passed explicitly to the forked mains/tests
+  // (ADVICE r13): keeping it OUT of src/main/resources means the library
+  // jar no longer carries a root-level log4j2.properties that would
+  // silently hijack a downstream application's logging via classpath
+  // resource collision.
+  s"-Dlog4j2.configurationFile=${baseDirectory.value / "conf" / "log4j2-harness.properties"}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

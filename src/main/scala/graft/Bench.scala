@@ -64,22 +64,48 @@ object Bench {
     }
     val spark = sparkBuilder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // One known-benign stderr pattern, suppressed surgically (round 13):
-    // cleanSlate()'s System.gc() collects the weakly-held accumulators of
-    // ALREADY-FINISHED actions, and a late completion event from a
-    // limit-short-circuited job (e.g. a convergence `.head()` whose
-    // remaining tasks were cancelled after the limit was satisfied) then
-    // fails the accumulator lookup inside DAGScheduler.updateAccumulators,
-    // which logError's a full "access non-existent accumulator" stack
-    // trace with rc=0 — pure noise that polluted the BENCH_r12 artifact
-    // tail. The race is in the harness's between-runs hygiene, not any
-    // query, so the fix is scoped to THIS logger in THIS main: real
-    // failures still surface as thrown exceptions on the timed action
-    // (recorded in "failed") and as TaskSetManager/executor log lines,
-    // neither of which routes through the DAGScheduler logger.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
+    // One known-benign stderr pattern, suppressed surgically (round 13,
+    // narrowed round 14 per ADVICE): cleanSlate()'s System.gc() collects
+    // the weakly-held accumulators of ALREADY-FINISHED actions, and a
+    // late completion event from a limit-short-circuited job (e.g. a
+    // convergence `.head()` whose remaining tasks were cancelled after
+    // the limit was satisfied) then fails the accumulator lookup inside
+    // DAGScheduler.updateAccumulators, which logError's a full
+    // "non-existent accumulator" stack trace with rc=0 — pure noise that
+    // polluted the BENCH_r12 artifact tail. The race is in the harness's
+    // between-runs hygiene, not any query, so the suppression is scoped
+    // to THAT MESSAGE on THAT logger in THIS main (a blanket FATAL — the
+    // round-13 form — also swallowed real scheduler failures): any other
+    // DAGScheduler error still prints, and real failures additionally
+    // surface as thrown exceptions on the timed action (recorded in
+    // "failed").
+    locally {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.AbstractFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.scheduler.DAGScheduler"
+      val lc = new LoggerConfig(name, org.apache.logging.log4j.Level.ERROR,
+        /* additive = */ true)
+      lc.addFilter(new AbstractFilter() {
+        // LoggerConfig-attached filters run on the constructed LogEvent
+        // (processLogEvent), so this is the only overload that matters;
+        // the no-arg AbstractFilter defaults keep every other path NEUTRAL
+        override def filter(event: LogEvent): Filter.Result = {
+          val msg = Option(event.getMessage)
+            .map(_.getFormattedMessage).getOrElse("")
+          val thrown = Option(event.getThrown).map(_.toString).getOrElse("")
+          if (msg.contains("non-existent accumulator") ||
+              thrown.contains("non-existent accumulator"))
+            Filter.Result.DENY
+          else Filter.Result.NEUTRAL
+        }
+      })
+      cfg.addLogger(name, lc)
+      ctx.updateLoggers()
+    }
 
     val names = SparkEntry.benchNames.filter(n => only.forall(_.contains(n)))
       .filter(SparkEntry.benchQueries.contains)

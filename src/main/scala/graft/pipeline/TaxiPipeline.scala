@@ -81,6 +81,16 @@ object Runner {
     // retries). Snapshot the active-query set before the attempt and
     // stop everything the attempt started (round 13, verdict item 6).
     val streamsBefore = catalog.spark.streams.active.map(_.id).toSet
+    // Every failure path runs this same sweep (ADVICE r13: the round-13
+    // form swept only on timeout, so a stage that started a stream and
+    // then THREW still leaked it across retries).
+    def stopLeakedStreams(): Unit =
+      catalog.spark.streams.active
+        .filterNot(q => streamsBefore.contains(q.id))
+        .foreach { q =>
+          try q.stop()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
     val task = new java.util.concurrent.FutureTask[Boolean](() => {
       sc.setJobGroup(group, s"pipeline stage ${st.name}",
         interruptOnCancel = true)
@@ -94,14 +104,20 @@ object Runner {
       case _: java.util.concurrent.TimeoutException =>
         task.cancel(true)
         sc.cancelJobGroup(group)
-        catalog.spark.streams.active
-          .filterNot(q => streamsBefore.contains(q.id))
-          .foreach { q =>
-            try q.stop()
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
+        stopLeakedStreams()
+        // the stage thread may be INSIDE a .start() that completes after
+        // the sweep above (ADVICE r13 race); wait for the cancelled
+        // thread to actually die, then sweep once more so nothing that
+        // registered late survives. The join is bounded: a thread stuck
+        // in non-interruptible code must not hang the retry loop.
+        t.join(10000)
+        stopLeakedStreams()
         throw new StageTimeoutException(st.name, timeoutMs)
       case e: java.util.concurrent.ExecutionException =>
+        // the FutureTask completed (exceptionally), so the stage thread
+        // is done — no start() race on this path; sweep anything it
+        // started before throwing
+        stopLeakedStreams()
         throw e.getCause // the stage's own failure, not the wrapper's
     }
   }

@@ -1509,8 +1509,10 @@ object ExtQueries {
       Some(ngramJaccardPairsSql)),
     "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql),
       bench = true),
+    // benched since round 14 (bench-breadth item): the LSH-banded
+    // embedding self-join is the heaviest unbenched ANN-family entry
     "x_embed_neardup" -> QueryDef(embedNeardupPairs,
-      Some(embedNeardupPairsSql)),
+      Some(embedNeardupPairsSql), bench = true),
     "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true,
       benchNote = Some("sub-second absolute at every SF: banded " +
         "hyperplane-LSH probe (bucket-join, never all-pairs); the " +

@@ -94,6 +94,9 @@ object MatchQueries {
       |ORDER BY dirty_name, src_name""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
-    "x_fuzzy_join" -> QueryDef(fuzzyJoin, Some(fuzzyJoinSql))
+    // benched since round 14 (bench-breadth item): the blocked
+    // edit-distance refine is memory/CPU-heavy and was previously
+    // invisible to the round-over-round series
+    "x_fuzzy_join" -> QueryDef(fuzzyJoin, Some(fuzzyJoinSql), bench = true)
   )
 }

@@ -501,6 +501,81 @@ object ScaleQueries {
       |FROM events JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Deterministic Zipf-ish cohort key (round 14, verdict item 5): maps
+    * the uniform `user_id` through the harmonic step function
+    * 16 div (1 + (user_id % 16)), whose preimage sizes give key 1 HALF
+    * the total mass (residues 8..15), key 2 ~19%, then a 1/k²-ish tail —
+    * the canonical skewed-key shape (Zipf) that `x_sessionize` /
+    * `x_range_join`'s uniform fixture keys never exercise. Pure integer
+    * arithmetic, bit-identical in DuckDB (`//`). */
+  private[queries] def zipfKey(userId: org.apache.spark.sql.Column) =
+    expr("16L div (1 + (user_id % 16))")
+
+  private[queries] val zipfKeySql = "16 // (1 + (user_id % 16))"
+
+  /** The two sides of the skewed cohort-enrichment join, exposed so the
+    * skew spec can drive the join with the stats side MATERIALIZED
+    * (localCheckpoint): AQE's OptimizeSkewedJoin only rewrites
+    * SMJ(Sort(shuffle stage), Sort(shuffle stage)) — an aggregate
+    * between the sort and the shuffle stage (the inline plan here, where
+    * the stats ARE an aggregate) falls outside the pattern, which is
+    * also why the spec's forced-shuffle arm checkpoints first (at real
+    * scale the huge build side IS a materialized table, so that is the
+    * faithful shape). The rollup downstream is a second veto the spec
+    * avoids by asserting on the bare join: OptimizeSkewedJoin refuses to
+    * break a partitioning a downstream stage needs unless
+    * forceOptimizeSkewedJoin is set. */
+  private[queries] def skewSides(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = graft.eventsTbl(s, dir).select(
+      zipfKey(col("user_id")).as("zk"),
+      col("value").cast(DecimalType(18, 2)).as("v"))
+    val stats = ev.groupBy("zk")
+      .agg(count(lit(1)).as("n_cohort"), sum("v").as("sum_v"))
+    (ev, stats)
+  }
+
+  private[queries] def skewJoined(s: SparkSession, dir: String): DataFrame = {
+    val (ev, stats) = skewSides(s, dir)
+    ev.join(stats, "zk")
+  }
+
+  /** Zipf-keyed skew witness (`b_skew_join`): enrich every event with its
+    * cohort's exact global stats and count the above-average events per
+    * cohort. The above-average test multiplies instead of dividing
+    * (v·n > Σv ⇔ v > mean) so both engines compare exact decimals — no
+    * float-boundary flicker.
+    *
+    * Scale story: the stats side is one row per DISTINCT cohort key —
+    * Zipf keeps that broadcastable at any corpus size, so the production
+    * plan never shuffles the fact side for this join at all. When the
+    * build side genuinely can't broadcast, the fact shuffle on `zk` puts
+    * half the corpus in one partition — exactly the case AQE's skew-join
+    * split exists for, pinned by `ScaleSpec` ("AQE splits the skewed
+    * Zipf-join") over this same frame with broadcast forbidden and the
+    * skew thresholds scaled to the fixture. */
+  private def skewJoin(s: SparkSession, dir: String): DataFrame =
+    skewJoined(s, dir)
+      .groupBy("zk")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("v") * col("n_cohort") > col("sum_v"), 1L)
+          .otherwise(0L)).as("n_above"))
+      .orderBy("zk")
+
+  private val skewJoinSql =
+    s"""WITH ev AS (
+       |  SELECT $zipfKeySql AS zk, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |), stats AS (
+       |  SELECT zk, count(*) AS n_cohort, SUM(v) AS sum_v
+       |  FROM ev GROUP BY zk
+       |)
+       |SELECT e.zk, count(*) AS n_events,
+       |       CAST(SUM(CASE WHEN e.v * s.n_cohort > s.sum_v
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+       |FROM ev e JOIN stats s USING (zk)
+       |GROUP BY e.zk ORDER BY e.zk""".stripMargin
+
   /** Bloom bits for [[bloomPrunedJoin]]: 2^16 bits (8 KB) for the
     * fixture's ~3k urgent orders → FPR under 1e-3. At 100 TB this is a
     * per-executor broadcast of a few MB for hundreds of millions of dim
@@ -650,6 +725,7 @@ object ScaleQueries {
         "equi-bucket self-join co-locates on the shared layout, zero " +
         "exchange")),
     "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql)),
+    "b_skew_join" -> QueryDef(skewJoin, Some(skewJoinSql)),
     "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql)),
     "b_zorder_layout" -> QueryDef(zorderLayout, Some(zorderLayoutSql))
   )

@@ -1556,7 +1556,8 @@ object WarehouseQueries {
     "w_pivot" -> QueryDef(pivotCounts, Some(pivotCountsSql)),
     "w_setops" -> QueryDef(setOps, Some(setOpsSql)),
     "w_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),
-    "w_scd2" -> QueryDef(scd2, Some(scd2Sql)),
+    // benched since round 14 (bench-breadth item)
+    "w_scd2" -> QueryDef(scd2, Some(scd2Sql), bench = true),
     "w_kmv_aggregator" -> QueryDef(kmvAggregator, Some(kmvDistinctSql)),
     "s_compact" -> QueryDef(compact, Some(compactSql)),
     "w_cube" -> QueryDef(cubeCounts, Some(cubeCountsSql)),

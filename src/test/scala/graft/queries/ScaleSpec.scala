@@ -218,6 +218,62 @@ class ScaleSpec extends SparkSpec {
       "full form must never have fewer vertices")
   }
 
+  test("AQE splits the skewed Zipf-join partitions (b_skew_join witness)") {
+    import org.apache.spark.sql.functions._
+    // The witness the round-13 verdict asked for: x_sessionize /
+    // x_range_join shuffle on uniform fixture keys, so the AQE skew-split
+    // claim in their scale notes was never exercised. b_skew_join's
+    // harmonic key funnels ~half the events onto cohort 1; with the
+    // 7-row stats side forbidden from broadcasting (the stand-in for a
+    // genuinely huge build side) the fact shuffle's hot partition is the
+    // textbook skew-join input. Thresholds scale to the fixture — the
+    // DETECTION logic is identical at 256MB-sized production partitions.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    val sf01 = "/root/testdata/sf0.01" // 10k events: hot partition > 16KB
+    // the key really is Zipf-skewed: top cohort holds >40% of the rows
+    val dist = graft.eventsTbl(s, sf01)
+      .groupBy(ScaleQueries.zipfKey(col("user_id")).as("zk")).count()
+      .orderBy(desc("count")).collect()
+    val total = dist.map(_.getLong(1)).sum
+    assert(dist.head.getLong(1).toDouble / total > 0.4,
+      s"fixture lost its skew: ${dist.mkString(", ")}")
+    // Two shape constraints, both faithful to the at-scale case:
+    //  - the stats side is CHECKPOINTED: OptimizeSkewedJoin only matches
+    //    SMJ(Sort(shuffle stage), Sort(shuffle stage)), and a genuinely
+    //    huge build side at 100 TB is a materialized table, not an
+    //    inline aggregate;
+    //  - the fact side is repartitioned to 8 map tasks first: skew
+    //    splits happen at MAPPER-OUTPUT boundaries, and the one-file
+    //    fixture scan is a single mapper whose hot block is indivisible
+    //    (a 1000-executor shuffle has thousands of mappers — the
+    //    granularity constraint vanishes at the scale this witnesses).
+    val (ev, stats) = ScaleQueries.skewSides(s, sf01)
+    val joined = ev.repartition(8).join(stats.localCheckpoint(), "zk")
+    joined.collect()
+    val planStr = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(planStr.contains("skew=true"),
+      s"expected an AQE skew-split join in the adaptive plan:\n$planStr")
+    // and the skew-split run computes exactly what the broadcast plan does
+    val expected = graft.SparkEntry.queries("b_skew_join")(spark, sf01)
+      .collect().toSeq
+    val underSkewSplit = graft.SparkEntry.queries("b_skew_join")(s, sf01)
+      .collect().toSeq
+    assert(underSkewSplit === expected)
+  }
+
   test("ScaleGen copies are join-closed: FK joins scale exactly linearly") {
     import org.apache.spark.sql.functions.col
     val out = s"${sys.props("user.dir")}/target/qtmp/scalegen2x"

@@ -49,6 +49,19 @@ def main(sf_dir: str, out_dir: str) -> None:
         if t == "events":
             typ = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
             if typ and typ[0] == "BIGINT":
+                # The //1000 rewrite assumes ns epoch longs (Spark cannot
+                # write ns parquet, so ScaleGen stores ns as BIGINT). A
+                # fixture that ever stored µs or ms would be silently
+                # shifted 1000x and every streaming oracle would mismatch
+                # with no hint — so pin the magnitude first (ADVICE r13):
+                # year-2000..2200 in ns is ~9.5e17..7.3e18.
+                lo, hi = con.sql(
+                    "SELECT min(ts), max(ts) FROM events").fetchone()
+                if not (9e17 <= lo and hi <= 8e18):
+                    sys.exit(f"events.ts BIGINT range [{lo}, {hi}] is not "
+                             "ns-since-epoch (expected ~1e18); refusing the "
+                             "ns//1000 rewrite — fix the view for the "
+                             "fixture's actual unit")
                 src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
                 con.sql("CREATE OR REPLACE VIEW events AS "
                         f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)"

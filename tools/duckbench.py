@@ -36,6 +36,13 @@ def main(sf_dir: str, oracle_path: str, bench_path: str) -> None:
         if t == "events":
             typ = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
             if typ and typ[0] == "BIGINT":
+                # magnitude pin before the ns//1000 rewrite (ADVICE r13):
+                # a µs/ms fixture would silently shift every comparator
+                lo, hi = con.sql(
+                    "SELECT min(ts), max(ts) FROM events").fetchone()
+                if not (9e17 <= lo and hi <= 8e18):
+                    sys.exit(f"events.ts BIGINT range [{lo}, {hi}] is not "
+                             "ns-since-epoch; refusing the ns//1000 rewrite")
                 con.sql("CREATE OR REPLACE VIEW events AS "
                         f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
                         f"FROM '{p}/*.parquet'")
