@@ -2035,39 +2035,33 @@ object H3 {
   // owning chart's gnomonic lattice, so each corner is the planar
   // circumcenter of the three mutually-adjacent cell centers — for an
   // equilateral lattice triangle that circumcenter is its CENTROID,
-  // i.e. the substrate lattice point c + (u_i + u_{i+1})/3. Vertices
-  // are computed exactly there and unprojected through the owning
-  // chart — bit-exact H3 geometry for cells whose corners sit on their
-  // face (the overwhelming case at res ≥ 1).
+  // i.e. the substrate lattice point c + (u_i + u_{i+1})/3.
   //
-  // PER-FACE RE-PROJECTION (round 13, closing the round-12 advice): a
-  // corner past the home face's icosahedron edge is NOT unprojected
-  // through the home chart any more. Every hexagon corner is shared by
-  // exactly three cells (the cell and two consecutive ring-1
-  // neighbors), and the corner direction is owned by exactly one face
-  // triangle (faces are the Voronoi regions of face centers; a planar
-  // point beyond a face-edge line unprojects beyond that edge's great
-  // circle, so the ownership test is exact even on a distorted
-  // unprojection). If a generating cell's own chart face owns the
-  // corner, the corner is that chart's lattice centroid — bit-exact
-  // h3lib geometry — and every generating cell on that face computes
-  // the same point (ulp-identical lattice arithmetic), making corners
-  // chart-canonical across neighbors (spec-pinned in H3Spec). The
-  // HOME-chart value remains only as the fallback when NO generating
-  // cell lives on the corner's owning face (possible only near
-  // icosahedron vertices where 5 faces meet; the fallback count is
-  // enumerated and pinned in H3Spec — a second-order-of-pitch
-  // approximation confined to those corners).
+  // SUBSTRATE EDGE-ISOMETRY MAPPING (round 14, closing the round-13
+  // enumerated fallback set): corners live EXACTLY on the 3×-scaled
+  // ("substrate") lattice — 3·center + u_i + u_{i+1} is integer — and
+  // the derived face-edge isometries act on the substrate as the same
+  // 60°·c rotation with a 3× translation. So every corner's owning
+  // chart and its exact lattice coordinate there are computed by
+  // [[overageNormalizeSub]]: hop the strictly-violated face edge
+  // (most-violated first, exact integer sidedness tests — this is
+  // h3lib's own per-vertex substrate `_adjustOverage`, re-derived),
+  // then canonicalize on-boundary points to the minimal face index of
+  // their edge orbit (a corner ON an icosahedron edge belongs to two
+  // charts that agree exactly there; a corner AT an icosahedron vertex
+  // to five). Every generating cell reaches the identical (face, a, b)
+  // integers, so shared corners are bit-canonical BY CONSTRUCTION —
+  // no ring-neighbor search, no float face-ownership ties (the round-13
+  // ADVICE), and no home-chart fallback set (the round-13 7/14/24
+  // residual is eliminated, spec-pinned at 0).
   //
-  // Remaining documented divergences vs h3lib: (1) no edge-crossing
-  // DISTORTION vertices are inserted (h3lib emits up to 10 vertices
+  // Remaining documented divergence vs h3lib: the PLAIN form inserts no
+  // edge-crossing DISTORTION vertices (h3lib emits up to 10 vertices
   // for face-straddling hexagons; this surface always emits the 6 true
-  // corners — now per-face-exact — so unions of straddling cells can
-  // still undercount the boundary's bend at the face edge); (2)
-  // pentagon corners straddle five charts and are taken as the
-  // spherical centroid of each mutually-adjacent center triple (each
-  // center itself exact) — the same point to second order in the
-  // pitch.
+  // corners). The full-parity form with exact distortion vertices is
+  // [[cellToBoundaryFull]]. Pentagon corners adopt their flanking
+  // hexagons' substrate-exact corners (always resolved since this
+  // round — the 2/0/9/0 skeleton residual is eliminated too).
   // ------------------------------------------------------------------
 
   /** CCW unit neighbor directions in axial (a,b) coords — see
@@ -2082,100 +2076,109 @@ object H3 {
   def cellToBoundary(h: Long): Array[(Double, Double)] =
     cellToBoundaryResolved(h)._1
 
-  /** [[cellToBoundary]] plus a bitmask of HOME-CHART-FALLBACK corners
-    * (bit v set ⇔ corner v left the home face and no generating cell's
-    * chart owns it — the enumerable residual the class comment
-    * documents; always 0 for pentagons, whose corners use the
-    * spherical-centroid construction). Test hook for the H3Spec
-    * corner-canonicity law. */
+  /** [[cellToBoundary]] plus a (historical) fallback bitmask — ALWAYS 0
+    * since round 14: every corner resolves to its owning chart through
+    * the exact substrate isometries. The mask stays in the signature as
+    * the spec hook pinning that the fallback set is empty. */
   private[functions] def cellToBoundaryResolved(
       h: Long): (Array[(Double, Double)], Int) = {
     requireValid(h)
     if (isPentagon(h)) return (pentagonBoundary(h), 0)
     val res = getResolution(h)
     val (face, i, j, k, _, _) = resolveChart(h)
-    val a = i - k
-    val b = j - k
-    val cx = a.toDouble - 0.5 * b
-    val cy = b * Sin60
+    val a3 = 3L * (i - k)
+    val b3 = 3L * (j - k)
     val out = new Array[(Double, Double)](6)
-    var fallback = 0
-    // neighbor charts, resolved lazily only if some corner leaves the
-    // home face (boundary is never a hot path: one gated query + specs)
-    var ringCharts: Array[(Int, Double, Double)] = null
     var v = 0
     while (v < 6) {
       val (a1, b1) = BoundaryDirs(v)
       val (a2, b2) = BoundaryDirs((v + 1) % 6)
-      val wa = (a1 + a2) / 3.0
-      val wb = (b1 + b2) / 3.0
+      val (fo, ca3, cb3) =
+        overageNormalizeSub(face, a3 + a1 + a2, b3 + b1 + b2, res)
       val (latR, lngR) =
-        hex2dToGeo(face, cx + (wa - 0.5 * wb), cy + wb * Sin60, res)
-      var best = (toDegrees(latR), toDegrees(lngR))
-      if (nearestFace(latR, lngR) != face) {
-        // overage: the corner's owning face is not the home chart. Find
-        // a generating neighbor whose OWN chart is the owning face and
-        // take the corner as that chart's lattice centroid (bit-exact).
-        if (ringCharts == null)
-          ringCharts = gridRing1(h).filterNot(isPentagon).map { n =>
-            val (nf, ni, nj, nk, _, _) = resolveChart(n)
-            val na = ni - nk
-            val nb = nj - nk
-            (nf, na.toDouble - 0.5 * nb, nb * Sin60)
-          }
-        // unit vector of the (approximate) corner for matching
-        val ax0 = cos(latR) * cos(lngR)
-        val ay0 = cos(latR) * sin(lngR)
-        val az0 = sin(latR)
-        var done = false
-        var c = 0
-        while (!done && c < ringCharts.length) {
-          val (nf, ncx, ncy) = ringCharts(c)
-          if (nf != face) {
-            // which of n's 6 corners is ours: the one nearest the
-            // approximation (true shared corners are within
-            // second-order-of-pitch; corners of NON-adjacent ring cells
-            // are >= ~0.58 pitch away, so the self-scaled threshold
-            // below is unambiguous)
-            var w = 0
-            while (!done && w < 6) {
-              val (c1, d1) = BoundaryDirs(w)
-              val (c2, d2) = BoundaryDirs((w + 1) % 6)
-              val va = (c1 + c2) / 3.0
-              val vb = (d1 + d2) / 3.0
-              val (nlatR, nlngR) =
-                hex2dToGeo(nf, ncx + (va - 0.5 * vb), ncy + vb * Sin60, res)
-              if (nearestFace(nlatR, nlngR) == nf) { // no overage there
-                val bx = cos(nlatR) * cos(nlngR)
-                val by = cos(nlatR) * sin(nlngR)
-                val bz = sin(nlatR)
-                // angular distance candidate-corner -> approx corner,
-                // self-scaled by the candidate's circumradius (corner
-                // to its own cell center)
-                val dCorner =
-                  acos(max(-1.0, min(1.0, ax0 * bx + ay0 * by + az0 * bz)))
-                val (clatR, clngR) = hex2dToGeo(nf, ncx, ncy, res)
-                val ccx = cos(clatR) * cos(clngR)
-                val ccy = cos(clatR) * sin(clngR)
-                val ccz = sin(clatR)
-                val dCenter =
-                  acos(max(-1.0, min(1.0, bx * ccx + by * ccy + bz * ccz)))
-                if (dCorner < 0.3 * dCenter) {
-                  best = (toDegrees(nlatR), toDegrees(nlngR))
-                  done = true
-                }
-              }
-              w += 1
-            }
-          }
-          c += 1
-        }
-        if (!done) fallback |= 1 << v
-      }
-      out(v) = best
+        hex2dToGeo(fo, (ca3 - 0.5 * cb3) / 3.0, cb3 * Sin60 / 3.0, res)
+      out(v) = (toDegrees(latR), toDegrees(lngR))
       v += 1
     }
-    (out, fallback)
+    (out, 0)
+  }
+
+  /** Owning chart of a SUBSTRATE (3×-scaled) axial coordinate — the
+    * per-corner analog of [[overageNormalize]] (h3lib's per-vertex
+    * substrate `_adjustOverage`). Phase 1 hops the strictly-violated
+    * face edge (most-violated first) through the derived isometries
+    * (rotation unchanged, translation ×3 — the edge map is linear);
+    * phase 2 canonicalizes boundary points: a coordinate lying ON a
+    * face edge (exact integer sidedness 0) belongs to every chart in
+    * its edge orbit (two across an edge, five around an icosahedron
+    * vertex — the pentagon-quotient orbit), all of which agree exactly
+    * there, and the MINIMAL face index is taken so every generating
+    * cell canonicalizes the shared corner identically. Orbit-walk
+    * consistency (two paths reaching one face must carry the same
+    * coordinate) is a loud require — it would only fire if the derived
+    * isometries violated the vertex orbit law. */
+  private def overageNormalizeSub(face0: Int, a0: Long, b0: Long,
+      res: Int): (Int, Long, Long) = {
+    val w = TriW(res)
+    // violation of edge e for substrate point (a,b): > 0 strictly
+    // outside, 0 exactly on the edge line, < 0 strictly inside
+    @inline def viol(a: Long, b: Long, e: Int): Long = {
+      val wi = w(e); val wj = w((e + 1) % 3)
+      val ea = wj._1 - wi._1; val eb = wj._2 - wi._2
+      val cross = ea * (b - 3 * wi._2) - (a - 3 * wi._1) * eb
+      val crossO = ea * (0L - 3 * wi._2) - (0L - 3 * wi._1) * eb
+      if (crossO > 0) -cross else cross
+    }
+    @inline def step(f: Int, a: Long, b: Long, e: Int): (Int, Long, Long) = {
+      val c = EdgeRot(f)(e)(res)
+      var xa = a; var xb = b
+      var k = 0
+      while (k < c) { val t = xa - xb; xb = xa; xa = t; k += 1 }
+      (EdgeFace(f)(e), xa + 3 * EdgeTA(f)(e)(res), xb + 3 * EdgeTB(f)(e)(res))
+    }
+    var f = face0; var a = a0; var b = b0
+    var hop = 0
+    var moved = true
+    while (moved && hop < 8) {
+      moved = false
+      var worst = -1; var worstMag = 0L
+      var e = 0
+      while (e < 3) {
+        val vl = viol(a, b, e)
+        if (vl > 0 && vl > worstMag) { worstMag = vl; worst = e }
+        e += 1
+      }
+      if (worst >= 0) {
+        val (nf, na, nb) = step(f, a, b, worst)
+        f = nf; a = na; b = nb
+        moved = true
+      }
+      hop += 1
+    }
+    require((0 until 3).forall(e => viol(a, b, e) <= 0),
+      s"substrate overage did not converge: face $face0 ($a0,$b0) res $res")
+    if ((0 until 3).exists(e => viol(a, b, e) == 0)) {
+      val seen = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      def walk(f0: Int, wa: Long, wb: Long): Unit = seen.get(f0) match {
+        case Some(prev) =>
+          require(prev == ((wa, wb)),
+            s"vertex orbit inconsistent at face $f0: $prev vs ($wa,$wb)")
+        case None =>
+          seen(f0) = (wa, wb)
+          var e = 0
+          while (e < 3) {
+            if (viol(wa, wb, e) == 0) {
+              val (nf, na, nb) = step(f0, wa, wb, e)
+              walk(nf, na, nb)
+            }
+            e += 1
+          }
+      }
+      walk(f, a, b)
+      val fMin = seen.keys.min
+      val (ma, mb) = seen(fMin)
+      (fMin, ma, mb)
+    } else (f, a, b)
   }
 
   /** h3lib `cellToBoundary` WITH edge-crossing DISTORTION vertices

@@ -805,13 +805,11 @@ class H3Spec extends AnyFunSuite {
     // same lattice point in the corner's OWNING chart; the pre-round-13
     // home-chart unprojection diverged by up to the projective
     // distortion, which the old adjacent-cells law tolerated at
-    // 0.05·pitch). Law 2: the fallback corner count (no generating cell
-    // lives on the corner's owning face — only possible near icosahedron
-    // vertices / pentagon-adjacent corners) is pinned EXACTLY per res:
-    // 7 of 660, 14 of 4620, 24 of 32340 (probe-measured; res 3 adds
-    // only 3 more at 226380 corners — the residual shrinks geometrically
-    // with res as cells pull away from face vertices).
-    val expectedFallback = Map(0 -> 7, 1 -> 14, 2 -> 24)
+    // 0.05·pitch). Law 2: the fallback corner count is pinned at ZERO
+    // since round 14 — the substrate edge-isometry mapping
+    // (overageNormalizeSub) resolves EVERY corner to its owning chart
+    // exactly (the round-13 enumerated residual was 7/14/24 here).
+    val expectedFallback = Map(0 -> 0, 1 -> 0, 2 -> 0)
     for (res <- 0 to 2) {
       var corners = 0
       var fallbacks = 0
@@ -852,6 +850,56 @@ class H3Spec extends AnyFunSuite {
         s"res $res matched only $sharedPairs shared corner pairs")
       assert(worstRel < 1e-9,
         f"res $res worst shared-corner divergence $worstRel%.3e of pitch")
+    }
+  }
+
+  test("cellToBoundary corner canonicity, sampled res 3-4 near " +
+      "icosahedron vertices (round 14, closing the res>=3 advice)") {
+    // The round-13 ADVICE flagged that canonicity was exhaustively
+    // pinned only at res 0-2, with res >= 3 ownership decided by float
+    // nearestFace ties. Round 14's substrate mapping decides ownership
+    // by EXACT integer sidedness, and this pass pins the law where the
+    // old fallbacks clustered: every res-3/4 descendant of the 12
+    // pentagon base cells (the cells hugging icosahedron vertices) plus
+    // each one's ring-1, shared corners bit-compared across all
+    // generating cells.
+    for (res <- 3 to 4) {
+      val seeds = (0 until 122).filter { bc =>
+        val b = (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+        H3.isPentagonCell(b)
+      }.flatMap { bc =>
+        val b = (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+        H3.cellToChildren(b, res).toSeq
+      }
+      val cells = (seeds ++ seeds.flatMap(H3.gridRing1)).distinct
+        .filterNot(H3.isPentagonCell)
+      assert(cells.size > 500, s"res $res sample too small: ${cells.size}")
+      val bnd = scala.collection.mutable.Map
+        .empty[Long, Array[(Double, Double)]]
+      def get(h: Long) = bnd.getOrElseUpdate(h, {
+        val (c, fb) = H3.cellToBoundaryResolved(h)
+        assert(fb === 0, s"res $res fallback at ${h.toHexString}")
+        c
+      })
+      var shared = 0
+      for (h <- cells) {
+        val mine = get(h)
+        val ring = H3.gridRing1(h).filterNot(H3.isPentagonCell)
+          .filter(n => cells.contains(n))
+        val pitch = if (ring.nonEmpty)
+          haversine(H3.cellToLatLng(h), H3.cellToLatLng(ring.head)) else 0.0
+        for (n <- ring; theirs = get(n); v <- 0 until 6; w <- 0 until 6) {
+          val d = haversine(mine(v), theirs(w))
+          if (d < 0.05 * pitch) {
+            shared += 1
+            // bit-canonical: same owning chart, same integers, same bits
+            assert(mine(v) === theirs(w),
+              s"res $res corner not bit-canonical: ${h.toHexString} v$v " +
+                s"vs ${n.toHexString} w$w (${mine(v)} vs ${theirs(w)})")
+          }
+        }
+      }
+      assert(shared > cells.size, s"res $res matched only $shared corners")
     }
   }
 
@@ -975,10 +1023,11 @@ class H3Spec extends AnyFunSuite {
     // the per-face upgrade, a corner the flanks RESOLVE is computed in
     // the corner's owning chart by both — so the pentagon's adopted
     // corner must appear (to ~ulp, chordal 1e-12) in BOTH flanks'
-    // resolved corner sets. The spherical-centroid skeleton survives
-    // only where both flanks fell back (near icosahedron vertices) —
-    // pinned EXACTLY per res: 2 / 0 / 9 / 0 of 60 corners at res 0-3.
-    val expectedApprox = Map(0 -> 2, 1 -> 0, 2 -> 9, 3 -> 0)
+    // resolved corner sets. Since round 14 the flanks ALWAYS resolve
+    // (substrate edge-isometry mapping, fallback set empty), so the
+    // spherical-centroid skeleton is pinned at ZERO everywhere (the
+    // round-13 residual was 2/0/9/0 of 60 corners at res 0-3).
+    val expectedApprox = Map(0 -> 0, 1 -> 0, 2 -> 0, 3 -> 0)
     def unit(la: Double, lo: Double) = {
       val p = math.toRadians(la); val q = math.toRadians(lo)
       Array(math.cos(p) * math.cos(q), math.cos(p) * math.sin(q),
