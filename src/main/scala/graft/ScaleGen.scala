@@ -100,7 +100,25 @@ object ScaleGen {
         when(cp === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("w"), cp.cast("string"), lit("x$1")))))))
+    // Embeddings get the vector analog of the documents' token tagging
+    // (round 14: verbatim copies made EVERY cross-copy pair a perfect
+    // near-duplicate, so x_embed_neardup's candidate volume grew as
+    // copies² — 135 s at sf1 in BOTH engines): each copy applies a
+    // SIGNED CIRCULAR SHIFT — rotate by cp mod dim, flip signs where
+    // xxhash64(cp, i) is odd. A signed permutation is orthogonal, so
+    // all WITHIN-copy cosines are preserved bit-exactly (the workload
+    // per copy is the real one), while cross-copy cosines collapse to
+    // noise — near-dup density scales linearly like a real corpus.
+    // Copy 0 keeps the original vectors.
     write("embeddings", replicate(table("embeddings"),
-      Map("vec_id" -> stride("embeddings", "vec_id"))))
+      Map("vec_id" -> stride("embeddings", "vec_id")),
+      extra = (d, cp) => d.withColumn("embedding",
+        when(cp === 0, col("embedding")).otherwise(expr(
+          """transform(sequence(0, size(embedding) - 1), i ->
+            |  element_at(embedding,
+            |    CAST(pmod(i + graft_cp, size(embedding)) AS INT) + 1) *
+            |  CASE WHEN pmod(xxhash64(graft_cp, i), 2) = 0
+            |       THEN CAST(1.0 AS FLOAT)
+            |       ELSE CAST(-1.0 AS FLOAT) END)""".stripMargin)))))
   }
 }

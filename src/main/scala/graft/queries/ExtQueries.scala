@@ -785,6 +785,20 @@ object ExtQueries {
     VectorF.planeSignBits(
       v, Seq(100 + band * 2, 100 + band * 2 + 1), Dim)
 
+  /** Salt factor for the band-candidate join: a 2-plane band code has
+    * only 4 values, so the (band, code) join has 32 distinct keys — at
+    * sf1+ that is a handful of fat tasks doing quadratic-in-bucket work
+    * on 2 cores (stack-dump-measured, round 14). Salting splits each
+    * bucket's product across 32 reducers: the a-side keys on
+    * hash(vec_a) mod F, the b-side replicates F× — identical pair set,
+    * 32 → 1024 join keys. (The candidate VOLUME at this demo threshold
+    * is inherently ~n²/4 per band — a 0.45 cosine threshold admits far
+    * too many random pairs for any LSH family to prune subquadratically;
+    * production near-dup thresholds (≥0.9) support 8-16-plane bands
+    * where volume collapses. The demo threshold exists because the
+    * fixture's max pairwise cosine is ≈0.51.) */
+  private val NdSalt = 32
+
   private def embedNeardupPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
       .select(col("vec_id") +: embDouble.as("v") +:
@@ -794,9 +808,11 @@ object ExtQueries {
       emb.select(col("vec_id"), lit(b).as("band"), col(s"b$b").as("code"))
     }.reduce(_ unionAll _)
     val cand = bands.select(col("vec_id").as("vec_a"), col("band"),
-      col("code"))
+      col("code"), pmod(xxhash64(col("vec_id")), lit(NdSalt)).as("salt"))
       .join(bands.select(col("vec_id").as("vec_b"), col("band"),
-        col("code")), Seq("band", "code"))
+        col("code"),
+        explode(sequence(lit(0L), lit(NdSalt - 1L))).as("salt")),
+        Seq("band", "code", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     val va = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
