@@ -44,10 +44,17 @@ object MatchQueries {
     * rows are genuine near-collisions in the vocabulary (e.g. one-letter
     * noun pairs), exactly what a resolution pipeline must adjudicate. */
   private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
-    val clean = tbl(s, dir, "part").select(col("p_name")).distinct()
+    // ONE scan + distinct feeds both sides (round 14: the name
+    // vocabulary is tiny after dedup — 7k names from 20M rows at sf10 —
+    // so scanning and map-side-deduping the fact table twice was the
+    // whole cost; localCheckpoint materializes the vocabulary once for
+    // the two different-shaped consumers, the LSH/containment pattern)
+    val names = tbl(s, dir, "part").select(col("p_name")).distinct()
+      .localCheckpoint()
+    val clean = names
       .select(col("p_name").as("clean_name"),
         element_at(split(col("p_name"), " "), 1).as("block"))
-    val dirty = tbl(s, dir, "part").select(col("p_name")).distinct()
+    val dirty = names
       .select(col("p_name").as("src_name"), dirtyOf(col("p_name"))._2
         .as("dirty_name"))
       .withColumn("block", element_at(split(col("src_name"), " "), 1))
