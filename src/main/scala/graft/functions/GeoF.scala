@@ -259,28 +259,19 @@ object GeoF {
     * centroid / polyfill). Backed by [[H3.cellToBoundary]] through the
     * codegen expression [[graft.plans.H3Boundary]].
     *
-    * DIVERGENCE FROM h3lib (documented where users see it): since
-    * round 13 corners use PER-FACE re-projection — a corner past the
-    * home face is recomputed as the lattice centroid in the chart of a
-    * generating neighbor on the corner's OWNING face, making shared
-    * corners chart-canonical across neighbors (agreement ≤ 1e-13 of
-    * pitch, exhaustively spec-pinned at res 0–2 in `H3Spec`; the
-    * pre-13 home-chart unprojection diverged by the projective
-    * distortion at face edges, the round-12 advice's coarse-res
-    * gap/overlap concern). Residual divergences: (1) the home-chart
-    * value survives only as a fallback where NO generating cell lives
-    * on the corner's owning face — 7 / 14 / 24 corners at res 0 / 1 / 2
-    * (of 660 / 4 620 / 32 340; near icosahedron vertices), enumerated
-    * and pinned in `H3Spec`; (2) this surface always emits the TRUE
-    * CORNERS only — for h3lib's edge-crossing distortion vertices (up
-    * to 10 per face-straddling hexagon) use [[h3BoundaryFull]]; (3)
-    * pentagon corners ADOPT the flanking hexagons' per-face-exact
-    * corners (bit-level agreement with BOTH flanks, spec-pinned), the
-    * spherical-centroid skeleton surviving only where both flanks fall
-    * back — exactly 2 / 0 / 9 / 0 of 60 corners at res 0–3, enumerated
-    * in `H3Spec`. The engine's own closure laws (centroid re-indexes
-    * to the cell; oracle-gated at res 9 in `x_h3_boundary`) hold
-    * everywhere. */
+    * Corner geometry (round 14): every corner is computed EXACTLY in
+    * its owning chart through the substrate (3×-lattice) edge
+    * isometries — the derived analog of h3lib's per-vertex substrate
+    * `_adjustOverage` — so shared corners are bit-canonical across all
+    * generating cells at every res (integer face ownership, no float
+    * ties; spec-pinned exhaustively at res 0–2 and sampled bit-level at
+    * res 3–4 in `H3Spec`), pentagon corners adopt their flanks' exact
+    * corners everywhere, and the pre-round-14 fallback/skeleton
+    * residual sets are EMPTY. The one remaining divergence from h3lib:
+    * this surface emits the TRUE CORNERS only — for h3lib's
+    * edge-crossing distortion vertices (up to 10 per face-straddling
+    * hexagon) use [[h3BoundaryFull]]. Closure laws (centroid re-indexes
+    * to the cell) are oracle-gated at res 9 in `x_h3_boundary`. */
   def h3Boundary(cell: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.H3Boundary(
@@ -328,6 +319,17 @@ object GeoF {
   def h3GridDistance(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.H3GridDistance(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** h3lib `gridPathCells`, canonicalized — the min-id-greedy minimal
+    * path, gridDistance+1 cells inclusive ([[H3.gridPathCells]], codegen
+    * via [[graft.plans.H3GridPath]]; h3lib disclaims WHICH minimal path
+    * it returns, so the engine defines the deterministic one an
+    * independent oracle can restate). */
+  def h3GridPath(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H3GridPath(
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 

@@ -2520,6 +2520,55 @@ object H3 {
     gridDistance(java.lang.Long.parseUnsignedLong(a, 16),
       java.lang.Long.parseUnsignedLong(b, 16))
 
+  /** h3lib `gridPathCells`, canonicalized (round 14): a minimal grid
+    * path from `ha` to `hb` inclusive — length gridDistance+1. h3lib
+    * explicitly disclaims WHICH minimal path its lerp-based
+    * implementation returns ("output may change across library
+    * versions"), so this surface defines the path deterministically
+    * instead of chasing an unspecified choice: at every step the next
+    * cell is the SMALLEST id among current neighbors that reduce the
+    * remaining distance (min-id greedy — each step's candidate set is
+    * non-empty on any connected domain, so the greedy is total and
+    * yields exactly gridDistance+1 cells). Engine-independently
+    * restatable — the DuckDB oracle recomputes the same path from its
+    * probe-witnessed adjacency relation alone — and cross-checked
+    * against a brute-force enumeration in `H3Spec`. Inherits
+    * [[gridDistance]]'s domain (throws past the BFS cap, exactly where
+    * h3lib errors). Cost O(dist · 6 · gridDistance) — a gated-query /
+    * small-k primitive, not a scan-side kernel. */
+  def gridPathCells(ha: Long, hb: Long): Array[Long] = {
+    var remaining = gridDistance(ha, hb)
+    val out = new Array[Long](remaining + 1)
+    out(0) = ha
+    var cur = ha
+    var i = 1
+    while (remaining > 0) {
+      // candidates: neighbors one step closer to hb; ids are positive
+      // (mode bit 59), so Long min is unsigned-consistent
+      var best = Long.MaxValue
+      val ring = gridRing1(cur)
+      var r = 0
+      while (r < ring.length) {
+        val c = ring(r)
+        if (c < best && gridDistance(c, hb) == remaining - 1) best = c
+        r += 1
+      }
+      require(best != Long.MaxValue,
+        f"gridPathCells: no descending neighbor at 0x$cur%x (ring " +
+          "incomplete?)")
+      out(i) = best
+      cur = best
+      i += 1
+      remaining -= 1
+    }
+    out
+  }
+
+  def gridPathCellsHex(a: String, b: String): Array[String] =
+    gridPathCells(java.lang.Long.parseUnsignedLong(a, 16),
+      java.lang.Long.parseUnsignedLong(b, 16))
+      .map(h => java.lang.Long.toHexString(h))
+
   /** WKT POLYGON form of [[cellToBoundary]] (lng-lat vertex order,
     * ring closed) — the export format of the engine's other geometry
     * functions, parseable by [[GeoF.parseRings]]/polyfill. */

@@ -92,9 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[H3CompactArray].getName,
         "h3_compact_cells"),
       (children: Seq[Expression]) => H3CompactArray(children.head)))
-    // NOTE: h3_cell_boundary emits the 6 true corners only (since
-    // round 13 per-face exact; see GeoF.h3Boundary's scaladoc for the
-    // enumerated fallback + pentagon divergences);
+    // NOTE: h3_cell_boundary emits the 6 true corners only (round 14:
+    // substrate-exact in the owning chart, bit-canonical across
+    // neighbors — see GeoF.h3Boundary's scaladoc);
     // h3_cell_boundary_full additionally inserts h3lib's edge-crossing
     // distortion vertices for face-straddling cells (full vertex
     // parity; laws spec-pinned in H3Spec)
@@ -115,6 +115,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => H3GridDistance(a, b)
         case _ => throw new IllegalArgumentException(
           "h3_grid_distance(<string cell>, <string cell>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("h3_grid_path"),
+      new ExpressionInfo(classOf[H3GridPath].getName, "h3_grid_path"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => H3GridPath(a, b)
+        case _ => throw new IllegalArgumentException(
+          "h3_grid_path(<string cell>, <string cell>)")
       }))
     ext.injectFunction((
       FunctionIdentifier("term_histogram"),

@@ -188,3 +188,48 @@ case class H3GridDistance(left: Expression, right: Expression)
 
   override def prettyName: String = "h3_grid_distance"
 }
+
+/** `h3_grid_path(a, b)` — canonical minimal grid path (round 14):
+  * gridDistance+1 cells from `a` to `b`, each step taking the SMALLEST
+  * id among distance-reducing neighbors ([[H3.gridPathCells]] — h3lib's
+  * own gridPathCells disclaims which minimal path it returns, so the
+  * engine defines the deterministic one the oracle can restate). */
+case class H3GridPath(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"h3_grid_path expects (string cell, string cell), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    H3GridPath.pathData(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (aC, bC) => {
+      s"""
+         |${ev.value} = graft.plans.H3GridPath.pathData($aC, $bC);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): H3GridPath =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "h3_grid_path"
+}
+
+object H3GridPath {
+  def pathData(a: UTF8String, b: UTF8String): ArrayData =
+    new GenericArrayData(
+      H3.gridPathCellsHex(a.toString, b.toString)
+        .map(UTF8String.fromString(_).asInstanceOf[Any]))
+}

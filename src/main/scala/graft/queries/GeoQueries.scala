@@ -322,6 +322,39 @@ object GeoQueries {
       .orderBy("zone_a", "zone_b", "grid_dist")
   }
 
+  /** h3lib `gridPathCells` (canonicalized min-id greedy — round 14,
+    * the last h3lib traversal API): for every 2-disk zone pair, the
+    * minimal grid path between their res-3 cells, exploded as
+    * (pair, step, cell). Hash-gated by [[H3OracleSql.gridPath]], which
+    * REBUILDS the identical path purely from the probe-witnessed
+    * adjacency relation (endpoints from anchors, the distance-2 middle
+    * cell as the min-id witnessed common neighbor — exactly the greedy
+    * candidate rule), so the engine's ring traversal, distance arms,
+    * and greedy step all sit under the hash with no H3 code in the
+    * oracle. Longer-path laws (length = dist+1, consecutive adjacency,
+    * greedy-canonicality vs brute force) are spec-pinned in `H3Spec`. */
+  private def h3PathQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = zonesWkt(s, dir)
+      .select(col("zone_id"),
+        GeoF.h3Cell(
+          GeoF.centroidLat(col("zone_geom")),
+          GeoF.centroidLng(col("zone_geom")), 3).as("cell"))
+    val probes = cells.select(col("zone_id").as("zone_a"),
+      col("cell").as("cell_a"),
+      explode(GeoF.h3GridDisk(col("cell"), 2)).as("cell"))
+    probes
+      .join(cells.select(col("zone_id").as("zone_b"), col("cell")), "cell")
+      .filter(col("zone_a") < col("zone_b"))
+      .select(col("zone_a"), col("zone_b"), col("cell_a"),
+        col("cell").as("cell_b"))
+      .distinct()
+      .select(col("zone_a"), col("zone_b"),
+        posexplode(GeoF.h3GridPath(col("cell_a"), col("cell_b"))))
+      .select(col("zone_a"), col("zone_b"),
+        col("pos").cast("int").as("step"), col("col").as("path_cell"))
+      .orderBy("zone_a", "zone_b", "step")
+  }
+
   /** h3lib `cellToBoundary` → WKT → back through the engine's OWN WKT
     * surface, under the hash gate since round 12 via CLOSURE columns
     * ([[H3OracleSql.boundary]]): each zone's res-5 cell polygon is
@@ -396,6 +429,7 @@ object GeoQueries {
       QueryDef(centroidSphFlip, Some(H3OracleSql.centroidSphFlip)),
     "x_h3_grid_distance" ->
       QueryDef(h3GridDistanceQ, Some(H3OracleSql.gridDistance)),
+    "x_h3_path" -> QueryDef(h3PathQ, Some(H3OracleSql.gridPath)),
     "x_h3_boundary" -> QueryDef(h3Boundary, Some(H3OracleSql.boundary)),
     "x_h3_hierarchy" -> QueryDef(h3Hierarchy, Some(H3OracleSql.hierarchy)),
     "x_h3_compact" -> QueryDef(h3CompactQ, Some(H3OracleSql.compact)),

@@ -412,6 +412,66 @@ anch AS (SELECT zone_id, h AS anchor FROM $out WHERE gx = 0 AND gy = 0)"""
        |FROM pairs WHERE grid_dist IS NOT NULL
        |ORDER BY zone_a, zone_b""".stripMargin
 
+  /** `x_h3_path` (round 14): the engine emits, for each 2-disk zone
+    * pair, the CANONICAL minimal grid path (min-id greedy — see
+    * [[graft.functions.H3.gridPathCells]]; h3lib disclaims which
+    * minimal path its own gridPathCells returns, so the deterministic
+    * canonical form is what an independent oracle can restate). The
+    * oracle rebuilds the identical path from the probe-witnessed
+    * adjacency relation alone: step 0 is anch_a, the last step is
+    * anch_b, and a distance-2 pair's middle cell is the MINIMUM id
+    * among witnessed common neighbors — exactly the engine's greedy
+    * choice, since its step-1 candidate set for a distance-2 pair is
+    * "neighbors of a adjacent to b". Witness completeness for EVERY
+    * common neighbor (not just one chain) holds by the same corridor
+    * geometry as the gridDistance oracle: any common neighbor sits
+    * within one center spacing (≈1°) of both anchors, so both of its
+    * shared edges lie well inside the 2.5° probe half-extents of the
+    * two zones' grids. */
+  val gridPath: String =
+    s"""WITH ${H3OracleGen.constCtes},
+       |$zonesCte${adjacencyCtes(3, 0.05, 50)},
+       |und AS (
+       |  SELECT c1 AS a, c2 AS b FROM adj
+       |  UNION ALL
+       |  SELECT c2 AS a, c1 AS b FROM adj
+       |),
+       |cand AS (
+       |  SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
+       |         a.anchor AS anch_a, b.anchor AS anch_b
+       |  FROM anch a JOIN anch b ON a.zone_id < b.zone_id
+       |),
+       |pairs AS (
+       |  SELECT zone_a, zone_b, anch_a, anch_b,
+       |         CASE
+       |           WHEN anch_a = anch_b THEN 0
+       |           WHEN EXISTS (SELECT 1 FROM adj
+       |                        WHERE c1 = least(anch_a, anch_b)
+       |                          AND c2 = greatest(anch_a, anch_b))
+       |             THEN 1
+       |           WHEN EXISTS (SELECT 1 FROM und u1
+       |                        JOIN und u2 ON u1.b = u2.a
+       |                        WHERE u1.a = anch_a AND u2.b = anch_b)
+       |             THEN 2
+       |         END AS grid_dist
+       |  FROM cand
+       |),
+       |steps AS (
+       |  SELECT zone_a, zone_b, 0 AS step, anch_a AS cell
+       |  FROM pairs WHERE grid_dist IS NOT NULL
+       |  UNION ALL
+       |  SELECT zone_a, zone_b, grid_dist AS step, anch_b AS cell
+       |  FROM pairs WHERE grid_dist >= 1
+       |  UNION ALL
+       |  SELECT p.zone_a, p.zone_b, 1 AS step,
+       |         (SELECT min(u1.b) FROM und u1 JOIN und u2 ON u1.b = u2.a
+       |          WHERE u1.a = p.anch_a AND u2.b = p.anch_b) AS cell
+       |  FROM pairs p WHERE grid_dist = 2
+       |)
+       |SELECT zone_a, zone_b, CAST(step AS INT) AS step,
+       |       lower(hex(cell)) AS path_cell
+       |FROM steps ORDER BY zone_a, zone_b, step""".stripMargin
+
   // Staged polyfill refinement parameters. Measured fixture res-5 cell
   // geometry: center spacing 0.1246–0.1545° → edge (= circumradius)
   // 0.0719–0.0893°; bounds widened ~10% to eMin5 = 0.0635, eMax5 =

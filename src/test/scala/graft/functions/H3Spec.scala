@@ -853,6 +853,47 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  test("gridPathCells (round 14): length = dist+1, endpoints exact, " +
+      "consecutive cells adjacent, greedy choice is the min-id one") {
+    val rnd = new scala.util.Random(114)
+    var checked = 0
+    for (res <- Seq(2, 5, 9); trial <- 1 to 40) {
+      val lat = rnd.nextDouble() * 140 - 70
+      val lng = rnd.nextDouble() * 360 - 180
+      val a = H3.latLngToCell(lat, lng, res)
+      // random same-res partner a few rings out (stay in gridDistance's
+      // domain; skip pairs its BFS cap / pentagon guard rejects —
+      // h3lib's gridPathCells fails on exactly those too)
+      val disk = H3.gridDisk(a, 1 + rnd.nextInt(4))
+      val b = disk(rnd.nextInt(disk.length))
+      val d =
+        try H3.gridDistance(a, b)
+        catch { case _: IllegalArgumentException => -1 }
+      if (d >= 0) {
+        val path = H3.gridPathCells(a, b)
+        assert(path.length === d + 1, s"path length for dist $d")
+        assert(path.head === a && path.last === b, "endpoints")
+        for (i <- 0 until path.length - 1) {
+          assert(H3.gridDistance(path(i), path(i + 1)) === 1,
+            s"step $i not adjacent")
+          assert(H3.gridDistance(path(i + 1), b) === d - i - 1,
+            s"step ${i + 1} not on a shortest path")
+          // canonicality: the chosen next cell is the minimal id among
+          // ALL distance-reducing neighbors (brute-force restatement)
+          val cands = H3.gridRing1(path(i)).filter { c =>
+            (try H3.gridDistance(c, b) catch {
+              case _: IllegalArgumentException => -1
+            }) == d - i - 1
+          }
+          assert(cands.nonEmpty && path(i + 1) === cands.min,
+            s"step ${i + 1} not the canonical min-id choice")
+        }
+        checked += 1
+      }
+    }
+    assert(checked > 60, s"only $checked pairs exercised")
+  }
+
   test("cellToBoundary corner canonicity, sampled res 3-4 near " +
       "icosahedron vertices (round 14, closing the res>=3 advice)") {
     // The round-13 ADVICE flagged that canonicity was exhaustively

@@ -204,6 +204,14 @@ class ScaleSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq(
       graft.functions.H3.cellToParentHex("8928308280fffff", 7)))
     assert(r.getString(3).startsWith("POLYGON(("))
+    // grid path (round 14): SQL surface composes with the other ids
+    val gp = spark.sql(
+      "SELECT h3_grid_path('8928308280fffff', " +
+        "element_at(h3_cell_to_children(h3_cell_to_parent(" +
+        "'8928308280fffff', 8), 9), 3)) AS p").head().getSeq[String](0)
+    assert(gp.head === "8928308280fffff" && gp.length >= 2)
+    assert(gp === graft.functions.H3
+      .gridPathCellsHex("8928308280fffff", gp.last).toSeq)
     // the full-parity form (round 13): a fine interior cell equals the
     // plain boundary; a face-straddling res-0 cell gains distortion
     // vertices (more commas in the ring)
