@@ -576,6 +576,69 @@ object ScaleQueries {
        |FROM ev e JOIN stats s USING (zk)
        |GROUP BY e.zk ORDER BY e.zk""".stripMargin
 
+  /** Session gap for the skewed sessionizer: 5 min — the hot cohort
+    * (~50% of events, mean inter-event gap ≈ 52 s at sf0.1) coalesces
+    * into long runs while tail cohorts (mean gap ≈ 7 min+) fragment,
+    * so the fixture exercises both regimes. */
+  private val SkewGapUs = 300L * 1000000
+
+  /** Zipf-keyed gaps-and-islands sessionization (`b_skew_sessionize`,
+    * round 14 — the sessionize half of the skew witness next to
+    * [[skewJoin]]): identical one-shuffle window plan to `x_sessionize`
+    * but partitioned on the harmonic cohort key, so HALF the corpus
+    * lands in one window partition. The honest scale statement: window
+    * semantics are per-key sequential, so a hot key is processed by one
+    * task by definition — the engine's job is to stay LINEAR and
+    * bounded-memory there (WindowExec streams frames and spills; no
+    * per-key collection), which the oracle-gated run witnesses. AQE
+    * cannot and should not split it — contrast with the JOIN-side skew,
+    * where the split applies (`b_skew_join` + ScaleSpec). */
+  private def skewSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.eventsTbl(s, dir).select(
+      zipfKey(col("user_id")).as("zk"),
+      col("event_id"), unix_micros(col("ts")).as("us"))
+    val byTime = Window.partitionBy("zk").orderBy("us", "event_id")
+    ev
+      .withColumn("prev_us", lag("us", 1).over(byTime))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SkewGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("brk").over(byTime.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("zk", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"))
+      .orderBy("zk", "session_seq")
+  }
+
+  private val skewSessionizeSql =
+    s"""WITH e AS (
+       |  SELECT $zipfKeySql AS zk, event_id, epoch_us(ts) AS us
+       |  FROM events
+       |), x AS (
+       |  SELECT zk, event_id, us,
+       |         lag(us) OVER (PARTITION BY zk ORDER BY us, event_id)
+       |           AS prev_us
+       |  FROM e
+       |), y AS (
+       |  SELECT zk, us, event_id,
+       |         CASE WHEN prev_us IS NULL OR us - prev_us > $SkewGapUs
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM x
+       |), z AS (
+       |  SELECT zk, us,
+       |         CAST(SUM(brk) OVER (PARTITION BY zk ORDER BY us, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           AS session_seq
+       |  FROM y
+       |)
+       |SELECT zk, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+       |       min(us) AS start_us, max(us) AS end_us
+       |FROM z GROUP BY zk, session_seq
+       |ORDER BY zk, session_seq""".stripMargin
+
   /** Bloom bits for [[bloomPrunedJoin]]: 2^16 bits (8 KB) for the
     * fixture's ~3k urgent orders → FPR under 1e-3. At 100 TB this is a
     * per-executor broadcast of a few MB for hundreds of millions of dim
@@ -726,6 +789,8 @@ object ScaleQueries {
         "exchange")),
     "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql)),
     "b_skew_join" -> QueryDef(skewJoin, Some(skewJoinSql)),
+    "b_skew_sessionize" -> QueryDef(skewSessionize,
+      Some(skewSessionizeSql)),
     "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql)),
     "b_zorder_layout" -> QueryDef(zorderLayout, Some(zorderLayoutSql))
   )
