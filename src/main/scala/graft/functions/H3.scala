@@ -2407,7 +2407,14 @@ object H3 {
           }
         }
       }
-      if (best != null) best else approx
+      // flanks always resolve by construction since round 14 (substrate
+      // edge isometries) — a silent fall-back to the spherical-centroid
+      // skeleton would be invisible to the fallback-mask hook, so make
+      // the invariant LOUD instead (ADVICE r14)
+      require(best != null,
+        f"pentagonBoundary: no resolved flank corner for vertex $v " +
+          f"of 0x$h%x — flank corner resolution regressed")
+      best
     }
   }
 
@@ -2550,7 +2557,17 @@ object H3 {
       var r = 0
       while (r < ring.length) {
         val c = ring(r)
-        if (c < best && gridDistance(c, hb) == remaining - 1) best = c
+        // a neighbor FURTHER from hb than the BFS cap throws inside its
+        // own gridDistance even when (ha, hb) itself is in-domain (pair
+        // at exactly the cap, neighbor at cap+1) — a throwing neighbor
+        // is simply a non-candidate, matching the spec's brute-force
+        // candidate-set construction (ADVICE r14)
+        if (c < best) {
+          val closer =
+            try gridDistance(c, hb) == remaining - 1
+            catch { case _: IllegalArgumentException => false }
+          if (closer) best = c
+        }
         r += 1
       }
       require(best != Long.MaxValue,

@@ -509,7 +509,10 @@ object ScaleQueries {
     * `x_range_join`'s uniform fixture keys never exercise. Pure integer
     * arithmetic, bit-identical in DuckDB (`//`). */
   private[queries] def zipfKey(userId: org.apache.spark.sql.Column) =
-    expr("16L div (1 + (user_id % 16))")
+    // built from the PASSED column (ADVICE r14: the expr() form
+    // hardcoded `user_id`, silently ignoring the parameter); floor of
+    // the exact small-integer double ratio ≡ integer div on positives
+    floor(lit(16L).cast("double") / (lit(1L) + pmod(userId, lit(16L))))
 
   private[queries] val zipfKeySql = "16 // (1 + (user_id % 16))"
 

@@ -57,6 +57,12 @@ def main(sf_dir: str, out_dir: str) -> None:
                 # year-2000..2200 in ns is ~9.5e17..7.3e18.
                 lo, hi = con.sql(
                     "SELECT min(ts), max(ts) FROM events").fetchone()
+                if lo is None:
+                    sys.exit("events table is EMPTY - cannot verify the "
+                             "ns-epoch magnitude for the ns//1000 rewrite; "
+                             "regenerate the fixture (ADVICE r14: None "
+                             "here used to raise TypeError instead of "
+                             "this diagnostic)")
                 if not (9e17 <= lo and hi <= 8e18):
                     sys.exit(f"events.ts BIGINT range [{lo}, {hi}] is not "
                              "ns-since-epoch (expected ~1e18); refusing the "

@@ -40,6 +40,12 @@ def main(sf_dir: str, oracle_path: str, bench_path: str) -> None:
                 # a µs/ms fixture would silently shift every comparator
                 lo, hi = con.sql(
                     "SELECT min(ts), max(ts) FROM events").fetchone()
+                if lo is None:
+                    sys.exit("events table is EMPTY - cannot verify the "
+                             "ns-epoch magnitude for the ns//1000 rewrite; "
+                             "regenerate the fixture (ADVICE r14: None "
+                             "here used to raise TypeError instead of "
+                             "this diagnostic)")
                 if not (9e17 <= lo and hi <= 8e18):
                     sys.exit(f"events.ts BIGINT range [{lo}, {hi}] is not "
                              "ns-since-epoch; refusing the ns//1000 rewrite")
