@@ -642,6 +642,45 @@ object ScaleQueries {
        |FROM z GROUP BY zk, session_seq
        |ORDER BY zk, session_seq""".stripMargin
 
+  /** Zipf-keyed direct aggregation (`b_skew_agg`, round 15 — the third
+    * shuffle consumer of the skew triptych next to [[skewJoin]] (AQE
+    * split) and [[skewSessionize]] (bounded-memory window)): a plain
+    * groupBy on the harmonic cohort key, where HALF the corpus carries
+    * one key. The scale story is that hash aggregation is IMMUNE to key
+    * skew when every aggregate is partial-combinable (count/sum/min/max
+    * here): each map task reduces its slice to ≤ |keys| rows before the
+    * exchange, so the shuffle moves O(maps · keys) rows no matter how
+    * hot a key is, and the hot key's reducer receives ≤ one row per map
+    * — never the corpus. `ScaleSpec` pins exactly that: the aggregate
+    * exchange's records-written metric stays at the maps·keys floor
+    * (hundreds) against ~600k input rows. Aggregates are decimal-exact
+    * with one final double cast (QueryDef determinism contract). */
+  private def skewAgg(s: SparkSession, dir: String): DataFrame =
+    skewAggPlan(s, dir).orderBy("zk")
+
+  /** The bare aggregate without the oracle's total ORDER BY — exposed so
+    * the spec can measure the aggregate exchange in isolation. */
+  private[queries] def skewAggPlan(s: SparkSession, dir: String): DataFrame =
+    graft.eventsTbl(s, dir)
+      .select(zipfKey(col("user_id")).as("zk"),
+        col("value").cast(DecimalType(18, 2)).as("v"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("zk")
+      .agg(count(lit(1)).as("n_events"),
+        sum("v").cast("double").as("sum_value"),
+        min("us").as("first_us"),
+        max("us").as("last_us"))
+
+  private val skewAggSql =
+    s"""SELECT zk, count(*) AS n_events,
+       |       CAST(SUM(v) AS DOUBLE) AS sum_value,
+       |       min(us) AS first_us, max(us) AS last_us
+       |FROM (SELECT $zipfKeySql AS zk,
+       |             CAST(value AS DECIMAL(18,2)) AS v,
+       |             epoch_us(ts) AS us
+       |      FROM events)
+       |GROUP BY zk ORDER BY zk""".stripMargin
+
   /** Bloom bits for [[bloomPrunedJoin]]: 2^16 bits (8 KB) for the
     * fixture's ~3k urgent orders → FPR under 1e-3. At 100 TB this is a
     * per-executor broadcast of a few MB for hundreds of millions of dim
@@ -792,6 +831,7 @@ object ScaleQueries {
         "exchange")),
     "b_salted_join" -> QueryDef(saltedJoin, Some(saltedJoinSql)),
     "b_skew_join" -> QueryDef(skewJoin, Some(skewJoinSql)),
+    "b_skew_agg" -> QueryDef(skewAgg, Some(skewAggSql)),
     "b_skew_sessionize" -> QueryDef(skewSessionize,
       Some(skewSessionizeSql)),
     "b_bloom_prune" -> QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinSql)),

@@ -282,6 +282,48 @@ class ScaleSpec extends SparkSpec {
     assert(underSkewSplit === expected)
   }
 
+  test("partial agg absorbs the hot Zipf cohort map-side " +
+      "(b_skew_agg witness)") {
+    import org.apache.spark.sql.functions._
+    // The third shuffle consumer of the skew triptych (r14 verdict item
+    // 6): groupBy on the harmonic key where cohort 1 holds ~half the
+    // corpus. Hash aggregation with partial-combinable aggregates is
+    // skew-immune BY PLAN SHAPE — each map task emits ≤ |keys| rows into
+    // the exchange — so the witness is the aggregate exchange's
+    // records-written metric sitting at the maps·keys floor, not at
+    // corpus size. AQE off so the static two-phase shape (and its
+    // exchange) is directly inspectable.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    val sf01 = "/root/testdata/sf0.01"
+    val nEvents = graft.eventsTbl(s, sf01).count()
+    val df = ScaleQueries.skewAggPlan(s, sf01)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // two-phase hash agg: a Partial mode aggregate below the exchange
+    val aggs = plan.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      s"expected a map-side partial aggregate:\n$plan")
+    val shuffled = plan.collect { case e: ShuffleExchangeExec =>
+      e.metrics("shuffleRecordsWritten").value
+    }
+    assert(shuffled.nonEmpty, s"expected the aggregate exchange:\n$plan")
+    // ≤ maps·keys (generous ceiling: 64·5·2), never the ~10k input rows
+    assert(shuffled.sum <= 640,
+      s"aggregate exchange moved ${shuffled.sum} rows of $nEvents — " +
+        "the hot cohort was NOT absorbed map-side")
+    assert(nEvents > 5000, s"fixture too small for the witness: $nEvents")
+    // and the hot key is really hot: its final row aggregates >40% of
+    // the corpus while its reducer received only the per-map partials
+    val hot = df.filter(col("zk") === 1L).head()
+    assert(hot.getLong(1).toDouble / nEvents > 0.4,
+      s"fixture lost its skew: $hot")
+  }
+
   test("ScaleGen copies are join-closed: FK joins scale exactly linearly") {
     import org.apache.spark.sql.functions.col
     val out = s"${sys.props("user.dir")}/target/qtmp/scalegen2x"
