@@ -93,6 +93,15 @@ final class Catalog(val spark: SparkSession, val warehouseDir: String) {
   /** Register under a logical name for spark.sql / dbt-style `ref` (S10/S11). */
   def view(name: String): Unit = load(name).createOrReplaceTempView(name)
 
+  /** Directory-rename table commit (staged single-action writes publish
+    * through this; rename is atomic on the filesystems the catalog
+    * targets). Fails loudly — a half-published table must not look like
+    * a clean short-circuit. */
+  def rename(from: String, to: String): Unit =
+    if (!fs.rename(pathOf(from), pathOf(to)))
+      throw new IllegalStateException(
+        s"catalog rename $from -> $to failed under $warehouseDir")
+
   def drop(name: String): Unit = {
     val p = pathOf(name)
     if (fs.exists(p)) fs.delete(p, true)

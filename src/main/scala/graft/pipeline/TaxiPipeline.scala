@@ -313,9 +313,44 @@ object TaxiPipeline {
     * 4 writes + 4 re-reads + 2 scans + rejoin; the gate probe reads
     * file metadata plus at most one row. */
   def fused(spark: SparkSession, sfDir: String, srcDir: String,
-            ds: String): Option[DataFrame] = {
+            ds: String): Option[DataFrame] =
+    fusedObserved(spark, sfDir, srcDir, ds).flatMap { case (df, _) =>
+      // eager row gate for the Option contract (one limit-1 job);
+      // single-action callers use the observation instead (fusedRun)
+      val dayPath = fusedDayPath(srcDir, ds)
+      val day = spark.read.option("pathGlobFilter", "part-*")
+        .parquet(dayPath)
+      if (day.limit(1).count() == 0) None else Some(df)
+    }
+
+  private def fusedDayPath(srcDir: String, ds: String): String = {
     val Array(y, m, d) = ds.split("-")
-    val dayPath = s"$srcDir/$y/$m/$d"
+    s"$srcDir/$y/$m/$d"
+  }
+
+  /** The fused chain with the C2 ROW gate folded into the single plan
+    * (round 15, verdict item 4) via `Dataset.observe`: the day scan
+    * carries a CollectMetrics count, so the gate quantity ("any rows
+    * this day?") is computed BY the one action that executes the plan —
+    * no separate limit-1 gate job. Returns None only on the METADATA
+    * gate (absent day dir / no part files — decidable from file listings
+    * without a job, exactly where the staged runner's ingest stage gates
+    * without reading data). The row gate's DECISION still precedes every
+    * visible write: [[fusedRun]] stages the action's output under a
+    * hidden name and only commits (renames) it into the catalog after
+    * the observed count passes — an empty day leaves the catalog
+    * without the table, same as the staged runner's short-circuit.
+    *
+    * Note the observation deliberately sits on the RAW day scan (the
+    * gate counts pre-normalization rows, like the staged ingest's
+    * `temp_trips` probe), which pins the normalize filter ABOVE the
+    * CollectMetrics node — pushing it into the scan would change the
+    * observed count. The rows are read either way (the gate needs
+    * them); only the scan-level filter skip is forgone, priced at one
+    * column-pruned pass over one day's partition. */
+  def fusedObserved(spark: SparkSession, sfDir: String, srcDir: String,
+      ds: String): Option[(DataFrame, org.apache.spark.sql.Observation)] = {
+    val dayPath = fusedDayPath(srcDir, ds)
     val fs = new org.apache.hadoop.fs.Path(dayPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val hasFiles = fs.exists(new org.apache.hadoop.fs.Path(dayPath)) &&
@@ -323,8 +358,9 @@ object TaxiPipeline {
         new org.apache.hadoop.fs.Path(dayPath, "part-*")))
         .exists(_.nonEmpty)
     if (!hasFiles) return None
+    val gate = org.apache.spark.sql.Observation()
     val day = spark.read.option("pathGlobFilter", "part-*").parquet(dayPath)
-    if (day.limit(1).count() == 0) return None // C2: empty day gates false
+      .observe(gate, count(lit(1)).as("rows"))
     val norm = day.filter(
       col("event_type") =!= "error" &&
         col("value") =!= 0 && col("value").isNotNull &&
@@ -370,8 +406,39 @@ object TaxiPipeline {
       "pickup_count", Seq("pickup_zone"))
       .select(col("pickup_zone").as("top_pickup"),
         col("pickup_count"), col("popularity"))
-    Some(routes
+    Some((routes
       .join(dropoffs, Seq("popularity"), "inner")
-      .join(pickups, Seq("popularity"), "inner"))
+      .join(pickups, Seq("popularity"), "inner"), gate))
   }
+
+  /** Single-action gated fused run (round 15): executes the whole fused
+    * chain — C2 row gate included — as ONE Spark action, writing to a
+    * hidden staging table, then commits (renames) the staging dir into
+    * the dated table name only if the observed gate passed. The catalog
+    * never shows `most_populars_{ds}` for a day with files but zero
+    * rows, preserving the staged runner's short-circuit contract while
+    * eliminating the separate gate job. Returns the committed table
+    * name, or None when either gate failed (staging dropped). */
+  def fusedRun(spark: SparkSession, sfDir: String, srcDir: String,
+      ds: String, cat: Catalog): Option[String] =
+    fusedObserved(spark, sfDir, srcDir, ds).flatMap { case (df, gate) =>
+      val table = s"most_populars_${dsNoDash(ds)}"
+      val staging = s"_staging_$table" // underscore: invisible to tables()
+      cat.save(staging, df) // THE one action; evaluates the gate metric
+      // A MISSING metric means zero rows flowed through the observed
+      // scan: CollectMetrics reports nothing when no task ever updated
+      // its accumulator (the zero-row-files day), so absent ⇒ 0 is the
+      // exact gate semantic, not a default-for-safety.
+      val rows = gate.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (rows == 0L) {
+        cat.drop(staging)
+        println(s"[pipeline] day $ds has files but no rows; " +
+          "fused gate short-circuited (staging dropped)")
+        None
+      } else {
+        cat.drop(table)
+        cat.rename(staging, table)
+        Some(table)
+      }
+    }
 }

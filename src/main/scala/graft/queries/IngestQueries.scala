@@ -293,7 +293,13 @@ object IngestQueries {
   /** Bench variant of [[pipelineFused]]: same gated fused chain, with
     * the source-day fixture laid out once per SF dir under the stamped
     * completeness/freshness gate (the [[pipelineE2EBench]] pattern) and
-    * the oracle-only total ORDER BY dropped. */
+    * the oracle-only total ORDER BY dropped. Round 15 (verdict item 4):
+    * built on [[TaxiPipeline.fusedObserved]], so the C2 row gate rides
+    * the ONE timed action as a CollectMetrics count on the day scan —
+    * the separate limit-1 gate job is gone and the timed region is a
+    * single action (the [[TaxiPipeline.fusedRun]] commit contract is
+    * spec-pinned in `RunnerSpec`; metadata-gate stays eager, as in the
+    * staged runner). */
   private def pipelineFusedBench(s: SparkSession, dir: String): DataFrame = {
     val base = qtmp("pipeline_fused_bench_" + graft.core.PathTag.tag(dir))
     val Array(y, m, d) = Ds.split("-")
@@ -303,7 +309,8 @@ object IngestQueries {
       writeDay(s, dir, s"$base/src", Ds)
       graft.core.FixtureMeta.write(s, s"$base/src/.stamp", stamp)
     }
-    TaxiPipeline.fused(s, dir, s"$base/src", Ds)
+    TaxiPipeline.fusedObserved(s, dir, s"$base/src", Ds)
+      .map(_._1)
       .getOrElse(sys.error("fused pipeline gated on a day with data"))
   }
 
@@ -661,6 +668,8 @@ object IngestQueries {
       benchNote = Some("scale-safe fused twin of c_pipeline_e2e under " +
         "the SAME oracle: one fused plan, no staged catalog " +
         "materializations — the number a user who wants only the final " +
-        "table pays. Read the pair together."))
+        "table pays. Read the pair together. Since r15 the C2 row gate " +
+        "rides the single action as an observed metric (no separate " +
+        "gate job); commit semantics spec-pinned via fusedRun."))
   )
 }

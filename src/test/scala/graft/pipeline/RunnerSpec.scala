@@ -142,6 +142,64 @@ class RunnerSpec extends SparkSpec {
         spark.streams.active.map(_.name).mkString(", ")}")
   }
 
+  test("fusedRun (round 15): ONE action runs gate + chain + staging " +
+      "write; commit only when the observed C2 gate passes") {
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    val cat = new Catalog(s, Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("user.dir"), "target"),
+      "wh_test").toString)
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("user.dir"), "target"),
+      "fsrc_test").toString
+    val ds = "2024-01-05"
+    graft.eventsTbl(s, sf)
+      .filter(to_date(col("ts")) === lit(ds).cast("date"))
+      .coalesce(1).write.parquet(s"$base/2024/01/05")
+    // session-scoped action counter: the single-action claim is the
+    // point of the design (the old form ran a limit-1 gate count PLUS
+    // the write — two actions)
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    s.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = actions.incrementAndGet()
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+    val committed = TaxiPipeline.fusedRun(s, sf, base, ds, cat)
+    assert(committed === Some("most_populars_20240105"))
+    assert(cat.exists("most_populars_20240105"))
+    assert(cat.tables() === Seq("most_populars_20240105")) // no staging
+    // listener delivery is async: wait for the action event, then a
+    // quiescence beat to catch any EXTRA action this spec forbids
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (actions.get() < 1 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    Thread.sleep(1000)
+    assert(actions.get() === 1,
+      s"fusedRun must be a single Spark action, saw ${actions.get()}")
+    // committed content equals the eager-gate fused plan (itself
+    // oracle-equal to the staged chain via c_pipeline_fused)
+    val cols = Seq("popularity", "route_pickup", "route_dropoff",
+      "top_dropoff", "top_pickup")
+    val viaEager = TaxiPipeline.fused(s, sf, base, ds).get
+      .orderBy(cols.map(col): _*).collect().toSeq
+    assert(cat.load("most_populars_20240105")
+      .orderBy(cols.map(col): _*).collect().toSeq === viaEager)
+    // zero-ROW day (files exist): observed gate short-circuits — no
+    // table, no staging residue
+    graft.eventsTbl(s, sf).filter(lit(false))
+      .coalesce(1).write.parquet(s"$base/2024/01/06")
+    assert(TaxiPipeline.fusedRun(s, sf, base, "2024-01-06", cat) === None)
+    assert(cat.tables() === Seq("most_populars_20240105"))
+    assert(!cat.exists("_staging_most_populars_20240106"))
+    // absent day dir: metadata gate, no job at all
+    assert(TaxiPipeline.fusedRun(s, sf, base, "2099-01-01", cat) === None)
+  }
+
   test("catalog lifecycle: truncate/append/exists/drop (S5–S8)") {
     import spark.implicits._
     val cat = freshCatalog()
