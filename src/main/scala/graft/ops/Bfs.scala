@@ -67,7 +67,9 @@ object Bfs {
     *               than the shuffle it replaces)
     */
   def distances(seeds: DataFrame, edges: DataFrame, maxHops: Int,
-      broadcastRowCap: Long = 1L << 20): Result = {
+      broadcastRowCap: Long = 1L << 20,
+      hotKeyThreshold: Long = Components.DefaultHotKeyThreshold,
+      observer: Option[HotKeys.Stats => Unit] = None): Result = {
     // lazy checkpoints (round 10): the level-count action is the
     // materializer, so each level costs one driver job, not two
     var dist = seeds.select(col("node"), lit(0).as("dist"))
@@ -77,16 +79,52 @@ object Bfs {
     var frontierRows = distRows
     var rounds = 0
     var hop = 1
+    // Hub (hot-key) split for the SHUFFLE-joined frontier (round 15,
+    // extending Components r14): while the frontier broadcasts, a hub's
+    // edges are probed map-side across all edge partitions — no funnel
+    // exists. Past the cap the join shuffles EDGES on their source key,
+    // and a hub node in the frontier funnels its whole edge list into
+    // one reduce task. The split: frontier nodes whose edge-degree
+    // exceeds the threshold form a (tiny, bounded) broadcast probe —
+    // their edges stay map-side — while the cold frontier keeps the
+    // shuffle, per-key multiplicity ≤ threshold by construction.
+    // Degrees are computed LAZILY on the first over-cap level (one
+    // aggregate of the static edge list, amortized over all later
+    // levels; a run that never leaves the broadcast regime — every
+    // fixture at the default cap — pays nothing).
+    lazy val hotDegreeNodes: Option[DataFrame] = {
+      val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      HotKeys.detect(edges.sparkSession, deg, "a", "deg",
+        hotKeyThreshold, "BFS frontier join", observer)
+    }
     while (hop <= maxHops && frontierRows > 0) {
-      val probe =
-        if (frontierRows <= broadcastRowCap) broadcast(frontier) else frontier
       val labeled = if (distRows <= broadcastRowCap) broadcast(dist) else dist
       // anti-join BEFORE distinct: with `labeled` broadcast the anti is
       // map-side, so the distinct's shuffle carries only genuinely-new
       // nodes — in late levels most candidates are already labeled, and
       // shuffling them just to drop them after was the bigger stream
-      val next = probe.join(edges, probe("node") === edges("a"))
-        .select(edges("b").as("node"))
+      val candidates =
+        if (frontierRows <= broadcastRowCap)
+          broadcast(frontier).join(edges, frontier("node") === edges("a"))
+            .select(edges("b").as("node"))
+        else hotDegreeNodes match {
+          case None =>
+            frontier.join(edges, frontier("node") === edges("a"))
+              .select(edges("b").as("node"))
+          case Some(hk) =>
+            val hotKeyed = hk.select(col("a").as("node"))
+            val hotFrontier = frontier.join(broadcast(hotKeyed), "node")
+            val coldFrontier =
+              frontier.join(broadcast(hotKeyed), Seq("node"), "left_anti")
+            broadcast(hotFrontier)
+              .join(edges, hotFrontier("node") === edges("a"))
+              .select(edges("b").as("node"))
+              .unionAll(
+                coldFrontier
+                  .join(edges, coldFrontier("node") === edges("a"))
+                  .select(edges("b").as("node")))
+        }
+      val next = candidates
         .join(labeled, Seq("node"), "left_anti")
         .distinct()
         .withColumn("dist", lit(hop))

@@ -212,18 +212,48 @@ object GraphQueries {
     * standard convergence-check cost at any scale, and what a 100 TB run
     * uses to stop instead of burning dead rounds.
     *
+    * == Hub (hot-key) path (round 15, extending Components r14) ==
+    *
+    * The contribution join ships every edge row to its src's reduce
+    * partition; a Zipf-degree hub therefore funnels its whole edge list
+    * into ONE task (the downstream `groupBy(dst).sum` is immune — it
+    * partial-aggregates map-side, the `b_skew_agg` argument). The fix is
+    * [[graft.ops.HotKeys]]' two-phase split: srcs whose out-degree
+    * exceeds `hotKeyThreshold` have their (src, per-edge contribution)
+    * row — unique per src — broadcast, so hub edges take a map-side
+    * join; cold srcs keep the stock shuffle, multiplicity ≤ threshold by
+    * construction. Detection is ONE bounded collect per call (the edge
+    * multiset is static across iterations — contrast Components, whose
+    * contracting edge set re-detects per half-round), riding the same
+    * out-degree aggregate the algorithm needs anyway; the checkpoint
+    * also stops re-aggregating the edges every iteration.
+    *
     * @param nodes one column `node`; @param edges columns `src`, `dst` */
   private[graft] def pageRankLoop(nodes: DataFrame, edges: DataFrame,
-      iters: Int): (DataFrame, Seq[Long]) = {
+      iters: Int,
+      hotKeyThreshold: Long = Components.DefaultHotKeyThreshold,
+      observer: Option[graft.ops.HotKeys.Stats => Unit] = None)
+      : (DataFrame, Seq[Long]) = {
+    import graft.ops.HotKeys
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(false)
+    // the bounded hot-key collect is also outdeg's materializing action
+    val hotKeys = HotKeys.detect(edges.sparkSession, outdeg, "src",
+      "outdeg", hotKeyThreshold, "pageRank contribution join", observer)
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
     val deltas = scala.collection.mutable.ListBuffer.empty[Long]
     var converged = false
     var i = 0
     while (i < iters && !converged) {
-      val contribs = edges.join(outdeg, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("r div outdeg").as("c"))
+      // (src, rank div outdeg): key-unique — the exact shape joinFatUnique
+      // requires; computing the division here (node-grained) instead of
+      // per edge row is value-identical (same integer div per src)
+      val perSrc = ranks.withColumnRenamed("node", "src")
+        .join(outdeg, "src")
+        .select(col("src"), expr("r div outdeg").as("c"))
+      val contribs = HotKeys
+        .joinFatUnique(edges, perSrc, "src", hotKeys)
+        .select(col("dst"), col("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
       val next = nodes.join(contribs.withColumnRenamed("dst", "node"),
           Seq("node"), "left")

@@ -64,6 +64,52 @@ class GraphIterSpec extends SparkSpec {
       Map(0L -> 150000L, 1L -> 150000L, 2L -> 150000L))
   }
 
+  test("PageRank hub split (round 15): broadcast-hot arm equals the " +
+      "stock plan, cold-arm degree bounded, detection observed") {
+    // Zipf-degree hub: node 0 fans out to 1..200 (degree 200); a sparse
+    // cold tail chains 1->2->...->12 (degree ≤ 1 each). Threshold 50
+    // forces ONLY the hub onto the broadcast arm.
+    val nodes = (0L to 200L).toDF("node")
+    val hub = (1L to 200L).map(0L -> _)
+    val tail = (1L to 12L).map(i => i -> (i + 1))
+    val edges = (hub ++ tail).toDF("src", "dst")
+    val stock = graft.queries.GraphQueries
+      .pageRankLoop(nodes, edges, iters = 3)
+    var stats: Option[HotKeys.Stats] = None
+    val (ranks, deltas) = graft.queries.GraphQueries.pageRankLoop(
+      nodes, edges, iters = 3, hotKeyThreshold = 50,
+      observer = Some(s => stats = Some(s)))
+    assert(stats === Some(HotKeys.Stats(nHotKeys = 1, maxColdDeg = 1)),
+      "exactly the hub takes the broadcast arm; every shuffled key's " +
+        "multiplicity is bounded by its degree ≤ 1")
+    assert(deltas === stock._2)
+    assert(ranks.as[(Long, Long)].collect().toMap ===
+      stock._1.as[(Long, Long)].collect().toMap)
+  }
+
+  test("BFS hub split (round 15): over-cap shuffle levels route the " +
+      "hub through the broadcast arm, identical labeling") {
+    // same hub shape; seeds reach the hub at hop 1 so the hub node IS in
+    // an over-cap frontier (cap 0 forces every level down the shuffle
+    // branch, the round-14 equality test's trick)
+    val hub = (1L to 200L).map(0L -> _)
+    val tail = (1L to 12L).map(i => i -> (i + 1))
+    val fwd = (hub ++ tail).toDF("a", "b")
+    val g = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+    val seeds = Seq(5L).toDF("node")
+    val stock = Bfs.distances(seeds, g, maxHops = 3)
+    var stats: Option[HotKeys.Stats] = None
+    val split = Bfs.distances(seeds, g, maxHops = 3, broadcastRowCap = 0,
+      hotKeyThreshold = 50, observer = Some(s => stats = Some(s)))
+    // undirected doubling: hub degree 200 out + ~? in; nodes 1..12 have
+    // degree ≤ 4 — only the hub crosses the threshold
+    assert(stats.exists(s => s.nHotKeys === 1 && s.maxColdDeg <= 50),
+      s"expected exactly the hub hot: $stats")
+    assert(split.roundsRun === stock.roundsRun)
+    assert(split.dist.as[(Long, Int)].collect().toMap ===
+      stock.dist.as[(Long, Int)].collect().toMap)
+  }
+
   test("PageRank surfaces a full delta trace when it never converges") {
     // asymmetric 3-cycle: rank mass keeps sloshing between the hub and
     // the two spokes, so no exact fixpoint within the iteration budget
