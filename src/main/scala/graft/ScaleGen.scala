@@ -110,8 +110,9 @@ object ScaleGen {
     // per copy is the real one), while cross-copy cosines collapse to
     // noise — near-dup density scales linearly like a real corpus.
     // Copy 0 keeps the original vectors.
-    write("embeddings", replicate(table("embeddings"),
-      Map("vec_id" -> stride("embeddings", "vec_id")),
+    val embStride = stride("embeddings", "vec_id")
+    val embReplicated = replicate(table("embeddings"),
+      Map("vec_id" -> embStride),
       extra = (d, cp) => d.withColumn("embedding",
         when(cp === 0, col("embedding")).otherwise(expr(
           """transform(sequence(0, size(embedding) - 1), i ->
@@ -119,6 +120,31 @@ object ScaleGen {
             |    CAST(pmod(i + graft_cp, size(embedding)) AS INT) + 1) *
             |  CASE WHEN pmod(xxhash64(graft_cp, i), 2) = 0
             |       THEN CAST(1.0 AS FLOAT)
-            |       ELSE CAST(-1.0 AS FLOAT) END)""".stripMargin)))))
+            |       ELSE CAST(-1.0 AS FLOAT) END)""".stripMargin))))
+    // PLANTED near-duplicates (round 15, verdict item 1): every
+    // PlantEvery-th vector gets a twin at cos ≈ 0.95 — per-coordinate
+    // multiplicative jitter e_i · (1 + δ·s_i) with deterministic signs
+    // s_i = ±1 from xxhash64(vec_id, i) and δ = 0.33 (random-sign
+    // jitter is near-orthogonal to e, so cos ≈ 1/√(1+δ²) ≈ 0.95).
+    // Twin ids live above every replicated id (stride · copies + id):
+    // unique, and the twin of a copy-k vector is jittered FROM the
+    // decorrelated copy-k vector, so near-dup pair density is exactly
+    // one pair per PlantEvery vectors — linear in SF, like a real
+    // corpus — and no cross-copy near-dups appear. This is what makes
+    // the production-regime `x_embed_neardup_prod` (cos ≥ 0.9)
+    // non-trivial at generated SFs.
+    val planted = embReplicated
+      .filter(pmod(col("vec_id"), lit(PlantEvery)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(embStride * copies))
+      .withColumn("embedding", expr(
+        """transform(embedding, (x, i) ->
+          |  x * CAST(1.0 + 0.33 *
+          |    CASE WHEN pmod(xxhash64(vec_id - """.stripMargin +
+          embStride * copies +
+          """L, i), 2) = 0 THEN 1.0 ELSE -1.0 END AS FLOAT))"""))
+    write("embeddings", embReplicated.unionAll(planted))
   }
+
+  /** One planted near-dup twin per this many embedding vectors. */
+  val PlantEvery: Int = 25
 }

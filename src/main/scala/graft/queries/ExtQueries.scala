@@ -845,6 +845,97 @@ object ExtQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** PRODUCTION-regime embedding near-dup (`x_embed_neardup_prod`,
+    * round 15, verdict item 1): threshold cos ≥ 0.9 — the regime a real
+    * dedup pipeline runs (the 0.45 demo variant above exists because the
+    * un-planted fixture's max pairwise cosine is ≈0.51) — with WIDE
+    * 16-plane bands.
+    *
+    * Band-width arithmetic, measured on the fixture (avg |cos| ≈ 0.10,
+    * p99 ≈ 0.29): a random-ish pair agrees with one plane w.p.
+    * 1 − θ/π ≈ 0.53, so an 8-plane band (the r14 verdict's first
+    * instinct) admits 0.53⁸ ≈ 0.6% of ALL pairs per band — ~1e9
+    * candidates at sf10's 200k vectors, still quadratic in practice.
+    * SIXTEEN planes square that per-band rate to ≈4e-5 (×16 bands
+    * ≈ 7e-4 of pairs → ~1e7 candidates at sf10 — collision-volume
+    * work, not n²), while a true near-dup at cos 0.95 (the ScaleGen-
+    * planted twins) still collides in some band w.p. ≈96%
+    * (0.899¹⁶ ≈ 0.18 per band). Recall is a property of the OPERATOR
+    * DEFINITION mirrored exactly by the oracle (both sides compute
+    * band-candidates ∩ sim ≥ 0.9), so correctness is exact at any
+    * recall; the planted-twin recall itself is spec-pinned in
+    * `CorpusDedupSpec`.
+    *
+    * No salt, unlike the demo variant: 2¹⁶ codes per band keep bucket
+    * occupancy at units even at sf10 (the demo's 4-value codes forced
+    * 32 fat tasks), so the candidate join is an ordinary bucketed
+    * self-join. Plane family 200.. keeps it disjoint from the demo's
+    * (100..) and the ANN query's (0..). */
+  private val PbBands = 16
+  private val PbPlanesPerBand = 16
+  private val PbThreshold = 0.90
+
+  private def pbBandCode(v: Column, band: Int): Column =
+    VectorF.planeSignBits(v,
+      (0 until PbPlanesPerBand).map(i => 200 + band * PbPlanesPerBand + i),
+      Dim)
+
+  private def embedNeardupProd(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id") +: embDouble.as("v") +:
+        (0 until PbBands).map(b => pbBandCode(embDouble, b).as(s"pb$b")): _*)
+      .localCheckpoint() // reused by 16 band fan-outs × 2 join sides
+    val bands = (0 until PbBands).map { b =>
+      emb.select(col("vec_id"), lit(b).as("band"), col(s"pb$b").as("code"))
+    }.reduce(_ unionAll _)
+    val cand = bands.select(col("vec_id").as("vec_a"), col("band"),
+        col("code"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band"),
+        col("code")), Seq("band", "code"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val va = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        simCol(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= PbThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB mirror: the SAME bucketed band self-join (16 per-band code
+    * CTEs unioned, hash-joined on (band, code)) — NOT an n² predicate
+    * join, so the comparator does collision-volume work too and the
+    * paired ratio compares plans, not plan classes. */
+  private val embedNeardupProdSql = {
+    def planeLit(p: Int) =
+      VectorF.plane(p, Dim).map(d => s"$d").mkString("[", ",", "]")
+    def code(band: Int) = (0 until PbPlanesPerBand).map { i =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeLit(200 + band * PbPlanesPerBand + i)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandSelects = (0 until PbBands).map(b =>
+      s"  SELECT vec_id, $b AS band, (${code(b)}) AS code FROM embeddings")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH bands AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b,
+       |       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                    CAST(eb.embedding AS DOUBLE[])),
+       |             6) AS sim
+       |FROM cand
+       |JOIN embeddings ea ON ea.vec_id = cand.vec_a
+       |JOIN embeddings eb ON eb.vec_id = cand.vec_b
+       |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                   CAST(eb.embedding AS DOUBLE[])),
+       |            6) >= $PbThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer (16 fixed centroids —
     * held-out corpus vectors, a deterministic untrained baseline for the
     * k-means variant below) partitions the corpus into posting lists;
@@ -1528,7 +1619,23 @@ object ExtQueries {
     // benched since round 14 (bench-breadth item): the LSH-banded
     // embedding self-join is the heaviest unbenched ANN-family entry
     "x_embed_neardup" -> QueryDef(embedNeardupPairs,
-      Some(embedNeardupPairsSql), bench = true),
+      Some(embedNeardupPairsSql), bench = true,
+      benchNote = Some("DEMO threshold 0.45 sized to the un-planted " +
+        "fixture (max cosine ~0.51): candidate volume is inherently " +
+        "~n^2/4 per band in BOTH engines - keep it in the sf0.1/sf1 " +
+        "windows, exclude at sf10; the production regime is " +
+        "x_embed_neardup_prod.")),
+    // round 15 (verdict item 1): the production regime - cos >= 0.9,
+    // 16-plane bands, collision-volume cost; ScaleGen plants real
+    // near-dup twins so the result is non-trivial at generated SFs
+    // (the driver fixture has no cos>=0.9 pair: 0 rows = 0 rows there,
+    // with the non-trivial hash gate run on the planted fixture - see
+    // PLANS.md round-15 notes)
+    "x_embed_neardup_prod" -> QueryDef(embedNeardupProd,
+      Some(embedNeardupProdSql), bench = true,
+      benchNote = Some("production near-dup regime (cos>=0.9, 16-plane " +
+        "bands) over ScaleGen-planted twins; both engines run the " +
+        "bucketed band self-join, cost tracks collision volume.")),
     "x_ann_lsh" -> QueryDef(annLsh, Some(annLshSql), bench = true,
       benchNote = Some("sub-second absolute at every SF: banded " +
         "hyperplane-LSH probe (bucket-join, never all-pairs); the " +

@@ -41,4 +41,39 @@ class CorpusDedupSpec extends SparkSpec {
     val en = out.filter(_._1 == "en")
     assert(en.map(r => (r._2, r._4, r._5)) === List((1L, 20L, 20L)))
   }
+
+  test("x_embed_neardup_prod recovers ScaleGen-planted twins (round 15): " +
+      "recall >= 0.75 at the 16-plane/cos-0.9 regime, exact precision") {
+    // The driver fixtures have no cos >= 0.9 pair (max ~0.51), so the
+    // oracle hash-compare is trivially 0 = 0 there; this spec (plus the
+    // planted-fixture Verify run recorded in PLANS.md) is the
+    // non-trivial gate. ScaleGen plants one jittered twin (cos ~0.95)
+    // per PlantEvery vectors with ids offset by stride * copies.
+    val out = s"${sys.props("user.dir")}/target/qtmp-test/neardup_prod"
+    graft.ScaleGen.run(spark, sf, out, 2)
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val copies = 2
+    val baseMax = spark.read.parquet(s"$sf/embeddings.parquet")
+      .agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val offset = (baseMax + 1) * copies
+    val planted = emb.filter(col("vec_id") < offset &&
+        pmod(col("vec_id"), lit(graft.ScaleGen.PlantEvery)) === 0)
+      .select(col("vec_id").as("vec_a"),
+        (col("vec_id") + offset).as("vec_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(planted.nonEmpty)
+    val found = graft.SparkEntry.queries("x_embed_neardup_prod")(spark, out)
+      .select("vec_a", "vec_b", "sim").collect()
+    // precision is DEFINITIONAL (the operator filters sim >= 0.9), so
+    // assert it on the output, and every found pair must be a planted
+    // one - the decorrelated corpus has no other cos>=0.9 pair
+    assert(found.forall(_.getDouble(2) >= 0.9))
+    val foundPairs = found.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foundPairs.subsetOf(planted),
+      s"non-planted pairs surfaced: ${foundPairs -- planted}")
+    // per-twin band-collision probability at cos 0.95 is ~96% (16 bands
+    // of 16 planes); 0.75 leaves sample-noise headroom on ~40 twins
+    val recall = foundPairs.size.toDouble / planted.size
+    assert(recall >= 0.75, s"recall $recall over ${planted.size} twins")
+  }
 }
