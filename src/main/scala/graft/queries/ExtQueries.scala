@@ -880,26 +880,62 @@ object ExtQueries {
       (0 until PbPlanesPerBand).map(i => 200 + band * PbPlanesPerBand + i),
       Dim)
 
+  /** Vector-side broadcast cap for the exact-confirm joins: ≤ 2M
+    * vectors (~1 GB of 64-dim doubles) hash-build in memory, so the
+    * 10M-row candidate stream PROBES map-side and the per-pair cosine
+    * runs in the same codegen stage — the single-node comparator's
+    * exact plan (measured at sf10: the default shuffle joins moved
+    * ~5 GB of vector payload per join and cost 2.7× the comparator;
+    * broadcast-confirm is the difference). Past the cap — a corpus
+    * whose vectors no longer fit an executor build side — the joins
+    * degrade to the stock shuffle on the id keys, which is the only
+    * shape that exists at 100 TB anyway. Same measured-count-driven
+    * strategy choice as [[graft.ops.Bfs]]'s broadcastRowCap. */
+  private val PbBroadcastRowCap = 2L * 1000 * 1000
+
   private def embedNeardupProd(s: SparkSession, dir: String): DataFrame = {
+    // Round-robin repartition BEFORE the 256-plane code computation and
+    // the checkpoint: the corpus parquet is ~1 block = 1 task no matter
+    // how many cores (the x_cosine_topk lesson), and with every build
+    // side broadcast the whole downstream confirm chain is map-side —
+    // its parallelism IS this partitioning. One O(corpus) shuffle buys
+    // cluster-width compute for codes, band join, probes and cosines.
+    val par = s.sparkContext.defaultParallelism
     val emb = tbl(s, dir, "embeddings")
+      .repartition(par)
       .select(col("vec_id") +: embDouble.as("v") +:
         (0 until PbBands).map(b => pbBandCode(embDouble, b).as(s"pb$b")): _*)
-      .localCheckpoint() // reused by 16 band fan-outs × 2 join sides
-    val bands = (0 until PbBands).map { b =>
-      emb.select(col("vec_id"), lit(b).as("band"), col(s"pb$b").as("code"))
-    }.reduce(_ unionAll _)
+      .localCheckpoint() // codes computed once; reused by both join sides
+    val nVecs = emb.count() // metadata-cheap on the materialized blocks
+    val build: DataFrame => DataFrame =
+      if (nVecs <= PbBroadcastRowCap) broadcast else identity
+    // one generator scan per side (not 16 unioned re-projections)
+    val bands = emb.select(col("vec_id"),
+      posexplode(array((0 until PbBands).map(b => col(s"pb$b")): _*))
+        .as(Seq("band", "code")))
+    // CONFIRM-THEN-DEDUP: a pair colliding in k bands is cosine-checked
+    // k times and deduplicated only after the ≥-threshold filter. The
+    // k ≤ 16 redundant 64-fma cosines are an order of magnitude cheaper
+    // than the alternative — a full shuffle round (the distinct) of the
+    // ~2.3×-larger raw candidate stream before the confirm — and with
+    // every build side under the cap the whole band-join → probe →
+    // cosine → filter chain is ONE map-side codegen stage; the only
+    // shuffle left is the distinct over the ~survivor-sized output.
+    // (sim is a deterministic function of the pair, so distinct on
+    // (pair, sim) equals the dedup-first result exactly.)
     val cand = bands.select(col("vec_id").as("vec_a"), col("band"),
         col("code"))
-      .join(bands.select(col("vec_id").as("vec_b"), col("band"),
-        col("code")), Seq("band", "code"))
+      .join(build(bands.select(col("vec_id").as("vec_b"), col("band"),
+        col("code"))), Seq("band", "code"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+      .select("vec_a", "vec_b")
     val va = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    cand.join(va, "vec_a").join(vb, "vec_b")
+    cand.join(build(va), "vec_a").join(build(vb), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         simCol(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= PbThreshold)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
