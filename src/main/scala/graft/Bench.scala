@@ -30,12 +30,19 @@ object Bench {
     // unknown names are an error, not a silent empty (all-green) run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.benchNames.toSet
-      if (unknown.nonEmpty) {
-        System.err.println(
-          s"[bench] unknown bench queries: ${unknown.mkString(", ")}")
-        sys.exit(2)
+    // dev knob: comma-separated exclusion list (e.g. the sf10 window
+    // drops x_embed_neardup, whose DEMO threshold is ~n²/4 in BOTH
+    // engines); composes with ONLY, same unknown-name strictness
+    val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).toSet)
+    Seq("ONLY" -> only, "EXCLUDE" -> exclude).foreach { case (knob, sel) =>
+      sel.foreach { names =>
+        val unknown = names -- SparkEntry.benchNames.toSet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[bench] unknown bench queries in $knob: ${unknown.mkString(", ")}")
+          sys.exit(2)
+        }
       }
     }
     val sparkBuilder = SparkSession.builder()
@@ -108,6 +115,7 @@ object Bench {
     }
 
     val names = SparkEntry.benchNames.filter(n => only.forall(_.contains(n)))
+      .filter(n => exclude.forall(!_.contains(n)))
       .filter(SparkEntry.benchQueries.contains)
 
     // ANALYZE: register (rows, NDV) catalog stats for the fixtures so the
