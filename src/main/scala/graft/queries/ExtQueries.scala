@@ -1183,6 +1183,104 @@ object ExtQueries {
        |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
   }
 
+  // ----------------------------- SemDeDup ---------------------------------
+
+  /** Semantic-duplicate prune threshold: rounded cosine within a cluster.
+    * Sits below the exact/near-dup band (x_embed_neardup's 0.45) so the
+    * operator demonstrates the regime SemDeDup targets — same-meaning,
+    * differently-worded content that fingerprint dedup can't see. */
+  private val SemDedupTau = 0.35
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540,
+    * public): cluster the embedding corpus with the TRAINED k-means
+    * quantizer (the identical 2-Lloyd-iteration build as
+    * `x_ann_ivf_kmeans` — init on held-out corpus vectors, quantized
+    * exact-mean updates), then inside each cluster prune every vector
+    * whose cosine to a LOWER-id cluster-mate reaches [[SemDedupTau]]; one
+    * representative per within-cluster duplicate group survives. The
+    * paper keeps the member with lowest centroid-similarity; the min-id
+    * rule is the deterministic variant an independent SQL oracle can
+    * restate bit-for-bit (documented deviation, same set of pruned
+    * GROUPS). Output: one row per pruned vector — its smallest
+    * qualifying lower-id mate, the rounded cosine to it, the cluster.
+    *
+    * Scale: this is the whole point of SemDeDup's design — clustering
+    * confines candidate generation to the within-cluster self-join
+    * (Σ|c|² pairs instead of n² global). K grows with the corpus to hold
+    * E[|c|] constant; centroids stay a K×dim broadcast; the self-join
+    * shuffles on cluster id where BOTH sides are sized scans, so an
+    * oversized semantic cluster is exactly the shape AQE's skew split
+    * handles (contrast the graph ops' un-sized iterative frames, which
+    * needed [[graft.ops.HotKeys]]). Reference scope: the reference has
+    * no embedding surface at all (534-line BigQuery orchestrator); this
+    * extends the LLM-pipeline dedup family next to x_embed_neardup. */
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), embDouble.as("v"))
+      .localCheckpoint() // scanned 2×/Lloyd iteration + twice in the join
+    var cent = ivfInitCentroids(emb)
+    for (_ <- 0 until KmIters)
+      cent = meanCentroids(assignClusters(emb, cent))
+        .localCheckpoint() // K rows; cut lineage so iter N+1 replans small
+    val assigned = assignClusters(emb, cent)
+      .localCheckpoint() // both sides of the within-cluster self-join
+    val mates = assigned.select(col("vec_id").as("kept_id"),
+      col("v").as("bv"), col("cluster"))
+    val rk = row_number().over(
+      Window.partitionBy("vec_id").orderBy("kept_id"))
+    assigned.join(mates, Seq("cluster"))
+      .filter(col("kept_id") < col("vec_id"))
+      .withColumn("sim", simCol(col("v"), col("bv")))
+      .filter(col("sim") >= SemDedupTau)
+      .withColumn("rk", rk)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("kept_id"), col("sim"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
+  private val semDedupSql = {
+    def assign(centCte: String) =
+      s"""SELECT vec_id, v, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_distance(e.v, c.cv), 6), c.cid) AS rk
+         |    FROM emb e CROSS JOIN $centCte c
+         |  ) WHERE rk = 1""".stripMargin
+    def update(assignedCte: String) =
+      s"""SELECT cluster AS cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cluster, i AS pos,
+         |           CAST(SUM(CAST(round(v[i] * 1000000.0, 0) AS BIGINT))
+         |                AS DOUBLE) / (count(*) * 1000000.0) AS m
+         |    FROM $assignedCte, generate_series(1, $Dim) AS g(i)
+         |    GROUP BY cluster, i
+         |  ) GROUP BY cluster""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cent0 AS (
+       |  $sqlIvfInit
+       |), a0 AS (
+       |  ${assign("cent0")}
+       |), cent1 AS (
+       |  ${update("a0")}
+       |), a1 AS (
+       |  ${assign("cent1")}
+       |), cent2 AS (
+       |  ${update("a1")}
+       |), assigned AS (
+       |  ${assign("cent2")}
+       |)
+       |SELECT vec_id, kept_id, sim, cluster FROM (
+       |  SELECT a.vec_id, b.vec_id AS kept_id,
+       |         round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+       |         a.cluster,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY b.vec_id) AS rk
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $SemDedupTau
+       |) WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------- random projection (JL) -----------------------
 
   /** Projected dimensionality for the JL reduction (64 → 16). */
@@ -1681,6 +1779,7 @@ object ExtQueries {
       Some(randProjectionSql)),
     "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "x_ann_ivf_kmeans" -> QueryDef(kmeansIvfAnn, Some(kmeansIvfAnnSql)),
+    "x_semdedup" -> QueryDef(semDedup, Some(semDedupSql)),
     "x_ann_pq" -> QueryDef(pqAnn, Some(pqAnnSql)),
     "x_ann_pq_kmeans" -> QueryDef(pqKmeansAnn, Some(pqKmeansAnnSql)),
     "x_mime_sniff" -> QueryDef(mimeSniff, Some(mimeSniffSql)),

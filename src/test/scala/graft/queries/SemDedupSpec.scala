@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorF
+
+/** Semantic pins for `x_semdedup` (SemDeDup-style cluster-then-prune)
+  * beyond the DuckDB oracle hash: pair validity against an independent
+  * cosine recompute, the survivor law, determinism, and planted-twin
+  * behavior on a ScaleGen fixture (twins at cos ≈ 0.95 prune whenever
+  * the quantizer co-clusters them — the paper's own recall caveat). */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(dir: String) =
+    graft.SparkEntry.queries("x_semdedup")(spark, dir)
+
+  test("x_semdedup fires on the driver fixture and every pruned pair is " +
+      "a genuine cosine >= tau lower-id pair") {
+    val out = run(sf).select("vec_id", "kept_id", "sim").collect()
+    assert(out.nonEmpty, "tau admits no within-cluster pair at sf0.001 — " +
+      "the oracle compare would be a trivial 0 = 0")
+    assert(out.forall(r => r.getLong(1) < r.getLong(0)))
+    assert(out.forall(_.getDouble(2) >= 0.35))
+    // recompute each reported sim from the raw embeddings — pins that
+    // sim is the cosine of exactly the claimed pair (engine-independent
+    // arithmetic, same rounded fold the oracle uses)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("vec_id", "kept_id", "sim")
+    val recomputed = pairs
+      .join(emb.select(col("vec_id"), col("v").as("va")), "vec_id")
+      .join(emb.select(col("vec_id").as("kept_id"), col("v").as("vb")),
+        "kept_id")
+      .withColumn("sim2", round(VectorF.cosineNative(col("va"), col("vb")), 6))
+      .filter(col("sim") =!= col("sim2")).count()
+    assert(recomputed === 0L)
+  }
+
+  test("x_semdedup is deterministic and the globally smallest vec_id " +
+      "always survives") {
+    val a = run(sf).collect().toSeq
+    val b = run(sf).collect().toSeq
+    assert(a === b)
+    val minId = spark.read.parquet(s"$sf/embeddings.parquet")
+      .agg(min(col("vec_id").cast("long"))).head().getLong(0)
+    assert(!a.exists(_.getLong(0) == minId))
+  }
+
+  test("x_semdedup prunes ScaleGen-planted cos~0.95 twins when " +
+      "co-clustered (recall floor on the planted fixture)") {
+    val out = s"${sys.props("user.dir")}/target/qtmp-test/semdedup_planted"
+    graft.ScaleGen.run(spark, sf, out, 2)
+    val copies = 2
+    val baseMax = spark.read.parquet(s"$sf/embeddings.parquet")
+      .agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val offset = (baseMax + 1) * copies
+    val twins = spark.read.parquet(s"$out/embeddings.parquet")
+      .filter(col("vec_id") < offset &&
+        pmod(col("vec_id"), lit(graft.ScaleGen.PlantEvery)) === 0)
+      .select((col("vec_id") + offset).as("twin_id"))
+      .as[Long].collect().toSet
+    assert(twins.nonEmpty)
+    val pruned = run(out).select("vec_id").as[Long].collect().toSet
+    // a twin pair prunes IFF the quantizer lands both in one cluster —
+    // SemDeDup's documented recall limitation. Measured 0.975 on this
+    // fixture (39/40 twins co-clustered); 0.7 leaves layout-noise
+    // headroom without letting the mechanism silently degrade.
+    val recall = twins.count(pruned.contains).toDouble / twins.size
+    assert(recall >= 0.7,
+      s"planted-twin recall $recall over ${twins.size} twins")
+  }
+}
