@@ -800,27 +800,51 @@ object ExtQueries {
   private val NdSalt = 32
 
   private def embedNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    // Same execution skeleton as the production variant below (round 15:
+    // the three measured wins ported back) — round-robin repartition
+    // before the code computation so the confirm chain runs at cluster
+    // width, size-adaptive broadcast of every build side, and
+    // CONFIRM-THEN-DEDUP (a pair colliding in k ≤ 8 bands is cosine-
+    // checked k times; the redundant 64-fma folds are far cheaper than
+    // a pre-confirm distinct's full shuffle of the raw candidate
+    // stream). Past the broadcast cap the band join falls back to the
+    // SALTED shuffle: a 2-plane band code has only 4 values, so the
+    // un-salted (band, code) join would funnel 32 fat tasks.
+    val par = s.sparkContext.defaultParallelism
     val emb = tbl(s, dir, "embeddings")
+      .repartition(par)
       .select(col("vec_id") +: embDouble.as("v") +:
         (0 until NdBands).map(b => ndBandCode(embDouble, b).as(s"b$b")): _*)
       .localCheckpoint() // reused by 8 band fan-outs × 2 join sides
-    val bands = (0 until NdBands).map { b =>
-      emb.select(col("vec_id"), lit(b).as("band"), col(s"b$b").as("code"))
-    }.reduce(_ unionAll _)
-    val cand = bands.select(col("vec_id").as("vec_a"), col("band"),
-      col("code"), pmod(xxhash64(col("vec_id")), lit(NdSalt)).as("salt"))
-      .join(bands.select(col("vec_id").as("vec_b"), col("band"),
-        col("code"),
-        explode(sequence(lit(0L), lit(NdSalt - 1L))).as("salt")),
-        Seq("band", "code", "salt"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    val nVecs = emb.count() // metadata-cheap on the materialized blocks
+    val build: DataFrame => DataFrame =
+      if (nVecs <= PbBroadcastRowCap) broadcast else identity
+    val bands = emb.select(col("vec_id"),
+      posexplode(array((0 until NdBands).map(b => col(s"b$b")): _*))
+        .as(Seq("band", "code")))
+    val cand =
+      if (nVecs <= PbBroadcastRowCap)
+        bands.select(col("vec_id").as("vec_a"), col("band"), col("code"))
+          .join(broadcast(bands.select(col("vec_id").as("vec_b"),
+            col("band"), col("code"))), Seq("band", "code"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b")
+      else
+        bands.select(col("vec_id").as("vec_a"), col("band"),
+          col("code"), pmod(xxhash64(col("vec_id")), lit(NdSalt)).as("salt"))
+          .join(bands.select(col("vec_id").as("vec_b"), col("band"),
+            col("code"),
+            explode(sequence(lit(0L), lit(NdSalt - 1L))).as("salt")),
+            Seq("band", "code", "salt"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b")
     val va = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    cand.join(va, "vec_a").join(vb, "vec_b")
+    cand.join(build(va), "vec_a").join(build(vb), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         simCol(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= NdThreshold)
+      .distinct() // sim is a pure function of the pair — equals dedup-first
       .orderBy("vec_a", "vec_b")
   }
 
