@@ -598,6 +598,74 @@ object TrainPrepQueries {
        |                     $SlideSize)) AS fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ----------------------- substring-level dedup --------------------------
+
+  /** Window width (tokens) for substring dedup — the Lee et al. 2021
+    * ExactSubstr criterion ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499: duplicated spans ≥ 50 BPE
+    * tokens) scaled to the fixture's document lengths. */
+  private val SubW = 20
+
+  /** Substring-level duplication profile — the granularity BELOW
+    * `x_chunk_dedup`'s disjoint chunks: fingerprint the [[SubW]]-token
+    * window at EVERY token position (alignment-free, unlike a stride
+    * grid, where the same span at different offsets in two documents
+    * never produces equal windows), count each window's corpus-wide
+    * occurrences, and report per document how many of its window
+    * instances are duplicated text (the ExactSubstr dedup decision —
+    * a window instance is duplicated iff its content occurs anywhere
+    * else, including self-repetition/boilerplate within one document).
+    *
+    * Scale: window generation is the codegen'd `word_shingles`
+    * expression on the scan (amplification = tokens/doc, the operator's
+    * intrinsic cost — same as building a suffix-array's input); the
+    * per-(doc, fp) pre-aggregation collapses self-repeated boilerplate
+    * BEFORE the fp shuffle; the global occurrence count is a window
+    * sum over fp partitions (ONE fp-keyed shuffle — no agg-then-join
+    * second shuffle); the final per-doc rollup partial-aggregates
+    * map-side. Nothing is ever n². */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= SubW)
+      .select(col("doc_id"),
+        explode(TextF.shinglesFromTokens(col("t"), SubW)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("fp"))
+    val perDocFp = w.groupBy("doc_id", "fp").agg(count(lit(1)).as("k"))
+    perDocFp
+      .withColumn("g", sum(col("k")).over(Window.partitionBy("fp")))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_windows"),
+        sum(when(col("g") > 1, col("k")).otherwise(0L))
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstringSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${OracleSql.lowerToks} AS t FROM documents
+       |), w AS (
+       |  SELECT doc_id, md5(sh) AS fp FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${SubW - 2}),
+       |      i -> array_to_string(t[i:i+${SubW - 1}], ' '))) AS sh
+       |    FROM toks WHERE len(t) >= $SubW)
+       |), pdf AS (
+       |  SELECT doc_id, fp, count(*) AS k FROM w GROUP BY doc_id, fp
+       |), gg AS (
+       |  SELECT doc_id, k, sum(k) OVER (PARTITION BY fp) AS g FROM pdf
+       |)
+       |SELECT doc_id, n_windows, n_dup_windows,
+       |       round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_frac
+       |FROM (
+       |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_windows,
+       |         CAST(sum(CASE WHEN g > 1 THEN k ELSE 0 END) AS BIGINT)
+       |           AS n_dup_windows
+       |  FROM gg GROUP BY doc_id
+       |) ORDER BY doc_id""".stripMargin
+
   // --------------------- quality-weighted sampling ------------------------
 
   /** Quality-weighted deterministic Bernoulli sample: each document is
@@ -834,6 +902,8 @@ object TrainPrepQueries {
     "x_group_sample" -> QueryDef(groupSample, Some(groupSampleSql)),
     "x_chunk_dedup" -> QueryDef(paraDedup, Some(paraDedupSql)),
     "x_chunk_sliding" -> QueryDef(chunkSliding, Some(chunkSlidingSql)),
+    "x_dedup_substring" -> QueryDef(dedupSubstring,
+      Some(dedupSubstringSql)),
     "x_split_train_val" -> QueryDef(splitTrainVal, Some(splitTrainValSql)),
     "x_tfidf_topterms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql),
       bench = true, benchFn = Some(tfidfTopTermsRaw)),
