@@ -1803,7 +1803,11 @@ object ExtQueries {
       Some(randProjectionSql)),
     "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "x_ann_ivf_kmeans" -> QueryDef(kmeansIvfAnn, Some(kmeansIvfAnnSql)),
-    "x_semdedup" -> QueryDef(semDedup, Some(semDedupSql)),
+    "x_semdedup" -> QueryDef(semDedup, Some(semDedupSql), bench = true,
+      benchNote = Some("SemDeDup cluster-then-prune: trained k-means " +
+        "assign (broadcast centroids) + within-cluster cosine " +
+        "self-join - candidate volume is sum |c|^2, never n^2; both " +
+        "engines run the same trained-quantizer chain")),
     "x_ann_pq" -> QueryDef(pqAnn, Some(pqAnnSql)),
     "x_ann_pq_kmeans" -> QueryDef(pqKmeansAnn, Some(pqKmeansAnnSql)),
     "x_mime_sniff" -> QueryDef(mimeSniff, Some(mimeSniffSql)),

@@ -903,7 +903,11 @@ object TrainPrepQueries {
     "x_chunk_dedup" -> QueryDef(paraDedup, Some(paraDedupSql)),
     "x_chunk_sliding" -> QueryDef(chunkSliding, Some(chunkSlidingSql)),
     "x_dedup_substring" -> QueryDef(dedupSubstring,
-      Some(dedupSubstringSql)),
+      Some(dedupSubstringSql), bench = true,
+      benchNote = Some("every-position 20-token window dedup " +
+        "(ExactSubstr-style): amplification = tokens/doc is the " +
+        "intrinsic cost; per-(doc,fp) pre-agg + one fp-keyed window " +
+        "sum, nothing n^2")),
     "x_split_train_val" -> QueryDef(splitTrainVal, Some(splitTrainValSql)),
     "x_tfidf_topterms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql),
       bench = true, benchFn = Some(tfidfTopTermsRaw)),
