@@ -49,6 +49,17 @@ class SemDedupSpec extends SparkSpec {
     assert(!a.exists(_.getLong(0) == minId))
   }
 
+  test("the over-cap salted self-join arm equals the broadcast plan " +
+      "row-for-row (no driver fixture exceeds the production cap)") {
+    val salted = ExtQueries.semDedupImpl(spark, sf, broadcastCap = 0L)
+      .collect().toSeq
+    val broadcasted = ExtQueries
+      .semDedupImpl(spark, sf, broadcastCap = Long.MaxValue)
+      .collect().toSeq
+    assert(salted === broadcasted)
+    assert(salted.nonEmpty)
+  }
+
   test("x_semdedup prunes ScaleGen-planted cos~0.95 twins when " +
       "co-clustered (recall floor on the planted fixture)") {
     val out = s"${sys.props("user.dir")}/target/qtmp-test/semdedup_planted"
