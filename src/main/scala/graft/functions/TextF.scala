@@ -58,6 +58,15 @@ object TextF {
     GraftBridge.column(graft.plans.CleanText(GraftBridge.expression(text)))
   }
 
+  /** Extended PII-clean (r16): e-mails, URLs, phones, IPv4, then
+    * trim+collapse — the codegen [[graft.plans.CleanTextPii]] scanner;
+    * scanner-vs-regex equality property-proven in `TextMaskSpec`. */
+  def cleanTextPii(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.CleanTextPii(GraftBridge.expression(text)))
+  }
+
   /** Count of tokens belonging to a small constant word set, as the
     * native single-pass expression ([[graft.plans.TokenSetCount]]). */
   def tokenSetCount(lt: Column, words: Seq[String]): Column = {

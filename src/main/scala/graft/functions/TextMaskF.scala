@@ -138,4 +138,109 @@ object TextMaskF {
     * collapseTrim(maskUrls(maskEmails(text))). */
   def cleanText(s: String): String =
     collapseTrim(maskUrls(maskEmails(s)))
+
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** java/RE2 `\w` over ASCII — the `\b` boundary test's word class. */
+  @inline private def isWord(c: Char): Boolean =
+    isAlpha(c) || isDigit(c) || c == '_'
+
+  /** Length of the maximal digit run starting at `i`. */
+  @inline private def digitRun(s: String, i: Int): Int = {
+    var j = i
+    while (j < s.length && isDigit(s.charAt(j))) j += 1
+    j - i
+  }
+
+  /** `regexp_replace(s, PhoneRe, "<PHONE>")` with
+    * `PhoneRe = \+[0-9]{7,15}\b|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b`
+    * (international run + separated NANP form — the two standard
+    * corpus-prep phone shapes). Backtracking analysis baked in: the
+    * greedy {7,15} with a trailing \b matches iff the maximal digit run
+    * after '+' has length 7..15 AND the char after it is non-word
+    * (shorter takes land \b between digits and fail); the fixed {3}/{4}
+    * counts admit exactly-sized runs only. `\b` reads the ORIGINAL
+    * string (java semantics: boundary tests see consumed chars), while
+    * match starts never overlap a prior replacement. */
+  def maskPhones(s: String): String = {
+    val n = s.length
+    var out: java.lang.StringBuilder = null
+    var copied = 0
+    var i = 0
+    while (i < n) {
+      var end = -1
+      val c = s.charAt(i)
+      if (c == '+') {
+        val r = digitRun(s, i + 1)
+        if (r >= 7 && r <= 15 &&
+            (i + 1 + r == n || !isWord(s.charAt(i + 1 + r))))
+          end = i + 1 + r
+      } else if (isDigit(c) && (i == 0 || !isWord(s.charAt(i - 1)))) {
+        // \b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b
+        def sep(j: Int): Boolean =
+          j < n && (s.charAt(j) == '-' || s.charAt(j) == '.')
+        if (digitRun(s, i) == 3 && sep(i + 3) &&
+            digitRun(s, i + 4) == 3 && sep(i + 7) &&
+            digitRun(s, i + 8) == 4 &&
+            (i + 12 == n || !isWord(s.charAt(i + 12))))
+          end = i + 12
+      }
+      if (end > 0) {
+        if (out == null) out = new java.lang.StringBuilder(n)
+        out.append(s, copied, i).append("<PHONE>")
+        copied = end
+        i = end
+      } else i += 1
+    }
+    if (out == null) s else out.append(s, copied, n).toString
+  }
+
+  /** `regexp_replace(s, IpRe, "<IP>")` with
+    * `IpRe = \b([0-9]{1,3}\.){3}[0-9]{1,3}\b`. Greedy-{1,3} analysis:
+    * every dotted run must be a MAXIMAL digit run of length 1..3 (a
+    * longer run leaves a digit where '.' must be, and range
+    * backtracking can't fix that), and the final run's follower must be
+    * non-word for \b. */
+  def maskIps(s: String): String = {
+    val n = s.length
+    var out: java.lang.StringBuilder = null
+    var copied = 0
+    var i = 0
+    while (i < n) {
+      var end = -1
+      if (isDigit(s.charAt(i)) && (i == 0 || !isWord(s.charAt(i - 1)))) {
+        var j = i
+        var octets = 0
+        var ok = true
+        while (ok && octets < 4) {
+          val r = digitRun(s, j)
+          if (r < 1 || r > 3) ok = false
+          else {
+            j += r
+            octets += 1
+            if (octets < 4) {
+              if (j < n && s.charAt(j) == '.') j += 1 else ok = false
+            }
+          }
+        }
+        if (ok && (j == n || !isWord(s.charAt(j)))) end = j
+      }
+      if (end > 0) {
+        if (out == null) out = new java.lang.StringBuilder(n)
+        out.append(s, copied, i).append("<IP>")
+        copied = end
+        i = end
+      } else i += 1
+    }
+    if (out == null) s else out.append(s, copied, n).toString
+  }
+
+  /** The extended PII-clean transform (`x_text_clean_pii`, r15 verdict
+    * item 5): e-mails, URLs, phones, IPs, then whitespace
+    * canonicalization — mask order is part of the operator definition
+    * (URLs are consumed before the phone/IP passes can see digits
+    * inside them) and is mirrored by the oracle's regexp_replace
+    * chain. */
+  def cleanTextPii(s: String): String =
+    collapseTrim(maskIps(maskPhones(maskUrls(maskEmails(s)))))
 }

@@ -21,15 +21,28 @@ object OracleSql {
   /** md5-prefix uint32 hash of SQL expression `c` (≡ HashF.tokenHash). */
   def hash(c: String): String = s"('0x'||substr(md5($c),1,8))::BIGINT"
 
+  /** The one copy of the shingle-window semantics: k consecutive tokens
+    * of `t` starting at 1-based position i, space-joined. */
+  private def shingleCat(k: Int): String =
+    (0 until k).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+
   /** Word k-shingles (NON-distinct, order-preserving) from a token-list
     * column `t`; `[]` when the doc is shorter than k tokens
     * (≡ `TextF.shinglesFromTokens` — same guard, same separator). */
-  def shingleList(k: Int): String = {
-    val cat = (0 until k).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+  def shingleList(k: Int): String =
     s"CASE WHEN len(t) >= $k THEN " +
-      s"list_transform(range(1, len(t) - ${k - 2}), i -> $cat) " +
+      s"list_transform(range(1, len(t) - ${k - 2}), i -> ${shingleCat(k)}) " +
       "ELSE []::VARCHAR[] END"
-  }
+
+  /** Position-carrying variant of [[shingleList]]: a list of
+    * `{pos, sh}` structs (pos is the 1-based start token index — the
+    * Spark lockstep partner is `posexplode(TextF.shinglesFromTokens)`
+    * + 1). Same guard, same separator, same window set. */
+  def shinglePosList(k: Int): String =
+    s"CASE WHEN len(t) >= $k THEN " +
+      s"list_transform(range(1, len(t) - ${k - 2}), " +
+      s"i -> {'pos': i, 'sh': ${shingleCat(k)}}) " +
+      "ELSE []::STRUCT(pos BIGINT, sh VARCHAR)[] END"
 
   /** Gaps-and-islands sessionization over `events`, parameterized by the
     * one load-bearing character each sessionizer differs in:

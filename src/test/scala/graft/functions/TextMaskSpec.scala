@@ -63,6 +63,84 @@ class TextMaskSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  private val PhoneRe =
+    "\\+[0-9]{7,15}\\b|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val phoneP = java.util.regex.Pattern.compile(PhoneRe)
+  private val ipP = java.util.regex.Pattern.compile(IpRe)
+
+  // digit-heavy alphabet: runs of every interesting length, dots and
+  // dashes, word/non-word boundary material, the '+' prefix
+  private val digitPiece: Gen[String] = Gen.frequency(
+    5 -> Gen.oneOf("1", "12", "123", "1234", "55555", "123456789012345",
+      "1234567890123456"),
+    4 -> Gen.oneOf(".", "-", "+", " ", "", "a", "_", "x9"),
+    3 -> Gen.oneOf("555-123-4567", "555.123.4567", "10.0.0.1",
+      "192.168.1.100", "+4915112345678", "1.2.3.4", "1.2.3.4567"),
+    1 -> Gen.oneOf("..", "--", "+.", "\t", "\n", "call:"))
+
+  private val digitTextGen: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, digitPiece).map(_.mkString))
+
+  test("maskPhones ≡ java-regex on digit-adversarial strings") {
+    val prop = Prop.forAllNoShrink(digitTextGen) { s =>
+      val got = TextMaskF.maskPhones(s)
+      val want = phoneP.matcher(s).replaceAll("<PHONE>")
+      Prop(got == want) :| s"input=<$s> got=<$got> want=<$want>"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("maskIps ≡ java-regex on digit-adversarial strings") {
+    val prop = Prop.forAllNoShrink(digitTextGen) { s =>
+      val got = TextMaskF.maskIps(s)
+      val want = ipP.matcher(s).replaceAll("<IP>")
+      Prop(got == want) :| s"input=<$s> got=<$got> want=<$want>"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("cleanTextPii ≡ full regex chain on mixed adversarial strings") {
+    val mixedGen: Gen[String] = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(2 -> piece, 1 -> digitPiece))
+        .map(_.mkString))
+    val prop = Prop.forAllNoShrink(mixedGen) { s =>
+      val got = TextMaskF.cleanTextPii(s)
+      val want = refClean(
+        ipP.matcher(phoneP.matcher(refMask(s)).replaceAll("<PHONE>"))
+          .replaceAll("<IP>"))
+      Prop(got == want) :| s"input=<$s> got=<$got> want=<$want>"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hand vectors: phone/IP edge semantics") {
+    // separated NANP and international forms
+    assert(TextMaskF.maskPhones("call 555-123-4567 now")
+      === "call <PHONE> now")
+    assert(TextMaskF.maskPhones("+4915112345678!") === "<PHONE>!")
+    // \b guards: digit runs fused into longer runs never match
+    assert(TextMaskF.maskPhones("12345-678-9012") === "12345-678-9012")
+    assert(TextMaskF.maskPhones("+1234567890123456")
+      === "+1234567890123456") // 16 digits: over {7,15}
+    assert(TextMaskF.maskPhones("555-123-4567x") === "555-123-4567x")
+    // IPv4: octet runs must be maximal 1..3-digit runs
+    assert(TextMaskF.maskIps("at 10.0.0.1.") === "at <IP>.")
+    assert(TextMaskF.maskIps("1234.5.6.7") === "1234.5.6.7")
+    assert(TextMaskF.maskIps("1.2.3.4567") === "1.2.3.4567")
+    assert(TextMaskF.maskIps("v1.2.3.4") === "v1.2.3.4") // \b fails
+    // order: a dotted phone is consumed before the IP pass ever runs
+    assert(TextMaskF.maskIps(TextMaskF.maskPhones("555.123.4567"))
+      === "<PHONE>")
+  }
+
   test("hand vectors: the documented edge semantics") {
     // email inside a URL: email pass wins first, URL pass then swallows it
     assert(TextMaskF.maskUrls(TextMaskF.maskEmails(
