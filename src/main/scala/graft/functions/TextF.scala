@@ -67,6 +67,16 @@ object TextF {
       graft.plans.CleanTextPii(GraftBridge.expression(text)))
   }
 
+  /** In-row character-bigram histogram `(term, tf)` of a string — the
+    * native codegen [[graft.plans.CharBigramHistogram]] expression
+    * (`x_lang_id`'s scan stage; the composed transform+substring HOF
+    * pays an interpreted lambda per character). */
+  def charBigramHistogram(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.CharBigramHistogram(GraftBridge.expression(text)))
+  }
+
   /** Count of tokens belonging to a small constant word set, as the
     * native single-pass expression ([[graft.plans.TokenSetCount]]). */
   def tokenSetCount(lt: Column, words: Seq[String]): Column = {

@@ -445,28 +445,33 @@ object CurateQueries {
     *
     * Scale: the model is bounded (langs × observed bigrams ≈ alphabet²,
     * KBs even at 100 TB) — both scoring joins broadcast it; the bigram
-    * stream is a scan-side explode; the per-(doc, lang) partial sums
-    * map-side-combine into a doc-keyed shuffle of L rows/doc (L = lang
-    * count); the doc×lang grid is a broadcast nested loop against L
-    * rows. Two corpus scans total (train + score), like x_lm_score. */
+    * stream never leaves the row raw: the codegen `term_histogram`
+    * collapses each doc's bigrams to (bg, c) pairs IN-ROW before any
+    * exchange (the x_lm_score lesson — char bigrams repeat in-doc far
+    * more than words, ~2–10× on text), the per-doc instance total is
+    * pure scan-side arithmetic (length−1, no aggregation), and the
+    * per-(doc, lang) partial sums map-side-combine into a doc-keyed
+    * shuffle of L rows/doc (L = lang count). Two corpus scans total
+    * (train + score), like x_lm_score. */
   private def langId(s: SparkSession, dir: String): DataFrame = {
     val d = graft.parallelScan(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
           col("text")))
       .select(col("doc_id"), col("lang"),
         trim(lower(col("text"))).as("s"))
-    // char bigrams, 1-based; [] for sub-2-char docs (sequence(1,0)
-    // would DESCEND in Spark, not empty out — the guard is load-bearing)
-    val bigrams = expr(
-      """CASE WHEN length(s) < 2 THEN array()
-        |ELSE transform(sequence(1, length(s) - 1),
-        |               i -> substring(s, i, 2)) END""".stripMargin)
-    val bg = d.select(col("doc_id"), col("lang"),
-      explode(bigrams).as("bg"))
+    // in-row CODEGEN bigram histogram -> the exchanged stream is
+    // distinct-bigrams-per-doc weighted by c, not the raw n_chars
+    // instance stream, and the scan never pays the interpreted
+    // transform+substring lambda per character (measured 1.6 s of the
+    // sf0.1 scan; CharBigramHistogramSpec pins equality with it)
+    val h = d.select(col("doc_id"), col("lang"),
+      explode(TextF.charBigramHistogram(col("s"))).as("hh"))
+      .select(col("doc_id"), col("lang"), col("hh.term").as("bg"),
+        col("hh.tf").as("c"))
       .localCheckpoint(false) // two different-shaped consumers: the
     // (lang, bg) model aggregate and the per-doc scoring stream
-    val model = bg.groupBy(col("lang").as("mlang"), col("bg"))
-      .agg(count(lit(1)).as("c"))
+    val model = h.groupBy(col("lang").as("mlang"), col("bg"))
+      .agg(sum("c").as("c"))
       .localCheckpoint() // model-sized; feeds totals + both lp tables
     val nl = model.groupBy("mlang").agg(sum("c").as("nl"))
     val v = model.agg(countDistinct("bg").as("v"))
@@ -479,20 +484,19 @@ object CurateQueries {
       .select(col("mlang"),
         floor(log(lit(1.0) / (col("nl") + col("v")).cast("double")) *
           lit(1000000.0)).cast("long").as("lpu_q"))
-    val seen = bg.join(broadcast(lp), "bg")
+    val seen = h.join(broadcast(lp), "bg")
       .groupBy("doc_id", "mlang")
-      .agg(sum("lp_q").as("sq"), count(lit(1)).as("n_seen"))
-    val nBg = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
-    val scored = d.select(col("doc_id"), col("lang"))
+      .agg(sum(col("lp_q") * col("c")).as("sq"), sum("c").as("n_seen"))
+    val scored = d
+      .select(col("doc_id"), col("lang"),
+        greatest(length(col("s")) - 1, lit(0)).cast("long").as("n_bg"))
       .crossJoin(broadcast(lpu))
-      .join(nBg, Seq("doc_id"), "left")
       .join(seen, Seq("doc_id", "mlang"), "left")
       .select(col("doc_id"), col("lang"), col("mlang"),
         (coalesce(col("sq"), lit(0L)) +
-          (coalesce(col("n_bg"), lit(0L)) -
-            coalesce(col("n_seen"), lit(0L))) * col("lpu_q"))
+          (col("n_bg") - coalesce(col("n_seen"), lit(0L))) * col("lpu_q"))
           .as("score_q"),
-        coalesce(col("n_bg"), lit(0L)).as("n_bigrams"))
+        col("n_bg").as("n_bigrams"))
     val rk = row_number().over(Window.partitionBy("doc_id")
       .orderBy(col("score_q").desc, col("mlang")))
     scored.withColumn("rk", rk).filter(col("rk") === 1)
