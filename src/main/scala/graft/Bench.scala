@@ -30,9 +30,10 @@ object Bench {
     // unknown names are an error, not a silent empty (all-green) run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // dev knob: comma-separated exclusion list (e.g. the sf10 window
-    // drops x_embed_neardup, whose DEMO threshold is ~n²/4 in BOTH
-    // engines); composes with ONLY, same unknown-name strictness
+    // dev knob: comma-separated exclusion list; composes with ONLY,
+    // same unknown-name strictness. (Since r16 no standing exclusion
+    // exists — the demo near-dup whose ~n²/4 candidate volume forced
+    // the r15 sf10 knob is bench=false with its oracle kept.)
     val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").map(_.trim).toSet)
     Seq("ONLY" -> only, "EXCLUDE" -> exclude).foreach { case (knob, sel) =>
@@ -313,6 +314,24 @@ object Bench {
       .map { case (k, d) => s"${escJ(k)}:${escJ(d.benchNote.get)}" }
     val notesField =
       if (notes.isEmpty) "" else notes.mkString(""","notes":{""", ",", "}")
+    // machine-readable SOLO steady-state riders (r15 verdict item 4):
+    // when an interleaved window's number is adjudicated against an
+    // out-of-window SoloBench measurement (GC/interleave noise), that
+    // number belongs IN the artifact, not in PLANS.md prose. Format:
+    // SPARK_GRAFT_BENCH_SOLO="name=sec,name=sec"; names must be benched.
+    val soloField = sys.env.get("SPARK_GRAFT_BENCH_SOLO").map { s =>
+      val entries = s.split(",").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        val name = k.trim
+        if (!SparkEntry.benchNames.contains(name)) {
+          System.err.println(s"[bench] unknown query in SOLO: $name")
+          sys.exit(2)
+        }
+        s"${escJ(name)}:${num(v.trim.toDouble)}"
+      }
+      if (entries.isEmpty) ""
+      else entries.mkString(""","solo":{""", ",", "}")
+    }.getOrElse("")
     // Full artifact (per-query comparator block + notes) → a file: the
     // driver snapshots only the LAST ~2000 chars of stdout, and the r10
     // full line outgrew that window, leaving the round artifact
@@ -321,7 +340,7 @@ object Bench {
     // pairing lives in target/bench_full.json and is committed per
     // scale point (BENCH_sf1.json / BENCH_sf10.json pattern).
     val fullJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$duckField$notesField}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$duckField$notesField$soloField}"""
     try {
       val out = java.nio.file.Paths.get(
         sys.props("user.dir"), "target", "bench_full.json")

@@ -1885,15 +1885,16 @@ object ExtQueries {
       Some(ngramJaccardPairsSql)),
     "x_cosine_topk" -> QueryDef(cosineTopK, Some(cosineTopKSql),
       bench = true),
-    // benched since round 14 (bench-breadth item): the LSH-banded
-    // embedding self-join is the heaviest unbenched ANN-family entry
+    // r16 (r15 verdict item 7): OUT of the headline bench set — its
+    // DEMO threshold 0.45 (sized to the un-planted fixture's max cosine
+    // ~0.51) makes candidate volume inherently ~n^2/4 per band in BOTH
+    // engines (~3 h each at sf10), which forced a standing sf10
+    // exclusion knob — the one silently-shaped window left once the
+    // production regime (x_embed_neardup_prod, benched) became the
+    // verified scale surface. Oracle kept: still correctness-gated
+    // every round; SoloBench reaches it for ad-hoc timings.
     "x_embed_neardup" -> QueryDef(embedNeardupPairs,
-      Some(embedNeardupPairsSql), bench = true,
-      benchNote = Some("DEMO threshold 0.45 sized to the un-planted " +
-        "fixture (max cosine ~0.51): candidate volume is inherently " +
-        "~n^2/4 per band in BOTH engines - keep it in the sf0.1/sf1 " +
-        "windows, exclude at sf10; the production regime is " +
-        "x_embed_neardup_prod.")),
+      Some(embedNeardupPairsSql)),
     // round 15 (verdict item 1): the production regime - cos >= 0.9,
     // 16-plane bands, collision-volume cost; ScaleGen plants real
     // near-dup twins so the result is non-trivial at generated SFs

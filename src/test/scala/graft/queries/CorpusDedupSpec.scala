@@ -76,4 +76,34 @@ class CorpusDedupSpec extends SparkSpec {
     val recall = foundPairs.size.toDouble / planted.size
     assert(recall >= 0.75, s"recall $recall over ${planted.size} twins")
   }
+
+  test("r16 (r15 verdict item 6): the 16-plane band arithmetic holds at " +
+      "the sf1 scale point — ~800 planted twins, recall >= 0.93") {
+    // The small-fixture test above has ~40 twins (binomial sd ~3%); the
+    // documented collision bound (0.899^16 ~ 0.18/band -> ~96% over 16
+    // bands) is only sharply testable with sf1's ~800 twins (sd ~0.7%).
+    // Same fixture recipe as the recorded scale windows: sf0.1 x 10.
+    val out = s"${sys.props("user.dir")}/target/qtmp-test/neardup_sf1"
+    val src = "/root/testdata/sf0.1"
+    graft.ScaleGen.run(spark, src, out, 10)
+    val copies = 10
+    val baseMax = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val offset = (baseMax + 1) * copies
+    val planted = spark.read.parquet(s"$out/embeddings.parquet")
+      .filter(col("vec_id") < offset &&
+        pmod(col("vec_id"), lit(graft.ScaleGen.PlantEvery)) === 0)
+      .select(col("vec_id").as("vec_a"),
+        (col("vec_id") + offset).as("vec_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(planted.size >= 700, s"expected ~800 twins, got ${planted.size}")
+    val found = graft.SparkEntry.queries("x_embed_neardup_prod")(spark, out)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(planted),
+      s"non-planted pairs surfaced: ${(found -- planted).take(5)}")
+    val recall = found.size.toDouble / planted.size
+    assert(recall >= 0.93,
+      s"sf1 recall $recall over ${planted.size} twins — below the " +
+        "96%-minus-tolerance band bound")
+  }
 }
