@@ -1024,15 +1024,56 @@ object ExtQueries {
   private def l2(a: Column, b: Column): Column =
     VectorF.euclideanNative(a, b)
 
-  /** Nearest-centroid assignment (one Lloyd "assign" step): rank over the
-    * broadcast centroid set by rounded L2, centroid-id tie-break. */
+  /** cid bits in the packed assignment key: supports up to 2²⁰ ≈ 1M
+    * centroid ids (K = n/4096 reaches that at n ≈ 2·10⁹ vectors; the
+    * ids the chain actually uses live in [K, 2K)) while leaving 43 bits
+    * for the quantized distance — exact for round(L2, 6) < 8.8·10⁶,
+    * orders of magnitude above any unit-scale embedding distance. */
+  private val AssignCidBits = 20
+
+  /** Nearest-centroid assignment (one Lloyd "assign" step): argmin over
+    * the broadcast centroid set by rounded L2, centroid-id tie-break.
+    *
+    * Shape matters at scale (r16, profiled at sf10/K=51): the original
+    * window-rank form shuffled the SORTED (vec × cent) explosion — n·K
+    * rows each carrying BOTH 64-double payloads (~10 GB per assign at
+    * 208k×51) — and the three Lloyd assigns were 72.6 s of x_semdedup's
+    * 79 s. The argmin is group-local, so compute it as an aggregation
+    * whose buffer is ONE PRIMITIVE LONG: pack (quantized distance, cid)
+    * as distQ·2²⁰ + cid and take `min` — plain codegen HashAggregate,
+    * partial aggregation collapses each vector's K candidate rows
+    * INSIDE the crossJoin's stage (no sort, no fat-row exchange; the
+    * struct-valued min_by/first alternatives fall back to
+    * ObjectHashAggregate's sort path and measured WORSE than the
+    * window). The 64-double payload never enters the aggregate — it
+    * rejoins by vec_id afterwards (id-keyed equi-join, the linear
+    * shape at any scale).
+    *
+    * The aggregation is deliberately SKINNY — group key vec_id, buffer
+    * one long — because both fatter forms measured badly: min_by/first
+    * with array-typed buffers fall back to ObjectHashAggregate's sort
+    * path (146 s), and putting v in the GROUP KEY disables whole-stage
+    * codegen for the hash agg, which drops the entire
+    * crossJoin+distance loop to interpreted eval (120 s). The 64-double
+    * payload rejoins by vec_id afterwards — an id-keyed equi-join, the
+    * linear shape at any scale.
+    *
+    * Exactness of the pack: round(l2, 6) is k/10⁶ for integer k with
+    * |rounded·10⁶ − k| < 5·10⁻⁴, so round(·, 0) recovers k exactly and
+    * the map k ↔ rounded is injective and order-preserving — the
+    * packed min is BIT-IDENTICAL to the oracle's
+    * `ORDER BY round(l2), cid` rank-1 row (re-proven by the 171-query
+    * hash gate and the sf10 scaled-K hash check). */
   private def assignClusters(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val byDist = Window.partitionBy("vec_id")
-      .orderBy(round(l2(col("v"), col("cv")), 6), col("cid"))
-    emb.crossJoin(broadcast(cent))
-      .withColumn("rk", row_number().over(byDist))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cluster"))
+    val distQ = round(round(l2(col("v"), col("cv")), 6) * lit(1000000.0), 0)
+      .cast("long")
+    val packed = distQ * lit(1L << AssignCidBits) + col("cid")
+    val ids = emb.crossJoin(broadcast(cent))
+      .groupBy("vec_id").agg(min(packed).as("p"))
+      .select(col("vec_id"),
+        col("p").bitwiseAND(lit((1L << AssignCidBits) - 1)).as("cluster"))
+    emb.join(ids, "vec_id")
+      .select(col("vec_id"), col("v"), col("cluster"))
   }
 
   /** IVF probe + search given a (bounded, broadcastable) centroid set:
@@ -1314,7 +1355,14 @@ object ExtQueries {
     for (_ <- 0 until KmIters)
       cent = meanCentroids(assignClusters(emb, cent))
         .localCheckpoint() // K rows; cut lineage so iter N+1 replans small
+    // explicit width restore on the frame every heavy consumer reads:
+    // the final agg's ~n-row output is AQE-coalesced to a couple of
+    // 64 MB partitions, which would serialize the downstream pair
+    // enumeration (measured at sf10: ~110 s on 2 tasks vs ~3 s at
+    // cluster width). One O(n)-row round-robin exchange — the
+    // x_cosine_topk lesson applied to the aggregation output.
     assignClusters(emb, cent)
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   private[graft] def semDedupImpl(s: SparkSession, dir: String,
