@@ -463,13 +463,17 @@ object CurateQueries {
     // distinct-bigrams-per-doc weighted by c, not the raw n_chars
     // instance stream, and the scan never pays the interpreted
     // transform+substring lambda per character (measured 1.6 s of the
-    // sf0.1 scan; CharBigramHistogramSpec pins equality with it)
-    val h = d.select(col("doc_id"), col("lang"),
+    // sf0.1 scan; CharBigramHistogramSpec pins equality with it).
+    // Deliberately NOT checkpointed for its two consumers: this stream
+    // is corpus-sized (~600M rows at sf10's 2M docs), and localCheckpoint
+    // blocks are the only copy so they PIN unified memory instead of
+    // spilling gracefully — the first cut OOM'd the sf10 window at
+    // exactly this point. Re-running the histogram scan per consumer is
+    // the documented two-scan (train + score) shape at every scale.
+    def h = d.select(col("doc_id"), col("lang"),
       explode(TextF.charBigramHistogram(col("s"))).as("hh"))
       .select(col("doc_id"), col("lang"), col("hh.term").as("bg"),
         col("hh.tf").as("c"))
-      .localCheckpoint(false) // two different-shaped consumers: the
-    // (lang, bg) model aggregate and the per-doc scoring stream
     val model = h.groupBy(col("lang").as("mlang"), col("bg"))
       .agg(sum("c").as("c"))
       .localCheckpoint() // model-sized; feeds totals + both lp tables
