@@ -34,10 +34,22 @@ package object graft {
   def parallelScan(spark: SparkSession, df: DataFrame): DataFrame =
     parallelScan(spark, df, spark.sparkContext.defaultParallelism)
 
+  /** COMPUTE-DENSE variant: same split-starvation gate, but the size
+    * floor drops from 32 MB to 1 MB. The 32 MB floor assumes per-byte
+    * scan compute is cheap (a projection/filter), so under it the added
+    * exchange's stage floor dominates — but a scan whose per-row work is
+    * heavy (x_lang_id's per-doc bigram histogram SORT: measured 10 s on
+    * the 2 tasks a 15 MB sf1 input planned vs ~1 s wide) inverts that
+    * economics two orders of magnitude below the floor. The 1 MB guard
+    * still keeps spec-sized fixtures exchange-free. */
+  def parallelScanDense(spark: SparkSession, df: DataFrame): DataFrame =
+    parallelScan(spark, df, spark.sparkContext.defaultParallelism,
+      minBytes = 1L * 1024 * 1024)
+
   /** Target-explicit variant so specs can pin the gate at cluster sizes
     * the 4-core test session can't reach. */
   private[graft] def parallelScan(spark: SparkSession, df: DataFrame,
-      target: Int): DataFrame = {
+      target: Int, minBytes: Long = 32L * 1024 * 1024): DataFrame = {
     // Effective parallelism = files × row-groups-per-file, NOT the
     // planner's split count: Spark happily plans 20 byte-range splits
     // over a 1-row-group file, but every row lands in the ONE task
@@ -77,7 +89,7 @@ package object graft {
         // estimate is exact enough (file bytes × column-width ratio)
         // for a 2× threshold.
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (effSplits * 2L < target && bytes > BigInt(32L * 1024 * 1024))
+        if (effSplits * 2L < target && bytes > BigInt(minBytes))
           df.repartition(target)
         else df
     }

@@ -454,7 +454,10 @@ object CurateQueries {
     * shuffle of L rows/doc (L = lang count). Two corpus scans total
     * (train + score), like x_lm_score. */
   private def langId(s: SparkSession, dir: String): DataFrame = {
-    val d = graft.parallelScan(s,
+    // DENSE scan gate: the per-doc bigram-histogram sort inverts the
+    // 32 MB exchange-vs-compute economics (sf1's 15 MB input planned 2
+    // tasks and spent 10 s in the histogram; wide it is ~1 s)
+    val d = graft.parallelScanDense(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
           col("text")))
       .select(col("doc_id"), col("lang"),

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextF
 
-/** Dev probe (round 16): stage timings of x_lang_id at sf0.1. */
+/** Dev probe (round 16): where does x_lang_id's size-independent cost
+  * come from — row counts, partition widths, per-stage split. */
 object LangIdLab {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -17,42 +18,25 @@ object LangIdLab {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def time(tag: String)(f: => Unit): Unit = {
-      (1 to 3).foreach { p =>
-        val t0 = System.nanoTime()
-        f
-        println(f"[lab] $tag pass$p ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
-    }
-    val d = graft.tbl(spark, dir, "documents")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
+    val d = graft.parallelScan(spark,
+        graft.tbl(spark, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text")))
       .select(col("doc_id"), col("lang"), trim(lower(col("text"))).as("s"))
-    val bigrams = expr(
-      """CASE WHEN length(s) < 2 THEN array()
-        |ELSE transform(sequence(1, length(s) - 1),
-        |               i -> substring(s, i, 2)) END""".stripMargin)
-    time("scan only") {
-      d.select(col("doc_id"), length(col("s"))).write.format("noop")
-        .mode("overwrite").save()
-    }
-    time("bigram transform only") {
-      d.select(col("doc_id"), size(bigrams).as("nb")).write.format("noop")
-        .mode("overwrite").save()
-    }
-    time("bigram histogram") {
-      d.select(col("doc_id"),
-        size(TextF.termHistogram(bigrams)).as("nh"))
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("histogram exploded") {
-      d.select(col("doc_id"), col("lang"),
-        explode(TextF.termHistogram(bigrams)).as("hh"))
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("full x_lang_id") {
-      graft.SparkEntry.queries("x_lang_id")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    }
+    def h = d.select(col("doc_id"), col("lang"),
+      explode(TextF.charBigramHistogram(col("s"))).as("hh"))
+      .select(col("doc_id"), col("lang"), col("hh.term").as("bg"),
+        col("hh.tf").as("c"))
+    println(s"[lab] d partitions = ${d.rdd.getNumPartitions}")
+    var t0 = System.nanoTime()
+    val nh = h.count()
+    println(f"[lab] h rows = $nh%,d in ${(System.nanoTime()-t0)/1e9}%.2f s")
+    t0 = System.nanoTime()
+    val nb = d.select(sum(greatest(length(col("s")) - 1, lit(0)))).head.getLong(0)
+    println(f"[lab] bigram instances = $nb%,d in ${(System.nanoTime()-t0)/1e9}%.2f s")
+    t0 = System.nanoTime()
+    val nv = h.groupBy("bg").count().count()
+    println(f"[lab] distinct bigrams = $nv%,d in ${(System.nanoTime()-t0)/1e9}%.2f s")
     spark.stop()
   }
 }
