@@ -319,15 +319,30 @@ object Bench {
     // out-of-window SoloBench measurement (GC/interleave noise), that
     // number belongs IN the artifact, not in PLANS.md prose. Format:
     // SPARK_GRAFT_BENCH_SOLO="name=sec,name=sec"; names must be benched.
+    // strict like ONLY/EXCLUDE (ADVICE r16): a malformed entry —
+    // missing '=', empty or non-numeric seconds — is a typo'd knob, and
+    // silently dropping it (or crashing with a raw NumberFormatException)
+    // would ship an artifact missing the rider the operator thought they
+    // embedded
     val soloField = sys.env.get("SPARK_GRAFT_BENCH_SOLO").map { s =>
-      val entries = s.split(",").filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        val name = k.trim
-        if (!SparkEntry.benchNames.contains(name)) {
-          System.err.println(s"[bench] unknown query in SOLO: $name")
-          sys.exit(2)
+      val entries = s.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            val name = k.trim
+            if (!SparkEntry.benchNames.contains(name)) {
+              System.err.println(s"[bench] unknown query in SOLO: $name")
+              sys.exit(2)
+            }
+            val secs = v.trim.toDoubleOption.getOrElse {
+              System.err.println(
+                s"[bench] unparsable SOLO seconds for $name: '${v.trim}'")
+              sys.exit(2)
+            }
+            s"${escJ(name)}:${num(secs)}"
+          case _ =>
+            System.err.println(s"[bench] SOLO entry missing '=': '$kv'")
+            sys.exit(2)
         }
-        s"${escJ(name)}:${num(v.trim.toDouble)}"
       }
       if (entries.isEmpty) ""
       else entries.mkString(""","solo":{""", ",", "}")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tbl
-import graft.functions.TextF
+import graft.functions.{HashF, TextF}
 
 /** Corpus-curation operators a production training-data pipeline runs
   * between raw ingest and tokenization: benchmark decontamination,
@@ -451,8 +451,12 @@ object CurateQueries {
     * more than words, ~2–10× on text), the per-doc instance total is
     * pure scan-side arithmetic (length−1, no aggregation), and the
     * per-(doc, lang) partial sums map-side-combine into a doc-keyed
-    * shuffle of L rows/doc (L = lang count). Two corpus scans total
-    * (train + score), like x_lm_score. */
+    * shuffle of L rows/doc (L = lang count). Three corpus scans total
+    * (ADVICE r16 ledger fix: `h` is a def recomputed for the model AND
+    * the seen aggregation, and the scored pass reads `d` again) — the
+    * deliberate no-checkpoint trade documented below prices each extra
+    * scan at one codegen histogram pass instead of a pinned
+    * corpus-sized block. */
   private def langId(s: SparkSession, dir: String): DataFrame = {
     // DENSE scan gate: the per-doc bigram-histogram sort inverts the
     // 32 MB exchange-vs-compute economics (sf1's 15 MB input planned 2
@@ -462,6 +466,16 @@ object CurateQueries {
           col("text")))
       .select(col("doc_id"), col("lang"),
         trim(lower(col("text"))).as("s"))
+    langIdScore(d).orderBy("doc_id")
+  }
+
+  /** The NB train+score chain over any (doc_id, lang, s) frame —
+    * factored out (r16 verdict item 5) so the planted-accuracy gate
+    * [[langIdPlanted]] runs the IDENTICAL model code on a corpus whose
+    * labels actually correlate with the text. `d` is consumed three
+    * times (model, seen, score) and deliberately NOT checkpointed —
+    * see the ledger note above. */
+  private def langIdScore(d: DataFrame): DataFrame = {
     // in-row CODEGEN bigram histogram -> the exchanged stream is
     // distinct-bigrams-per-doc weighted by c, not the raw n_chars
     // instance stream, and the scan never pays the interpreted
@@ -509,7 +523,6 @@ object CurateQueries {
     scored.withColumn("rk", rk).filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("mlang").as("pred_lang"),
         col("n_bigrams"), col("score_q"))
-      .orderBy("doc_id")
   }
 
   private val langIdSql =
@@ -558,6 +571,66 @@ object CurateQueries {
        |  LEFT JOIN nbg n ON n.doc_id = d.doc_id
        |  LEFT JOIN seen s ON s.doc_id = d.doc_id AND s.mlang = u.mlang
        |) WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Four synthetic languages with DISJOINT letter inventories (plus a
+    * shared ' qq' suffix so vocabularies overlap a little): the planted
+    * corpus law below assigns each doc a language by hash and spells
+    * its text from that language's word list, so a working char-bigram
+    * NB must hit ~1.0 accuracy and a broken one cannot reach the 0.9
+    * gate by luck. Keep in lockstep with the oracle SQL. */
+  private val PlantLangs = Seq("lva", "lvb", "lvc", "lvd")
+  private val PlantVocab = Seq(
+    "arda", "abra", "anda", "arna", // lva ⊂ {a,b,d,n,r}
+    "este", "eket", "emse", "ekte", // lvb ⊂ {e,k,m,s,t}
+    "ifgi", "ivli", "igfi", "ilvi", // lvc ⊂ {f,g,i,l,v}
+    "ozco", "oyzo", "ocyo", "ozyo") // lvd ⊂ {c,o,y,z}
+
+  /** Discriminative STANDING gate for `x_lang_id` (r16 verdict item 5):
+    * the driver fixture's `lang` labels are uncorrelated with its text
+    * (accuracy ≈ chance), so the registered `x_lang_id` hash gate pins
+    * the NB mechanism only. Here the corpus is PLANTED inside both
+    * engines by the same deterministic law — lang = hash(doc_id) % 4
+    * over [[PlantLangs]], text = 6..10 words drawn from that lang's
+    * [[PlantVocab]] quarter by pure integer arithmetic — and the exact
+    * [[langIdScore]] chain trains and scores it. Output is per-lang
+    * (n_docs, accuracy ≥ 0.9?): the oracle restates n_docs from the
+    * hash law and the threshold as literal TRUE, so a classifier
+    * regression (accuracy < 0.9 on ANY planted language) breaks the
+    * hash compare — discrimination itself is oracle-gated, not
+    * spec-only. */
+  private def langIdPlanted(s: SparkSession, dir: String): DataFrame = {
+    val h = HashF.tokenHash(col("doc_id").cast("string"))
+    val li = h % 4
+    val vocabArr = array(PlantVocab.map(lit): _*)
+    val langArr = array(PlantLangs.map(lit): _*)
+    val text = concat(concat_ws(" ",
+      transform(sequence(lit(0L), lit(5L) + h % 5),
+        j => element_at(vocabArr,
+          (li * 4 + (h + j * (lit(1L) + h % 7)) % 4 + 1).cast("int")))),
+      lit(" qq"))
+    val d = tbl(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"),
+        element_at(langArr, (li + 1).cast("int")).as("lang"),
+        text.as("s"))
+    langIdScore(d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        avg((col("pred_lang") === col("lang")).cast("double")).as("acc"))
+      .select(col("lang"), col("n_docs"),
+        (col("acc") >= lit(0.9)).as("acc_ge_090"))
+      .orderBy("lang")
+  }
+
+  private val langIdPlantedSql =
+    s"""WITH hh AS (
+       |  SELECT ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents
+       |)
+       |SELECT CASE h % 4 WHEN 0 THEN 'lva' WHEN 1 THEN 'lvb'
+       |            WHEN 2 THEN 'lvc' ELSE 'lvd' END AS lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       TRUE AS acc_ge_090
+       |FROM hh GROUP BY 1 ORDER BY lang""".stripMargin
 
   // -------------------------- incremental dedup ---------------------------
 
@@ -696,8 +769,10 @@ object CurateQueries {
     "x_lang_id" -> QueryDef(langId, Some(langIdSql), bench = true,
       benchNote = Some("char-bigram Naive-Bayes LID, corpus-trained: " +
         "bounded model broadcast to both scoring joins, mu-nat " +
-        "integer scores; two corpus scans (train + score), same " +
-        "machinery as x_lm_score")),
+        "integer scores; three corpus scans (train + seen + score), " +
+        "same machinery as x_lm_score")),
+    // round 17 (r16 verdict item 5): discrimination itself oracle-gated
+    "x_lang_id_planted" -> QueryDef(langIdPlanted, Some(langIdPlantedSql)),
     "x_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),
     "x_lm_bigram" -> QueryDef(bigramLmScore, Some(bigramLmScoreSql),
       bench = true, benchFn = Some(bigramLmScoreRaw)),

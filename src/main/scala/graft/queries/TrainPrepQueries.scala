@@ -320,6 +320,103 @@ object TrainPrepQueries {
        |       length(clean) AS n_chars_clean, n_chars_raw
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Digit-adversarial STANDING gate for the PII scanners (r16 verdict
+    * item 4 / ADVICE r16): the driver fixture's text carries no digits,
+    * so `x_text_clean_pii`'s hash gate pins mechanism only and a
+    * regression in the phone/IPv4 scanners' RE2-vs-Java edge handling
+    * would slip every committed check. This query SYNTHESIZES the
+    * digit-bearing corpus inside both engines — the same deterministic
+    * text law over `customer.c_custkey`, spelled once in Spark `concat`
+    * and once in the oracle's `||` — then masks it, so the DuckDB
+    * compare exercises the scanners against RE2 `regexp_replace` on
+    * every row. The law plants one instance of each edge the scanners
+    * must agree on: an e-mail and an URL that CONTAIN digits/IPs (pass
+    * order), a dash and a dot NANP phone, a NANP embedded after a
+    * `25-` prefix (the \b-after-dash edge), a 7-digit `+` phone (match)
+    * next to 6- and 16-digit runs (both non-matches: {7,15} + \b), a
+    * valid dotted quad, a `1234.5.6.7` non-match (no boundary inside a
+    * digit run), and a 300+-octet quad that the REGEX matches even
+    * though it is not a valid IP (regex semantics, deliberately
+    * pinned). Scale shape: identical to `x_text_clean_pii` — one
+    * scan-side codegen pass, zero shuffles beyond the oracle's output
+    * ordering. */
+  private def piiAdvTextSpark: Column = {
+    val k = col("c_custkey")
+    def s(c: Column) = c.cast("string")
+    concat(
+      lit("call  u"), s(k), lit("@ex"), s(k % 10),
+      lit(".com or http://10."), s(k % 256), lit(".0.1/p?q="), s(k),
+      lit(" tel "), s(k % 900 + 100), lit("-"), s((k * 7) % 900 + 100),
+      lit("-"), s((k * 13) % 9000 + 1000),
+      lit(" alt "), s((k * 3) % 900 + 100), lit("."),
+      s((k * 11) % 900 + 100), lit("."), s((k * 17) % 9000 + 1000),
+      lit(" acct 25-"), s(k % 900 + 100), lit("-"), s((k * 7) % 900 + 100),
+      lit("-"), s((k * 13) % 9000 + 1000),
+      lit(" intl +"), s(k % 9000000 + 1000000),
+      lit(" short +123456 long +"), s(k + 1000000000000000L),
+      lit(" ip "), s(k % 256), lit("."), s((k * 3) % 256), lit("."),
+      s((k * 5) % 256), lit("."), s((k * 11) % 256),
+      lit(" not 1234."), s(k % 10), lit(".6.7 odd "),
+      s(k % 700 + 300), lit("."), s((k * 3) % 700 + 300), lit("."),
+      s((k * 7) % 700 + 300), lit("."), s((k * 11) % 700 + 300),
+      lit("  end"))
+  }
+
+  private def textCleanPiiAdv(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .select(col("c_custkey").as("cust_id"), piiAdvTextSpark.as("text"))
+      .select(col("cust_id"),
+        TextF.cleanTextPii(col("text")).as("clean"),
+        length(col("text")).as("n_chars_raw"))
+      .orderBy("cust_id")
+
+  /** The text law again, DuckDB spelling — keep in lockstep with
+    * [[piiAdvTextSpark]]. */
+  private val piiAdvTextSql =
+    "'call  u' || CAST(k AS VARCHAR) || '@ex' || CAST(k % 10 AS VARCHAR)" +
+      " || '.com or http://10.' || CAST(k % 256 AS VARCHAR) ||" +
+      " '.0.1/p?q=' || CAST(k AS VARCHAR)" +
+      " || ' tel ' || CAST(k % 900 + 100 AS VARCHAR) || '-' ||" +
+      " CAST((k * 7) % 900 + 100 AS VARCHAR) || '-' ||" +
+      " CAST((k * 13) % 9000 + 1000 AS VARCHAR)" +
+      " || ' alt ' || CAST((k * 3) % 900 + 100 AS VARCHAR) || '.' ||" +
+      " CAST((k * 11) % 900 + 100 AS VARCHAR) || '.' ||" +
+      " CAST((k * 17) % 9000 + 1000 AS VARCHAR)" +
+      " || ' acct 25-' || CAST(k % 900 + 100 AS VARCHAR) || '-' ||" +
+      " CAST((k * 7) % 900 + 100 AS VARCHAR) || '-' ||" +
+      " CAST((k * 13) % 9000 + 1000 AS VARCHAR)" +
+      " || ' intl +' || CAST(k % 9000000 + 1000000 AS VARCHAR)" +
+      " || ' short +123456 long +' ||" +
+      " CAST(k + 1000000000000000 AS VARCHAR)" +
+      " || ' ip ' || CAST(k % 256 AS VARCHAR) || '.' ||" +
+      " CAST((k * 3) % 256 AS VARCHAR) || '.' ||" +
+      " CAST((k * 5) % 256 AS VARCHAR) || '.' ||" +
+      " CAST((k * 11) % 256 AS VARCHAR)" +
+      " || ' not 1234.' || CAST(k % 10 AS VARCHAR) || '.6.7 odd ' ||" +
+      " CAST(k % 700 + 300 AS VARCHAR) || '.' ||" +
+      " CAST((k * 3) % 700 + 300 AS VARCHAR) || '.' ||" +
+      " CAST((k * 7) % 700 + 300 AS VARCHAR) || '.' ||" +
+      " CAST((k * 11) % 700 + 300 AS VARCHAR) || '  end'"
+
+  private val textCleanPiiAdvSql =
+    s"""WITH t AS (
+       |  SELECT c_custkey AS cust_id, $piiAdvTextSql AS text
+       |  FROM (SELECT c_custkey AS k, c_custkey FROM customer)
+       |), m AS (
+       |  SELECT cust_id,
+       |         regexp_replace(regexp_replace(regexp_replace(
+       |             regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |             '$UrlRe', '<URL>', 'g'),
+       |             '$PhoneRe', '<PHONE>', 'g'),
+       |             '$IpRe', '<IP>', 'g') AS masked,
+       |         length(text) AS n_chars_raw
+       |  FROM t
+       |)
+       |SELECT cust_id,
+       |       regexp_replace(trim(masked), '\\s+', ' ', 'g') AS clean,
+       |       n_chars_raw
+       |FROM m ORDER BY cust_id""".stripMargin
+
   // ------------------------- composite pipeline ---------------------------
 
   /** End-to-end corpus-prep pipeline — the LLM-data counterpart of the
@@ -747,12 +844,19 @@ object TrainPrepQueries {
     * reassembly's collect_list is per-document (bounded by doc length,
     * the same in-row bound every tokenize step already carries). */
   private def dedupSubstringExcise(s: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed (r16 verdict item 2): this frame is corpus-sized
+    // (every token of every document), and localCheckpoint blocks are
+    // the only copy, so they PIN unified memory instead of spilling
+    // gracefully — the exact failure mode that OOM'd x_lang_id's first
+    // sf10 cut on its bigram stream (PLANS r16 §9). The three consumers
+    // (window stream, per-position token stream, final per-doc frame)
+    // each re-run the tokenize scan instead — scan-side codegen work,
+    // the same documented train+score two-scan shape x_lang_id uses.
+    // Nothing else in the chain needs pinning: pdf→dup is a linear
+    // chain with no reuse.
     val toks = graft.parallelScan(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("t"))
-      .localCheckpoint(false) // three different-shaped consumers (window
-    // stream, per-position token stream, final per-doc frame) — one
-    // materialization beats re-running tokenize per consumer
     val w = toks
       .filter(size(col("t")) >= SubW)
       .select(col("doc_id"),
@@ -1077,6 +1181,8 @@ object TrainPrepQueries {
     "x_bm25_topterms" -> QueryDef(bm25TopTerms, Some(bm25TopTermsSql)),
     "x_text_clean" -> QueryDef(textClean, Some(textCleanSql)),
     // round 16 (r15 verdict item 5): phone/IP masks join email/URL
-    "x_text_clean_pii" -> QueryDef(textCleanPii, Some(textCleanPiiSql))
+    "x_text_clean_pii" -> QueryDef(textCleanPii, Some(textCleanPiiSql)),
+    "x_text_clean_pii_adv" -> QueryDef(textCleanPiiAdv,
+      Some(textCleanPiiAdvSql))
   )
 }

@@ -153,18 +153,26 @@ class RunnerSpec extends SparkSpec {
       java.nio.file.Paths.get(sys.props("user.dir"), "target"),
       "fsrc_test").toString
     val ds = "2024-01-05"
-    graft.eventsTbl(s, sf)
+    // fixture write runs on the OUTER shared session deliberately (r16
+    // verdict item 1): ExecutionListenerBus delivers only events whose
+    // QueryExecution belongs to the registering session, so actions on
+    // `spark` — this setup write, other suites' stragglers — can never
+    // land in `s`'s counting window even though listener delivery is
+    // async. Every event the listener below sees is an action of `s`,
+    // and between registration and the marker the only code running
+    // actions on `s` is fusedRun itself.
+    graft.eventsTbl(spark, sf)
       .filter(to_date(col("ts")) === lit(ds).cast("date"))
       .coalesce(1).write.parquet(s"$base/2024/01/05")
     // session-scoped action counter: the single-action claim is the
     // point of the design (the old form ran a limit-1 gate count PLUS
     // the write — two actions)
-    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]
     s.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(f: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            d: Long): Unit = actions.incrementAndGet()
+            d: Long): Unit = plans.add(qe.analyzed.toString)
         override def onFailure(f: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             e: Exception): Unit = ()
@@ -173,14 +181,24 @@ class RunnerSpec extends SparkSpec {
     assert(committed === Some("most_populars_20240105"))
     assert(cat.exists("most_populars_20240105"))
     assert(cat.tables() === Seq("most_populars_20240105")) // no staging
-    // listener delivery is async: wait for the action event, then a
-    // quiescence beat to catch any EXTRA action this spec forbids
+    // deterministic quiescence (no sleep guessing): the listener bus is
+    // FIFO per listener, so once this marker action's own event has
+    // been delivered, every event fusedRun produced on `s` is already
+    // in `plans` — then the count must be exactly marker + 1
+    val markerTag = "graft_runner_marker"
+    s.range(1).select(lit(1).as(markerTag)).collect()
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (actions.get() < 1 && System.nanoTime() < deadline)
+    def seenMarker() =
+      plans.toArray(Array.empty[String]).exists(_.contains(markerTag))
+    while (!seenMarker() && System.nanoTime() < deadline)
       Thread.sleep(50)
-    Thread.sleep(1000)
-    assert(actions.get() === 1,
-      s"fusedRun must be a single Spark action, saw ${actions.get()}")
+    assert(seenMarker(), "marker action event never delivered")
+    val counted = plans.toArray(Array.empty[String])
+      .filterNot(_.contains(markerTag))
+    assert(counted.length === 1,
+      s"fusedRun must be a single Spark action, saw ${counted.length}:\n" +
+        counted.map(_.linesIterator.take(3).mkString(" | "))
+          .mkString("\n"))
     // committed content equals the eager-gate fused plan (itself
     // oracle-equal to the staged chain via c_pipeline_fused)
     val cols = Seq("popularity", "route_pickup", "route_dropoff",

@@ -114,6 +114,30 @@ class SemDedupSpec extends SparkSpec {
     assert(bc.forall(_.getDouble(2) >= 0.35))
   }
 
+  test("x_semdedup_incremental (r17): the frozen quantizer round-trips " +
+      "through parquet and the probe is bit-identical — the persisted-" +
+      "index contract of the daily-production shape") {
+    val (emb, cent, split, nSup) = ExtQueries.semDedupIncrIndex(spark, sf)
+    val inPlan = ExtQueries
+      .semDedupIncrProbe(spark, emb, cent, split, nSup).collect().toSeq
+    val path =
+      s"${sys.props("user.dir")}/target/qtmp-test/semdedup_incr_cent"
+    cent.write.mode("overwrite").parquet(path)
+    val reloaded = spark.read.parquet(path)
+      .select(col("cid"), col("cv")) // column order is not part of the contract
+    val viaDisk = ExtQueries
+      .semDedupIncrProbe(spark, emb, reloaded, split, nSup).collect().toSeq
+    assert(viaDisk === inPlan)
+    assert(inPlan.nonEmpty)
+    // batch-only contract: every reported row is a batch vector; a
+    // pruned vector's partner is strictly older (lower id)
+    assert(inPlan.forall(_.getLong(0) >= split))
+    assert(inPlan.filter(!_.getBoolean(2))
+      .forall(r => r.getLong(1) < r.getLong(0)))
+    // keep flag is exactly "dup_of = -1"
+    assert(inPlan.forall(r => r.getBoolean(2) === (r.getLong(1) == -1L)))
+  }
+
   test("x_semdedup prunes ScaleGen-planted cos~0.95 twins when " +
       "co-clustered (recall floor on the planted fixture)") {
     val out = s"${sys.props("user.dir")}/target/qtmp-test/semdedup_planted"
