@@ -2253,10 +2253,13 @@ object ExtQueries {
     "x_semdedup" -> QueryDef(semDedup, Some(semDedupSql), bench = true,
       benchNote = Some("SemDeDup cluster-then-prune with CORPUS-" +
         "PROPORTIONAL K = max(16, ceil(n/4096)) (r16; fixed K=16 " +
-        "before): trained k-means assign (broadcast centroids) + " +
-        "within-cluster cosine self-join - E[|c|] held <= 4096 so " +
+        "before) and, since r17, a TWO-LEVEL assign (ceil(sqrt(K)) " +
+        "supers, nprobe=2 - ~n*4sqrt(K) distances instead of n*K): " +
+        "within-cluster cosine self-join with E[|c|] held <= 4096 so " +
         "candidate volume is ~n*4096, linear in corpus size; both " +
-        "engines run the same scaled-K trained-quantizer chain")),
+        "engines run the same scaled-K two-level quantizer chain " +
+        "(driver fixtures sit on the K=16 floor, where the extra " +
+        "coarse stages are ~constant overhead)")),
     // round 17 (r16 verdict item 8): the daily-production embedding twin
     // of x_dedup_incremental - frozen quantizer, batch-sized pair stage
     "x_semdedup_incremental" -> QueryDef(semDedupIncremental,
