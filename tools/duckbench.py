@@ -20,6 +20,12 @@ def main(sf_dir: str, oracle_path: str, bench_path: str) -> None:
     names = sorted(bench["queries"].keys())
     con = duckdb.connect()
     con.sql("SET threads TO 32")
+    # r17: the two-level semdedup oracle materializes a CTE chain that
+    # can brush the default memory limit at sf10 when a Spark JVM is
+    # still resident; give DuckDB a disk escape hatch instead of dying
+    # (a dead comparator loses the whole paired block).
+    os.makedirs("/tmp/duckbench_tmp", exist_ok=True)
+    con.sql("SET temp_directory='/tmp/duckbench_tmp'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table dir
