@@ -257,6 +257,90 @@ object CurateQueries {
        |       token, tf, dfc
        |FROM top ORDER BY token_id""".stripMargin
 
+  /** How many leading token ids the encode query materializes per doc —
+    * bounds the output row width (the full id stream is corpus-sized by
+    * definition; a gate row is not the place for it). */
+  private val EncodeHeadN = 64
+
+  /** Vocabulary ENCODING (round 17) — the tokenize-to-ids stage every
+    * training pipeline runs after vocabulary construction and before
+    * sequence packing: each document's token stream maps through the
+    * corpus's own top-[[VocabV]] vocabulary (`x_vocab_build`'s exact
+    * table — same builder call, same tie law), OOV tokens take id 0
+    * (<unk>), and the per-doc output reports n_tokens, n_oov, the OOV
+    * rate, and the first [[EncodeHeadN]] ids comma-joined (a bounded,
+    * engine-independent witness of the actual id sequence — order
+    * included, so a wrong join or a broken position sort cannot hide).
+    *
+    * Scale: the vocabulary is Zipf-bounded (top-V rows — KBs even at
+    * 100 TB), so the encode is one corpus scan + a BROADCAST left join
+    * on token over the exploded positions + one doc-keyed rollup —
+    * x_lm_score's exact shape; the id-head collect_list is per-document
+    * (bounded by doc length, the in-row bound every tokenize step
+    * carries). */
+  private def encodeIds(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(TextF.lowerTokens(col("text"))).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("token"))
+    val vocab = vocabBuild(s, dir).select(col("token"), col("token_id"))
+    val enc = toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("id"),
+        col("token_id").isNull.cast("long").as("oov"))
+    val perDoc = enc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(struct(col("pos"), col("id")))),
+            1, EncodeHeadN),
+          e => e.getField("id").cast("string"))).as("ids_head"))
+    tbl(s, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(round(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 6), lit(0.0)).as("oov_rate"),
+        coalesce(col("ids_head"), lit("")).as("ids_head"))
+      .orderBy("doc_id")
+  }
+
+  private val encodeIdsSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $sqlLowerToks AS t FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(t) AS token,
+       |         unnest(range(1, len(t) + 1)) AS pos
+       |  FROM tk
+       |), counts AS (
+       |  SELECT token, count(*) AS tf FROM tok GROUP BY token
+       |), vocab AS (
+       |  SELECT token,
+       |         CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT)
+       |           AS token_id
+       |  FROM (SELECT * FROM counts ORDER BY tf DESC, token LIMIT $VocabV)
+       |), enc AS (
+       |  SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS id,
+       |         CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tok t LEFT JOIN vocab v USING (token)
+       |), pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(oov) AS BIGINT) AS n_oov,
+       |         array_to_string(list(id ORDER BY pos)[1:$EncodeHeadN], ',')
+       |           AS ids_head
+       |  FROM enc GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       |       coalesce(p.n_oov, 0) AS n_oov,
+       |       coalesce(round(CAST(p.n_oov AS DOUBLE)
+       |                      / CAST(p.n_tokens AS DOUBLE), 6), 0.0)
+       |         AS oov_rate,
+       |       coalesce(p.ids_head, '') AS ids_head
+       |FROM documents d LEFT JOIN pd p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------- unigram LM quality score -----------------------
 
   /** Per-document average negative log-likelihood under the corpus's own
@@ -780,6 +864,8 @@ object CurateQueries {
       bench = true, benchFn = Some(decontaminateRaw)),
     "x_repetition_filter" -> QueryDef(repetitionFilter,
       Some(repetitionFilterSql)),
-    "x_vocab_build" -> QueryDef(vocabBuild, Some(vocabBuildSql))
+    "x_vocab_build" -> QueryDef(vocabBuild, Some(vocabBuildSql)),
+    // round 17: the tokenize-to-ids stage after vocabulary construction
+    "x_encode_ids" -> QueryDef(encodeIds, Some(encodeIdsSql))
   )
 }

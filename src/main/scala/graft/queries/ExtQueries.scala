@@ -213,6 +213,15 @@ object ExtQueries {
   private[queries] def lshCandParts(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sigs = minhashSignaturesRaw(s, dir).localCheckpoint()
+    (sigs, lshCandFromSigs(sigs))
+  }
+
+  /** Candidate generation OFF a signature frame — split out (r17) so
+    * the persisted-index contract is spec-testable: at scale the
+    * signature table is a real table write (the dedup index), and
+    * `MinhashIndexSpec`/`SemDedupSpec` pin that a parquet round-trip of
+    * the index reproduces the identical candidate set. */
+  private[graft] def lshCandFromSigs(sigs: DataFrame): DataFrame = {
     val bands = (0 until 4).map { b =>
       sigs.select(col("doc_id"), lit(b).as("band"),
         col(s"h${2 * b}").as("x"), col(s"h${2 * b + 1}").as("y"))
@@ -227,11 +236,10 @@ object ExtQueries {
     // one band a (doc_a, doc_b, bucket) row is unique by construction.
     // The partial pass would hash the full candidate stream for zero
     // reduction.
-    val cand = graft.ops.DirectAgg.distinctByKeys(
+    graft.ops.DirectAgg.distinctByKeys(
       a.join(b, Seq("band", "x", "y"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b"))
-    (sigs, cand)
   }
 
   private def minhashLshPairsRaw(s: SparkSession, dir: String): DataFrame = {
