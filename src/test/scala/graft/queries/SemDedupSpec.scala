@@ -117,16 +117,16 @@ class SemDedupSpec extends SparkSpec {
   test("x_semdedup_incremental (r17): the frozen quantizer round-trips " +
       "through parquet and the probe is bit-identical — the persisted-" +
       "index contract of the daily-production shape") {
-    val (emb, cent, split, nSup) = ExtQueries.semDedupIncrIndex(spark, sf)
+    val (emb, cent, split, k) = ExtQueries.semDedupIncrIndex(spark, sf)
     val inPlan = ExtQueries
-      .semDedupIncrProbe(spark, emb, cent, split, nSup).collect().toSeq
+      .semDedupIncrProbe(spark, emb, cent, split, k).collect().toSeq
     val path =
       s"${sys.props("user.dir")}/target/qtmp-test/semdedup_incr_cent"
     cent.write.mode("overwrite").parquet(path)
     val reloaded = spark.read.parquet(path)
       .select(col("cid"), col("cv")) // column order is not part of the contract
     val viaDisk = ExtQueries
-      .semDedupIncrProbe(spark, emb, reloaded, split, nSup).collect().toSeq
+      .semDedupIncrProbe(spark, emb, reloaded, split, k).collect().toSeq
     assert(viaDisk === inPlan)
     assert(inPlan.nonEmpty)
     // batch-only contract: every reported row is a batch vector; a
@@ -160,5 +160,176 @@ class SemDedupSpec extends SparkSpec {
     val recall = twins.count(pruned.contains).toDouble / twins.size
     assert(recall >= 0.7,
       s"planted-twin recall $recall over ${twins.size} twins")
+  }
+
+  // ------------------- r18: stage-2 arms + widened bits -------------------
+
+  /** Mirrors EuclideanDist's left-to-right fold and the packed argmin's
+    * quantization exactly: round(l2, 6) HALF_UP, ·10⁶, round to long. */
+  private def distQRef(a: Array[Double], b: Array[Double]): Long = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    val r6 = BigDecimal(math.sqrt(acc))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    BigDecimal(r6 * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  test("r18: stage-2 shuffle arm equals the broadcast arm on a real " +
+      "scaled-K clustering (injected threshold forces the shuffle join)") {
+    val dir = "/root/testdata/sf0.1"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val k = ExtQueries.semDedupK(emb.count(), 32L) // 63 — off the floor
+    assert(k > 16L)
+    val cent = emb.filter(col("vec_id") >= k && col("vec_id") < 2 * k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val nSup = math.ceil(math.sqrt(k.toDouble)).toLong
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bc = ExtQueries.assignClustersTwoLevel(emb, cent, nSup, k)
+        .orderBy("vec_id").collect().toSeq
+      val sh = ExtQueries
+        .assignClustersTwoLevel(emb, cent, nSup, k, stage2BroadcastMaxK = 0L)
+        .orderBy("vec_id").collect().toSeq
+      assert(sh === bc)
+      assert(bc.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("r18 forced-law: synthetic K >= 1e5 takes the shuffle stage-2 arm " +
+      "organically and matches an engine-independent restatement of the " +
+      "two-level rule") {
+    val k = 120000L
+    assert(k > ExtQueries.Stage2BroadcastMaxK)
+    def vecCol(id: org.apache.spark.sql.Column) = array(
+      pmod(id, lit(97L)).cast("double") / lit(97.0),
+      pmod(id * 31L, lit(89L)).cast("double") / lit(89.0))
+    def vecRef(id: Long): Array[Double] =
+      Array((id % 97).toDouble / 97.0, ((id * 31) % 89).toDouble / 89.0)
+    val emb = spark.range(0L, 40L)
+      .select(col("id").as("vec_id"), vecCol(col("id")).as("v"))
+    val cent = spark.range(k, 2 * k)
+      .select(col("id").as("cid"), vecCol(col("id")).as("cv"))
+    val got = ExtQueries
+      .assignClustersTwoLevel(emb, cent,
+        math.ceil(math.sqrt(k.toDouble)).toLong, k)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the exact two-level rule in plain Scala — ⌈√K⌉
+    // lowest-cid supers, child→nearest-super, vector→two nearest
+    // supers, argmin over those supers' children; (distQ, id)
+    // lexicographic everywhere (= the packed-long min)
+    val cents = (k until 2 * k).map(c => c -> vecRef(c)).toArray
+    val nSup = math.ceil(math.sqrt(k.toDouble)).toInt
+    val sups = cents.take(nSup) // already cid-ascending
+    def argmin[T](xs: Iterator[(Long, Long)]): Long = // (key, distQ)
+      xs.minBy { case (id, dq) => (dq, id) }._1
+    // the modular law yields <= 97*89 distinct child vectors; the best
+    // (distQ, scid) super is a function of the VECTOR alone, so memoize
+    // per distinct value instead of 120k x 347 BigDecimal roundings
+    def keyOf(id: Long): (Long, Long) = (id % 97, (id * 31) % 89)
+    val bestSupByKey: Map[(Long, Long), Long] = cents
+      .map { case (cid, _) => keyOf(cid) }.distinct.map { kk =>
+        val cv = Array(kk._1.toDouble / 97.0, kk._2.toDouble / 89.0)
+        kk -> argmin(sups.iterator.map { case (sc, sv) =>
+          (sc, distQRef(cv, sv)) })
+      }.toMap
+    val childSup: Map[Long, Long] = cents.map { case (cid, _) =>
+      cid -> bestSupByKey(keyOf(cid))
+    }.toMap
+    val children: Map[Long, Array[(Long, Array[Double])]] =
+      cents.groupBy { case (cid, _) => childSup(cid) }
+    for (vid <- 0L until 40L) {
+      val v = vecRef(vid)
+      val byDist = sups.map { case (sc, sv) => (sc, distQRef(v, sv)) }
+        .sortBy { case (sc, dq) => (dq, sc) }
+      val probed = byDist.take(2).map(_._1)
+      val expect = argmin(probed.iterator
+        .flatMap(sc =>
+          children.getOrElse(sc, Array.empty[(Long, Array[Double])]))
+        .map { case (cid, cv) => (cid, distQRef(v, cv)) })
+      assert(got(vid) === expect, s"vec $vid")
+    }
+  }
+
+  test("r18: the packed-argmin key widens past 2^19 clusters — the r17 " +
+      "require abort is gone and assignment stays exact at 21-bit cids") {
+    val k = 1L << 20 // cidBits = 21; the r17 code required 2K < 2^20
+    def vecCol(id: org.apache.spark.sql.Column) = array(
+      pmod(id, lit(97L)).cast("double") / lit(97.0),
+      pmod(id * 31L, lit(89L)).cast("double") / lit(89.0))
+    def vecRef(id: Long): Array[Double] =
+      Array((id % 97).toDouble / 97.0, ((id * 31) % 89).toDouble / 89.0)
+    val emb = spark.range(0L, 40L)
+      .select(col("id").as("vec_id"), vecCol(col("id")).as("v"))
+    // 64 centroids on a SPARSE id lattice inside [K, 2K): nSup = 1024 >=
+    // 64 makes every (distinct-vector) child its own super, so the
+    // two-level rule degenerates to the flat argmin — an
+    // engine-independent reference that any packing corruption breaks
+    val cent = spark.range(0L, 64L)
+      .select((lit(k) + col("id") * 16000L).as("cid"),
+        vecCol(lit(k) + col("id") * 16000L).as("cv"))
+    val got = ExtQueries
+      .assignClustersTwoLevel(emb, cent,
+        math.ceil(math.sqrt(k.toDouble)).toLong, k)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = (0L until 64L).map(i => (k + i * 16000L))
+      .map(c => c -> vecRef(c))
+    for (vid <- 0L until 40L) {
+      val v = vecRef(vid)
+      val expect = cents.map { case (cid, cv) => (cid, distQRef(v, cv)) }
+        .minBy { case (cid, dq) => (dq, cid) }._1
+      assert(got(vid) === expect, s"vec $vid")
+    }
+    // the width law itself, plus the loud ceiling
+    assert(ExtQueries.cidBitsFor(16L) === 20)
+    assert(ExtQueries.cidBitsFor(524288L) === 20) // 2K-1 = 2^20 - 1 still fits
+    assert(ExtQueries.cidBitsFor(524289L) === 21) // the first widened K
+    assert(ExtQueries.cidBitsFor(50000000L) === 27) // K at ~2e11 vectors
+    intercept[IllegalArgumentException](ExtQueries.cidBitsFor(1L << 39))
+  }
+
+  test("r18 ADVICE: the incremental probe's salted arm (past the batch " +
+      "broadcast cap) equals the broadcast arm row-for-row") {
+    val (emb, cent, split, k) = ExtQueries.semDedupIncrIndex(spark, sf)
+    val bc = ExtQueries.semDedupIncrProbe(spark, emb, cent, split, k)
+      .collect().toSeq
+    val salted = ExtQueries
+      .semDedupIncrProbe(spark, emb, cent, split, k, broadcastCap = 0L)
+      .collect().toSeq
+    assert(salted === bc)
+    assert(bc.nonEmpty)
+  }
+
+  test("r18: cross-boundary planted twins — the frozen-quantizer " +
+      "incremental probe recovers batch twins whose original sits in " +
+      "the index (the miss mode is routing to an unprobed cluster)") {
+    val out = s"${sys.props("user.dir")}/target/qtmp-test/semdedup_incr_pl"
+    graft.ScaleGen.run(spark, sf, out, 2)
+    val baseMax = spark.read.parquet(s"$sf/embeddings.parquet")
+      .agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val offset = (baseMax + 1) * 2
+    val total = spark.read.parquet(s"$out/embeddings.parquet").count()
+    val split = ExtQueries.semDedupIncrSplit(total)
+    // twins are the appended top-id rows — all in the batch; their
+    // originals below the split are the cross-boundary pairs
+    assert(offset >= split, "planted twins must land in the batch")
+    val cross = spark.read.parquet(s"$out/embeddings.parquet")
+      .filter(col("vec_id") < split &&
+        pmod(col("vec_id"), lit(graft.ScaleGen.PlantEvery)) === 0)
+      .select((col("vec_id") + offset).as("twin_id"))
+      .as[Long].collect().toSet
+    assert(cross.nonEmpty)
+    val res = graft.SparkEntry.queries("x_semdedup_incremental")(spark, out)
+      .filter(!col("keep")).select("vec_id").as[Long].collect().toSet
+    val recall = cross.count(res.contains).toDouble / cross.size
+    assert(recall >= 0.7,
+      s"cross-boundary twin recall $recall over ${cross.size} twins")
   }
 }
