@@ -325,12 +325,21 @@ object Bench {
     // would ship an artifact missing the rider the operator thought they
     // embedded
     val soloField = sys.env.get("SPARK_GRAFT_BENCH_SOLO").map { s =>
+      // ADVICE r17: a repeated name would emit duplicate JSON keys —
+      // most parsers keep only the last value SILENTLY, which is the
+      // same shipped-artifact-isn't-what-the-operator-typed failure
+      // the strict parsing exists to prevent. Fail loudly like the rest.
+      val seen = scala.collection.mutable.HashSet.empty[String]
       val entries = s.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
         kv.split("=", 2) match {
           case Array(k, v) =>
             val name = k.trim
             if (!SparkEntry.benchNames.contains(name)) {
               System.err.println(s"[bench] unknown query in SOLO: $name")
+              sys.exit(2)
+            }
+            if (!seen.add(name)) {
+              System.err.println(s"[bench] duplicate query in SOLO: $name")
               sys.exit(2)
             }
             val secs = v.trim.toDoubleOption.getOrElse {

@@ -67,6 +67,19 @@ object TextF {
       graft.plans.CleanTextPii(GraftBridge.expression(text)))
   }
 
+  /** Card-extended PII-clean (r18): e-mails, URLs, Luhn-checked credit
+    * cards, phones, IPv4, then trim+collapse — the codegen
+    * [[graft.plans.CleanTextPiiCard]] scanner; the card arm has no
+    * regex equivalent (Luhn), so `TextMaskSpec` property-checks the
+    * scanner against a candidate-extractor + integer-checksum
+    * reference and the adversarial oracle restates planted outcomes
+    * through SQL integer arithmetic. */
+  def cleanTextPiiCard(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.CleanTextPiiCard(GraftBridge.expression(text)))
+  }
+
   /** In-row character-bigram histogram `(term, tf)` of a string — the
     * native codegen [[graft.plans.CharBigramHistogram]] expression
     * (`x_lang_id`'s scan stage; the composed transform+substring HOF

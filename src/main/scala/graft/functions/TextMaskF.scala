@@ -243,4 +243,88 @@ object TextMaskF {
     * chain. */
   def cleanTextPii(s: String): String =
     collapseTrim(maskIps(maskPhones(maskUrls(maskEmails(s)))))
+
+  /** Luhn checksum over exactly 16 digits (left to right): every digit
+    * at an even 0-based index (= even position from the right in a
+    * 16-digit number) doubles, with 2d > 9 folding to 2d − 9 — pure
+    * integer arithmetic, bit-identical in any engine. */
+  def luhn16(d: Array[Int]): Boolean = {
+    var sum = 0
+    var i = 0
+    while (i < 16) {
+      val x = d(i)
+      sum += (if ((i & 1) == 0) { val t = 2 * x; if (t > 9) t - 9 else t }
+              else x)
+      i += 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Credit-card masking (r17 verdict item 6): a SHAPE match — 16
+    * digits, either one maximal run or four 4-digit groups joined by a
+    * CONSISTENT '-' or ' ' separator, with `\b` at both ends — masks to
+    * `<CARD>` only when the digits pass [[luhn16]]; a shape match that
+    * fails Luhn is left in place and scanning resumes at the NEXT
+    * character (not past the failed candidate — a later overlapping
+    * start, e.g. the 2nd..5th groups of a 5-group run, must still get
+    * its own shot, unlike regex find()'s skip-to-match-end). No regex
+    * can express the Luhn arm, so this scanner IS the operator
+    * definition; `TextMaskSpec` property-checks it against a
+    * java.util.regex candidate extractor + the same integer checksum,
+    * and the adversarial oracle restates the planted outcomes through
+    * SQL integer arithmetic. */
+  def maskCards(s: String): String = {
+    val n = s.length
+    var out: java.lang.StringBuilder = null
+    var copied = 0
+    var i = 0
+    val dig = new Array[Int](16)
+    while (i < n) {
+      var end = -1
+      if (isDigit(s.charAt(i)) && (i == 0 || !isWord(s.charAt(i - 1)))) {
+        val r = digitRun(s, i)
+        if (r == 16 && (i + 16 == n || !isWord(s.charAt(i + 16)))) {
+          var j = 0
+          while (j < 16) { dig(j) = s.charAt(i + j) - '0'; j += 1 }
+          if (luhn16(dig)) end = i + 16
+        } else if (r == 4 && i + 19 <= n) {
+          val sep = s.charAt(i + 4)
+          if ((sep == '-' || sep == ' ') &&
+              digitRun(s, i + 5) == 4 && s.charAt(i + 9) == sep &&
+              digitRun(s, i + 10) == 4 && s.charAt(i + 14) == sep &&
+              digitRun(s, i + 15) == 4 &&
+              (i + 19 == n || !isWord(s.charAt(i + 19)))) {
+            var g = 0
+            while (g < 4) {
+              var j = 0
+              while (j < 4) {
+                dig(g * 4 + j) = s.charAt(i + g * 5 + j) - '0'
+                j += 1
+              }
+              g += 1
+            }
+            if (luhn16(dig)) end = i + 19
+          }
+        }
+      }
+      if (end > 0) {
+        if (out == null) out = new java.lang.StringBuilder(n)
+        out.append(s, copied, i).append("<CARD>")
+        copied = end
+        i = end
+      } else i += 1
+    }
+    if (out == null) s else out.append(s, copied, n).toString
+  }
+
+  /** The card-extended PII-clean transform (`x_text_clean_pii_adv`
+    * since r18): cards mask BEFORE phones/IPs. With the CURRENT phone
+    * and IP patterns the order is unobservable (a card's digit runs
+    * are 4 or 16 — never the 3-run a NANP match or the ≤3-run an IP
+    * octet needs), but it is still part of the operator DEFINITION:
+    * the most specific class claims its digits first, so extending the
+    * phone family later cannot silently eat card digits. The oracle's
+    * outcome restatement pins exactly this order. */
+  def cleanTextPiiCard(s: String): String =
+    collapseTrim(maskIps(maskPhones(maskCards(maskUrls(maskEmails(s))))))
 }

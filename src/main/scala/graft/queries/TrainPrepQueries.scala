@@ -337,12 +337,34 @@ object TrainPrepQueries {
     * valid dotted quad, a `1234.5.6.7` non-match (no boundary inside a
     * digit run), and a 300+-octet quad that the REGEX matches even
     * though it is not a valid IP (regex semantics, deliberately
-    * pinned). Scale shape: identical to `x_text_clean_pii` — one
-    * scan-side codegen pass, zero shuffles beyond the oracle's output
-    * ordering. */
+    * pinned). Since r18 (verdict item 6) the law also plants the
+    * credit-card class behind [[graft.functions.TextMaskF.maskCards]]'s
+    * Luhn gate: a dashed, a bare-16 and a space-grouped VALID card
+    * (always mask — the check digit is CONSTRUCTED by the same integer
+    * arithmetic in both engines), a wrong-check-digit decoy, a
+    * mixed-separator decoy, a 15-digit run and a trailing-letter `\b`
+    * decoy (never mask), plus the pre-existing 16-digit `long +N` run
+    * whose Luhn validity VARIES with the row — the oracle restates
+    * that one as a SQL CASE over the same checksum, so a broken Luhn
+    * breaks the hash on ~half the corpus. No regex can express the
+    * Luhn arm, so the oracle restates planted OUTCOMES (pre-masked
+    * slots / conditional CASE) rather than re-scanning — masking cards
+    * commutes with the e-mail/URL passes here (no '@'/'http' near any
+    * card), which the spelled-out segment layout guarantees. Scale
+    * shape: identical to `x_text_clean_pii` — one scan-side codegen
+    * pass, zero shuffles beyond the oracle's output ordering. */
   private def piiAdvTextSpark: Column = {
     val k = col("c_custkey")
     def s(c: Column) = c.cast("string")
+    // card groups: three 4-digit, one 3-digit + the constructed Luhn
+    // check digit (keep the moduli in lockstep with sqlCardGroups)
+    val ca = k % 9000 + 1000
+    val cb = (k * 7) % 9000 + 1000
+    val cc3 = (k * 13) % 9000 + 1000
+    val cd = (k * 19) % 900 + 100
+    val chk = luhnChkCol(ca, cb, cc3, cd)
+    val g4 = cd * 10 + chk
+    val g4bad = cd * 10 + pmod(chk + 1, lit(10L))
     concat(
       lit("call  u"), s(k), lit("@ex"), s(k % 10),
       lit(".com or http://10."), s(k % 256), lit(".0.1/p?q="), s(k),
@@ -359,20 +381,96 @@ object TrainPrepQueries {
       lit(" not 1234."), s(k % 10), lit(".6.7 odd "),
       s(k % 700 + 300), lit("."), s((k * 3) % 700 + 300), lit("."),
       s((k * 7) % 700 + 300), lit("."), s((k * 11) % 700 + 300),
+      lit(" cc "), s(ca), lit("-"), s(cb), lit("-"), s(cc3), lit("-"), s(g4),
+      lit(" raw "), s(ca), s(cb), s(cc3), s(g4),
+      lit(" sp "), s(ca), lit(" "), s(cb), lit(" "), s(cc3), lit(" "), s(g4),
+      lit(" bad "), s(ca), lit("-"), s(cb), lit("-"), s(cc3), lit("-"),
+      s(g4bad),
+      lit(" mix "), s(ca), lit("-"), s(cb), lit(" "), s(cc3), lit("-"), s(g4),
+      lit(" n15 "), s(ca), s(cb), s(cc3), s(cd),
+      lit(" tail "), s(ca), lit("-"), s(cb), lit("-"), s(cc3), lit("-"),
+      s(g4), lit("x"),
       lit("  end"))
+  }
+
+  /** Luhn check digit for the planted card [a(4) b(4) c(4) d(3) chk]:
+    * of the 15 known digits (left to right, 1-indexed) the ODD ones sit
+    * at even positions-from-the-right of the final 16-digit number and
+    * double (2d > 9 → 2d − 9); chk = (10 − S mod 10) mod 10. Pure
+    * integer Column arithmetic — the exact SQL twin is
+    * [[sqlLuhnChk]]. */
+  private def luhnChkCol(ca: Column, cb: Column, cc3: Column,
+      cd: Column): Column = {
+    def dg(x: Column, p: Long) = pmod((x / lit(p)).cast("long"), lit(10L))
+    def dbl(d: Column) = when(d >= 5, d * 2 - 9).otherwise(d * 2)
+    val doubled = Seq(dg(ca, 1000), dg(ca, 10), dg(cb, 1000), dg(cb, 10),
+      dg(cc3, 1000), dg(cc3, 10), dg(cd, 100), dg(cd, 1))
+      .map(dbl).reduce(_ + _)
+    val plain = Seq(dg(ca, 100), dg(ca, 1), dg(cb, 100), dg(cb, 1),
+      dg(cc3, 100), dg(cc3, 1), dg(cd, 10)).reduce(_ + _)
+    pmod(lit(10L) - pmod(doubled + plain, lit(10L)), lit(10L))
   }
 
   private def textCleanPiiAdv(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer")
       .select(col("c_custkey").as("cust_id"), piiAdvTextSpark.as("text"))
       .select(col("cust_id"),
-        TextF.cleanTextPii(col("text")).as("clean"),
+        TextF.cleanTextPiiCard(col("text")).as("clean"),
         length(col("text")).as("n_chars_raw"))
       .orderBy("cust_id")
 
+  /** [[luhnChkCol]] in DuckDB spelling — the same 15-digit integer
+    * checksum over the same group moduli, so both engines construct
+    * the identical check digit. */
+  private def sqlLuhnChk: String = {
+    val a = "(k % 9000 + 1000)"
+    val b = "((k * 7) % 9000 + 1000)"
+    val c = "((k * 13) % 9000 + 1000)"
+    val d = "((k * 19) % 900 + 100)"
+    def dg(x: String, p: Long) = s"(($x // $p) % 10)"
+    def dbl(x: String) =
+      s"(CASE WHEN $x >= 5 THEN $x * 2 - 9 ELSE $x * 2 END)"
+    val doubled = Seq((a, 1000L), (a, 10L), (b, 1000L), (b, 10L),
+      (c, 1000L), (c, 10L), (d, 100L), (d, 1L))
+      .map { case (x, p) => dbl(dg(x, p)) }.mkString(" + ")
+    val plain = Seq((a, 100L), (a, 1L), (b, 100L), (b, 1L),
+      (c, 100L), (c, 1L), (d, 10L))
+      .map { case (x, p) => dg(x, p) }.mkString(" + ")
+    s"((10 - (($doubled + $plain) % 10)) % 10)"
+  }
+
+  /** The `long +N` slot (N = k + 10¹⁵, a 16-digit run the card scanner
+    * candidates organically): '<CARD>' iff N passes the 16-digit Luhn —
+    * restated digit-by-digit in SQL integer arithmetic (digit j from
+    * the right doubles iff j is odd, matching the scanner's
+    * even-left-index rule) — else the raw digits. Luhn validity VARIES
+    * with the row here, so a checksum regression flips ~half the
+    * corpus and cannot hash-hide. */
+  private def sqlLongCardSlot: String = {
+    val n = "(k + 1000000000000000)"
+    def dg(j: Int): String = {
+      val p = "1" + "0" * j
+      s"(($n // $p) % 10)"
+    }
+    val terms = (0 to 15).map { j =>
+      if (j % 2 == 1)
+        s"(CASE WHEN ${dg(j)} >= 5 THEN ${dg(j)} * 2 - 9 ELSE ${dg(j)} * 2 END)"
+      else dg(j)
+    }
+    s"(CASE WHEN (${terms.mkString(" + ")}) % 10 = 0 THEN '<CARD>' " +
+      s"ELSE CAST($n AS VARCHAR) END)"
+  }
+
   /** The text law again, DuckDB spelling — keep in lockstep with
-    * [[piiAdvTextSpark]]. */
-  private val piiAdvTextSql =
+    * [[piiAdvTextSpark]]. The card slots are restated as OUTCOMES
+    * (constructed-valid cards pre-masked, decoys raw, the `long` run
+    * conditional on the SQL checksum): no regex can express the Luhn
+    * arm, and the pre-substitution commutes with the e-mail/URL regex
+    * passes because no card segment carries '@' or 'http'.
+    * `sub = false` spells the TRUE raw law (raw card digits, raw long
+    * run) — used only for `n_chars_raw`, which measures the
+    * pre-masking text on both engines. */
+  private def piiAdvTextSql(sub: Boolean): String =
     "'call  u' || CAST(k AS VARCHAR) || '@ex' || CAST(k % 10 AS VARCHAR)" +
       " || '.com or http://10.' || CAST(k % 256 AS VARCHAR) ||" +
       " '.0.1/p?q=' || CAST(k AS VARCHAR)" +
@@ -386,8 +484,9 @@ object TrainPrepQueries {
       " CAST((k * 7) % 900 + 100 AS VARCHAR) || '-' ||" +
       " CAST((k * 13) % 9000 + 1000 AS VARCHAR)" +
       " || ' intl +' || CAST(k % 9000000 + 1000000 AS VARCHAR)" +
-      " || ' short +123456 long +' ||" +
-      " CAST(k + 1000000000000000 AS VARCHAR)" +
+      " || ' short +123456 long +' || " +
+      (if (sub) sqlLongCardSlot
+       else "CAST(k + 1000000000000000 AS VARCHAR)") +
       " || ' ip ' || CAST(k % 256 AS VARCHAR) || '.' ||" +
       " CAST((k * 3) % 256 AS VARCHAR) || '.' ||" +
       " CAST((k * 5) % 256 AS VARCHAR) || '.' ||" +
@@ -396,11 +495,39 @@ object TrainPrepQueries {
       " CAST(k % 700 + 300 AS VARCHAR) || '.' ||" +
       " CAST((k * 3) % 700 + 300 AS VARCHAR) || '.' ||" +
       " CAST((k * 7) % 700 + 300 AS VARCHAR) || '.' ||" +
-      " CAST((k * 11) % 700 + 300 AS VARCHAR) || '  end'"
+      " CAST((k * 11) % 700 + 300 AS VARCHAR)" +
+      (if (sub) " || ' cc <CARD> raw <CARD> sp <CARD>'"
+       else " || ' cc ' || " + sqlCardA + " || '-' || " + sqlCardB +
+         " || '-' || " + sqlCardC + " || '-' || " + sqlCardG4 +
+         " || ' raw ' || " + sqlCardA + " || " + sqlCardB +
+         " || " + sqlCardC + " || " + sqlCardG4 +
+         " || ' sp ' || " + sqlCardA + " || ' ' || " + sqlCardB +
+         " || ' ' || " + sqlCardC + " || ' ' || " + sqlCardG4) +
+      " || ' bad ' || " + sqlCardA + " || '-' || " + sqlCardB +
+      " || '-' || " + sqlCardC + " || '-' || " + sqlCardG4Bad +
+      " || ' mix ' || " + sqlCardA + " || '-' || " + sqlCardB +
+      " || ' ' || " + sqlCardC + " || '-' || " + sqlCardG4 +
+      " || ' n15 ' || " + sqlCardA + " || " + sqlCardB +
+      " || " + sqlCardC + " || " + sqlCardD +
+      " || ' tail ' || " + sqlCardA + " || '-' || " + sqlCardB +
+      " || '-' || " + sqlCardC + " || '-' || " + sqlCardG4 + " || 'x'" +
+      " || '  end'"
+
+  // the card groups, DuckDB spelling (moduli in lockstep with
+  // piiAdvTextSpark's ca/cb/cc3/cd/g4/g4bad)
+  private def sqlCardA = "CAST(k % 9000 + 1000 AS VARCHAR)"
+  private def sqlCardB = "CAST((k * 7) % 9000 + 1000 AS VARCHAR)"
+  private def sqlCardC = "CAST((k * 13) % 9000 + 1000 AS VARCHAR)"
+  private def sqlCardD = "CAST((k * 19) % 900 + 100 AS VARCHAR)"
+  private def sqlCardG4 =
+    s"CAST(((k * 19) % 900 + 100) * 10 + $sqlLuhnChk AS VARCHAR)"
+  private def sqlCardG4Bad =
+    s"CAST(((k * 19) % 900 + 100) * 10 + (($sqlLuhnChk + 1) % 10) AS VARCHAR)"
 
   private val textCleanPiiAdvSql =
     s"""WITH t AS (
-       |  SELECT c_custkey AS cust_id, $piiAdvTextSql AS text
+       |  SELECT c_custkey AS cust_id, ${piiAdvTextSql(sub = true)} AS text,
+       |         length(${piiAdvTextSql(sub = false)}) AS n_chars_raw
        |  FROM (SELECT c_custkey AS k, c_custkey FROM customer)
        |), m AS (
        |  SELECT cust_id,
@@ -409,7 +536,7 @@ object TrainPrepQueries {
        |             '$UrlRe', '<URL>', 'g'),
        |             '$PhoneRe', '<PHONE>', 'g'),
        |             '$IpRe', '<IP>', 'g') AS masked,
-       |         length(text) AS n_chars_raw
+       |         n_chars_raw
        |  FROM t
        |)
        |SELECT cust_id,

@@ -162,4 +162,95 @@ class TextMaskSpec extends AnyFunSuite {
     assert(TextMaskF.collapseTrim("  a\t\tb  ") === "a b")
     assert(TextMaskF.collapseTrim("\ta b\n") === " a b ")
   }
+
+  // -------------------- r18: Luhn-gated card masking ----------------------
+
+  /** Shape extractor: 16 digits, bare or 4×4 with a consistent '-'/' '
+    * separator (backreference), `\b` both ends. */
+  private val cardP = java.util.regex.Pattern.compile(
+    "\\b\\d{4}(?:([ -])\\d{4}\\1\\d{4}\\1\\d{4}|\\d{12})\\b")
+
+  /** Reference for [[TextMaskF.maskCards]]: regex candidate extraction
+    * + the same integer checksum, RESUMING AT start+1 on a Luhn
+    * failure (a later overlapping start — e.g. groups 2..5 of a
+    * five-group run — must get its own shot; plain find() would skip
+    * to the failed candidate's end). */
+  private def refMaskCards(s: String): String = {
+    val m = cardP.matcher(s)
+    val out = new java.lang.StringBuilder
+    var copied = 0
+    var pos = 0
+    var go = pos <= s.length && m.find(pos)
+    while (go) {
+      val st = m.start
+      val en = m.end
+      val digits = s.substring(st, en).filter(_.isDigit)
+        .map(_ - '0').toArray
+      if (TextMaskF.luhn16(digits)) {
+        out.append(s, copied, st).append("<CARD>")
+        copied = en
+        pos = en
+      } else pos = st + 1
+      go = pos <= s.length && m.find(pos)
+    }
+    if (copied == 0) s else out.append(s, copied, s.length).toString
+  }
+
+  // card-adversarial alphabet: valid and off-by-one card bodies, group
+  // fragments, both separators, boundary material
+  private val cardPiece: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf("4111111111111111", "4111111111111112",
+      "4111-1111-1111-1111", "4111 1111 1111 1111",
+      "4539578763621486", "4539-5787-6362-1486"),
+    4 -> Gen.oneOf("1234", "5678", "9012", "3456", "123", "12345"),
+    3 -> Gen.oneOf("-", " ", "", "x", "_", "."),
+    1 -> Gen.oneOf("+", "\t", "end", "<CARD>"))
+
+  test("maskCards ≡ regex-extract + Luhn reference on card-adversarial " +
+      "strings (including overlapping restart-at-+1 semantics)") {
+    val gen: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, cardPiece).map(_.mkString))
+    val prop = Prop.forAllNoShrink(gen) { s =>
+      val got = TextMaskF.maskCards(s)
+      val want = refMaskCards(s)
+      Prop(got == want) :| s"input=<$s> got=<$got> want=<$want>"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hand vectors: card mask edge semantics") {
+    // the three shapes, Luhn-valid (4111111111111111 sums to 30)
+    assert(TextMaskF.maskCards("pay 4111111111111111 now")
+      === "pay <CARD> now")
+    assert(TextMaskF.maskCards("pay 4111-1111-1111-1111 now")
+      === "pay <CARD> now")
+    assert(TextMaskF.maskCards("pay 4111 1111 1111 1111 now")
+      === "pay <CARD> now")
+    // Luhn decoy: shape matches, checksum fails, digits stay
+    assert(TextMaskF.maskCards("pay 4111111111111112 now")
+      === "pay 4111111111111112 now")
+    // inconsistent separator: not a card shape
+    assert(TextMaskF.maskCards("4111-1111 1111-1111")
+      === "4111-1111 1111-1111")
+    // \b guards: 15/17-digit runs and word-adjacent runs never match
+    assert(TextMaskF.maskCards("411111111111111") === "411111111111111")
+    assert(TextMaskF.maskCards("41111111111111112")
+      === "41111111111111112")
+    assert(TextMaskF.maskCards("x4111111111111111")
+      === "x4111111111111111")
+    assert(TextMaskF.maskCards("4111-1111-1111-1111x")
+      === "4111-1111-1111-1111x")
+    // overlapping restart: a 5-group run whose first 4-group window
+    // fails Luhn (9998411111111111 sums to 59) but whose SECOND window
+    // (groups 2..5 = 4111-1111-1111-1111) passes
+    assert(TextMaskF.maskCards("9998-4111-1111-1111-1111")
+      === "9998-<CARD>")
+    // chain order: the full pii+card clean masks cards before the
+    // phone/IP passes see any digits
+    assert(TextMaskF.cleanTextPiiCard(
+      "  a@b.de 4111 1111 1111 1111  555-123-4567  1.2.3.4 ")
+      === "<EMAIL> <CARD> <PHONE> <IP>")
+  }
 }
