@@ -681,6 +681,80 @@ object TrainPrepQueries {
        |            AS BIGINT) AS last_block
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // -------------------------- shard delivery ------------------------------
+
+  /** Fixed shard count for the trainer-delivery writer. 8 keeps the
+    * fixture layout spec readable; a production run sets this to the
+    * trainer's reader width (hundreds–thousands) — every shape below
+    * is independent of the value. */
+  private[queries] val NShards = 8
+
+  private[queries] def shardBase(s: SparkSession, dir: String): String = {
+    val suffix = graft.core.PathTag.tag(
+      dir + "#" + System.identityHashCode(s))
+    s"${sys.props("user.dir")}/target/qtmp/trainprep/shard_$suffix"
+  }
+
+  /** `x_shard_write` (r17 verdict item 1 of the Missing list): the last
+    * mile after [[seqPack]] — a deterministic global shuffle plus a
+    * fixed-shard writer, the delivery step a trainer actually reads.
+    * Every row gets a content-independent pseudorandom key
+    * `skey = md5(doc_id)` (the deterministic permutation — no RNG
+    * state, reruns and cross-engine replays agree), a shard by the
+    * md5-prefix hash mod [[NShards]], and lands in exactly one file per
+    * shard, ordered by `skey` within the file. The returned frame is
+    * the per-shard MANIFEST — (shard_id, n_seqs, n_tokens) plus the
+    * first/last doc in permutation order as an order witness — computed
+    * from the WRITTEN files, so the oracle gates the write path, not
+    * just the plan; `ShardWriteSpec` pins the layout (file count ==
+    * shard count, one file per shard, union == corpus, in-file skey
+    * order, rerun-deterministic).
+    *
+    * Scale shape: ONE hash exchange on the shard key (every row moves
+    * once — the unavoidable delivery shuffle), sortWithinPartitions
+    * (never a global sort: each shard sorts independently at cluster
+    * width), and a metadata-sized manifest aggregate. A shard value
+    * lives wholly in one reducer, so file-count == shard count by
+    * construction regardless of cluster width; AQE may coalesce small
+    * reducers but never splits a key. */
+  private def shardWrite(s: SparkSession, dir: String): DataFrame = {
+    val base = shardBase(s, dir)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextF.lowerTokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      .withColumn("shard",
+        pmod(HashF.tokenHash(col("doc_id").cast("string")),
+          lit(NShards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "skey")
+      .write.mode("overwrite").partitionBy("shard").parquet(base)
+    s.read.parquet(base)
+      .groupBy(col("shard").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("n_tokens").as("n_tokens"),
+        min_by(col("doc_id"), col("skey")).as("first_doc"),
+        max_by(col("doc_id"), col("skey")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  private val shardWriteSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+       |              END AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS skey,
+       |         ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % $NShards
+       |           AS shard
+       |  FROM documents
+       |)
+       |SELECT shard AS shard_id, count(*) AS n_seqs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       arg_min(doc_id, skey) AS first_doc,
+       |       arg_max(doc_id, skey) AS last_doc
+       |FROM t GROUP BY shard ORDER BY shard_id""".stripMargin
+
   // ------------------------ domain-mix sampling ---------------------------
 
   /** Target sampling rate (permille) per source domain — the mixing
@@ -1285,6 +1359,7 @@ object TrainPrepQueries {
     "c_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql),
       bench = true),
     "x_seq_pack" -> QueryDef(seqPack, Some(seqPackSql)),
+    "x_shard_write" -> QueryDef(shardWrite, Some(shardWriteSql)),
     "x_domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
     "x_group_sample" -> QueryDef(groupSample, Some(groupSampleSql)),
     "x_chunk_dedup" -> QueryDef(paraDedup, Some(paraDedupSql)),

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Layout + determinism pins for `x_shard_write` — the properties the
+  * DuckDB manifest oracle cannot see because they live in the FILES:
+  * exactly one parquet file per shard directory, file-count == shard
+  * count, the union of shards is the corpus, rows inside each file sit
+  * in skey (md5 permutation) order, and a rerun reproduces the manifest
+  * bit-for-bit. Runs on sf0.01 (500 docs) so every one of the 8 shards
+  * is populated (at 50 docs an empty shard is ~1% likely and the
+  * file-count assertion would be fixture luck, not a law). */
+class ShardWriteSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("x_shard_write: one file per shard, union == corpus, in-file " +
+      "skey order, deterministic rerun") {
+    val run1 = graft.SparkEntry.queries("x_shard_write")(spark, dir)
+      .collect().toSeq
+    assert(run1.length === TrainPrepQueries.NShards)
+    // union == corpus (n_seqs sums to the document count)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(run1.map(_.getLong(1)).sum === nDocs)
+    // layout: NShards shard= dirs, each holding exactly one parquet file
+    val base = new java.io.File(TrainPrepQueries.shardBase(spark, dir))
+    val shardDirs = base.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length === TrainPrepQueries.NShards)
+    for (d <- shardDirs) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: ${files.length} files")
+      // in-file order IS skey order (parquet preserves row order; the
+      // writer sorted within the shard's single partition)
+      val skeys = spark.read.parquet(files.head.getPath)
+        .select("skey").collect().map(_.getString(0)).toSeq
+      assert(skeys === skeys.sorted, s"${d.getName} not in skey order")
+      assert(skeys.nonEmpty)
+    }
+    // rerun: same session, same fixture -> bit-identical manifest
+    val run2 = graft.SparkEntry.queries("x_shard_write")(spark, dir)
+      .collect().toSeq
+    assert(run2 === run1)
+    // the order witness is real: first_doc != last_doc on a populated
+    // shard, and both belong to the shard's doc set
+    val shard0 = spark.read.parquet(
+      shardDirs.minBy(_.getName).getPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val m0 = run1.minBy(_.getLong(0))
+    assert(shard0.contains(m0.getLong(3)) && shard0.contains(m0.getLong(4)))
+    assert(m0.getLong(3) !== m0.getLong(4))
+  }
+}
