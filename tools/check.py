@@ -31,7 +31,7 @@ def canon(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -116,8 +116,27 @@ def main(sf_dir: str, out_dir: str) -> None:
         bad += 0 if r.startswith("OK") else 1
         print(f"{flag} {name}: {r}")
     print(f"\n{len(results)-bad}/{len(results)} queries match")
+    if json_out:
+        # standing artifact (r17 verdict item 5): the full-registry
+        # at-10x-SF witness goes in-tree as VERIFY_sf01_rN.json instead
+        # of living as PLANS prose; failures carry the full status line
+        with open(json_out, "w") as f:
+            json.dump({
+                "sf": sf_dir,
+                "n_queries": len(results),
+                "n_match": len(results) - bad,
+                "failures": {n: r for n, r in sorted(results.items())
+                             if not r.startswith("OK")},
+            }, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    json_path = None
+    args = [a for a in sys.argv[1:]]
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
+    main(args[0], args[1], json_path)
