@@ -738,6 +738,65 @@ object TrainPrepQueries {
       .orderBy("shard_id")
   }
 
+  /** Per-(shard, lang) sequence packing — the composition [[seqPack]]'s
+    * scaladoc promises at 100 TB ("pack per (lang, shard) with the same
+    * expression"): documents shard by [[shardWrite]]'s hash law, then
+    * the [[PackCap]]-token block cumsum runs WITHIN (shard, lang) in
+    * DELIVERY order (the md5 permutation key — the order a trainer
+    * actually reads a shard). Output is the per-(shard, lang) pack
+    * manifest: docs, tokens, blocks (= ceil(tokens/cap) when the group
+    * has tokens; an all-empty group reports 1 by the cumsum edge law —
+    * deterministic, mirrored by the oracle). Scale: the window never
+    * crosses a shard — each (shard, lang) slice packs independently at
+    * cluster width, one shuffle on the window key, and the follow-up
+    * aggregate rides the SAME partitioning (no second exchange). */
+  private def shardPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard", "lang").orderBy("skey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextF.lowerTokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      .withColumn("shard",
+        pmod(HashF.tokenHash(col("doc_id").cast("string")),
+          lit(NShards.toLong)))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("last_block",
+        when(col("n_tokens") === 0, expr(s"cum_before div $PackCap"))
+          .otherwise(expr(s"(cum_before + n_tokens - 1) div $PackCap")))
+      .groupBy(col("shard").as("shard_id"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        (max("last_block") + 1).as("n_blocks"))
+      .orderBy("shard_id", "lang")
+  }
+
+  private val shardPackSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+       |              END AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS skey,
+       |         ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % $NShards
+       |           AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT shard, lang, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (
+       |           PARTITION BY shard, lang ORDER BY skey
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS cum_before
+       |  FROM t
+       |)
+       |SELECT shard AS shard_id, lang, count(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(MAX(CASE WHEN n_tokens = 0 THEN cum_before // $PackCap
+       |            ELSE (cum_before + n_tokens - 1) // $PackCap END) + 1
+       |            AS BIGINT) AS n_blocks
+       |FROM c GROUP BY shard, lang ORDER BY shard_id, lang""".stripMargin
+
   private val shardWriteSql =
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -1360,6 +1419,7 @@ object TrainPrepQueries {
       bench = true),
     "x_seq_pack" -> QueryDef(seqPack, Some(seqPackSql)),
     "x_shard_write" -> QueryDef(shardWrite, Some(shardWriteSql)),
+    "x_shard_pack" -> QueryDef(shardPack, Some(shardPackSql)),
     "x_domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
     "x_group_sample" -> QueryDef(groupSample, Some(groupSampleSql)),
     "x_chunk_dedup" -> QueryDef(paraDedup, Some(paraDedupSql)),

@@ -52,4 +52,32 @@ class ShardWriteSpec extends SparkSpec {
     assert(shard0.contains(m0.getLong(3)) && shard0.contains(m0.getLong(4)))
     assert(m0.getLong(3) !== m0.getLong(4))
   }
+
+  test("x_shard_pack: manifest consistent with x_shard_write and the " +
+      "pack window rides the shard partitioning (one exchange)") {
+    val pack = graft.SparkEntry.queries("x_shard_pack")(spark, dir)
+    val rows = pack.collect()
+    // per-shard rollup of the pack manifest == the write manifest
+    val write = graft.SparkEntry.queries("x_shard_write")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val byShard = rows.groupBy(_.getLong(0)).map { case (sid, rs) =>
+      sid -> (rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum)
+    }
+    assert(byShard === write)
+    // blocks law: n_blocks == ceil(n_tokens / 512) on token-bearing
+    // groups (every (shard, lang) group carries tokens at sf0.01)
+    assert(rows.forall(r =>
+      r.getLong(4) === (r.getLong(3) + 511) / 512))
+    // the aggregate reuses the window's (shard, lang) hash
+    // partitioning: exactly ONE hash shuffle in the whole plan (the
+    // only other exchange is the 40-row manifest's presentational
+    // range sort). AQE's toString prints Final AND Initial plan
+    // sections — count the final one only.
+    val planStr = pack.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val exchanges = planStr
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges")
+  }
 }
