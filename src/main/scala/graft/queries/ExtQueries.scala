@@ -1570,63 +1570,71 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** The K-GATED assign rule as oracle CTEs, CTE-for-CTE with
+    * [[assignGated]]: a FLAT arm (argmin over all K centroids) over the
+    * corpus when K sits at the IvfK floor, and the TWO-LEVEL arm (⌈√K⌉
+    * lowest-cid supers → child→super map → vector→two-nearest-supers
+    * (nprobe=2) → nearest child across those supers' children;
+    * rounded-L2, id tie-breaks at every level) when K is off the floor.
+    * The two source filters are complementary on the scalar K, so
+    * exactly one arm carries rows — the union IS the gate, at every SF.
+    * Shared by semDedupSql and semDedupIncrementalSql (ONE spelling of
+    * the exactness-critical rule; callers supply their own `kp`/`sp`
+    * CTEs). The `AS MATERIALIZED` hints are load-bearing: DuckDB
+    * otherwise inlines each multiply-referenced CTE and the chained
+    * assigns re-expand exponentially (r17 lesson, >74 GB spill at
+    * sf10). */
+  private def sqlGatedAssign(embCte: String, centCte: String, p: String,
+      out: String): String =
+    s"""${p}_fe AS (
+       |  SELECT e.* FROM $embCte e WHERE (SELECT k FROM kp) <= $IvfK
+       |), ${p}_fl AS MATERIALIZED (
+       |  SELECT vec_id, v, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_distance(e.v, c.cv), 6),
+       |                      c.cid) AS rk
+       |    FROM ${p}_fe e CROSS JOIN $centCte c
+       |  ) WHERE rk = 1
+       |), ${p}_te AS (
+       |  SELECT e.* FROM $embCte e WHERE (SELECT k FROM kp) > $IvfK
+       |), ${p}_sup AS MATERIALIZED (
+       |  SELECT cid AS scid, cv AS scv FROM (
+       |    SELECT cid, cv, row_number() OVER (ORDER BY cid) AS r
+       |    FROM $centCte
+       |  ) WHERE r <= (SELECT ns FROM sp)
+       |), ${p}_cm AS MATERIALIZED (
+       |  SELECT cid, cv, scid FROM (
+       |    SELECT c.cid, c.cv, s.scid,
+       |           row_number() OVER (PARTITION BY c.cid
+       |             ORDER BY round(list_distance(c.cv, s.scv), 6),
+       |                      s.scid) AS rk
+       |    FROM $centCte c CROSS JOIN ${p}_sup s
+       |  ) WHERE rk = 1
+       |), ${p}_vs AS MATERIALIZED (
+       |  SELECT vec_id, scid FROM (
+       |    SELECT e.vec_id, s.scid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_distance(e.v, s.scv), 6),
+       |                      s.scid) AS rk
+       |    FROM ${p}_te e CROSS JOIN ${p}_sup s
+       |  ) WHERE rk <= 2
+       |), ${p}_tl AS (
+       |  SELECT vec_id, v, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.v, m.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_distance(e.v, m.cv), 6),
+       |                      m.cid) AS rk
+       |    FROM ${p}_te e JOIN ${p}_vs x ON e.vec_id = x.vec_id
+       |    JOIN ${p}_cm m ON m.scid = x.scid
+       |  ) WHERE rk = 1
+       |), $out AS MATERIALIZED (
+       |  SELECT * FROM ${p}_fl UNION ALL SELECT * FROM ${p}_tl
+       |)""".stripMargin
+
   private val semDedupSql = {
-    // the K-GATED assign rule, CTE-for-CTE with assignGated: a FLAT arm
-    // (argmin over all K centroids) over the corpus when K sits at the
-    // IvfK floor, and the TWO-LEVEL arm (⌈√K⌉ lowest-cid supers →
-    // child→super map → vector→two-nearest-supers (nprobe=2) → nearest
-    // child across those supers' children; rounded-L2, id tie-breaks at
-    // every level) when K is off the floor. The two source filters are
-    // complementary on the scalar K, so exactly one arm carries rows —
-    // the union IS the gate, at every SF.
-    def assignG(embCte: String, centCte: String, p: String, out: String) =
-      s"""${p}_fe AS (
-         |  SELECT e.* FROM $embCte e WHERE (SELECT k FROM kp) <= $IvfK
-         |), ${p}_fl AS MATERIALIZED (
-         |  SELECT vec_id, v, cid AS cluster FROM (
-         |    SELECT e.vec_id, e.v, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY round(list_distance(e.v, c.cv), 6),
-         |                      c.cid) AS rk
-         |    FROM ${p}_fe e CROSS JOIN $centCte c
-         |  ) WHERE rk = 1
-         |), ${p}_te AS (
-         |  SELECT e.* FROM $embCte e WHERE (SELECT k FROM kp) > $IvfK
-         |), ${p}_sup AS MATERIALIZED (
-         |  SELECT cid AS scid, cv AS scv FROM (
-         |    SELECT cid, cv, row_number() OVER (ORDER BY cid) AS r
-         |    FROM $centCte
-         |  ) WHERE r <= (SELECT ns FROM sp)
-         |), ${p}_cm AS MATERIALIZED (
-         |  SELECT cid, cv, scid FROM (
-         |    SELECT c.cid, c.cv, s.scid,
-         |           row_number() OVER (PARTITION BY c.cid
-         |             ORDER BY round(list_distance(c.cv, s.scv), 6),
-         |                      s.scid) AS rk
-         |    FROM $centCte c CROSS JOIN ${p}_sup s
-         |  ) WHERE rk = 1
-         |), ${p}_vs AS MATERIALIZED (
-         |  SELECT vec_id, scid FROM (
-         |    SELECT e.vec_id, s.scid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY round(list_distance(e.v, s.scv), 6),
-         |                      s.scid) AS rk
-         |    FROM ${p}_te e CROSS JOIN ${p}_sup s
-         |  ) WHERE rk <= 2
-         |), ${p}_tl AS (
-         |  SELECT vec_id, v, cid AS cluster FROM (
-         |    SELECT e.vec_id, e.v, m.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY round(list_distance(e.v, m.cv), 6),
-         |                      m.cid) AS rk
-         |    FROM ${p}_te e JOIN ${p}_vs x ON e.vec_id = x.vec_id
-         |    JOIN ${p}_cm m ON m.scid = x.scid
-         |  ) WHERE rk = 1
-         |), $out AS MATERIALIZED (
-         |  SELECT * FROM ${p}_fl UNION ALL SELECT * FROM ${p}_tl
-         |)""".stripMargin
     def assign2(centCte: String, p: String, out: String) =
-      assignG("emb", centCte, p, out)
+      sqlGatedAssign("emb", centCte, p, out)
     def update(assignedCte: String) =
       s"""SELECT cluster AS cid, list(m ORDER BY pos) AS cv FROM (
          |    SELECT cluster, i AS pos,
@@ -1764,56 +1772,12 @@ object ExtQueries {
 
   private val semDedupIncrementalSql = {
     // the same K-GATED assign/update CTE machinery as semDedupSql
-    // (flat arm at the K floor, two-level off it — one arm always
-    // empty), parameterized on the TRAINING frame (idx — the persisted
-    // corpus) vs the ASSIGNED frame (emb — corpus + batch, frozen
-    // centroids); kp here restates the INDEX-count law
+    // (sqlGatedAssign — one spelling of the rule), parameterized on the
+    // TRAINING frame (idx — the persisted corpus) vs the ASSIGNED frame
+    // (emb — corpus + batch, frozen centroids); kp here restates the
+    // INDEX-count law
     def assign2(embCte: String, centCte: String, p: String, out: String) =
-      s"""${p}_fe AS (
-         |  SELECT e.* FROM $embCte e WHERE (SELECT k FROM kp) <= $IvfK
-         |), ${p}_fl AS MATERIALIZED (
-         |  SELECT vec_id, v, cid AS cluster FROM (
-         |    SELECT e.vec_id, e.v, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY round(list_distance(e.v, c.cv), 6),
-         |                      c.cid) AS rk
-         |    FROM ${p}_fe e CROSS JOIN $centCte c
-         |  ) WHERE rk = 1
-         |), ${p}_te AS (
-         |  SELECT e.* FROM $embCte e WHERE (SELECT k FROM kp) > $IvfK
-         |), ${p}_sup AS MATERIALIZED (
-         |  SELECT cid AS scid, cv AS scv FROM (
-         |    SELECT cid, cv, row_number() OVER (ORDER BY cid) AS r
-         |    FROM $centCte
-         |  ) WHERE r <= (SELECT ns FROM sp)
-         |), ${p}_cm AS MATERIALIZED (
-         |  SELECT cid, cv, scid FROM (
-         |    SELECT c.cid, c.cv, s.scid,
-         |           row_number() OVER (PARTITION BY c.cid
-         |             ORDER BY round(list_distance(c.cv, s.scv), 6),
-         |                      s.scid) AS rk
-         |    FROM $centCte c CROSS JOIN ${p}_sup s
-         |  ) WHERE rk = 1
-         |), ${p}_vs AS MATERIALIZED (
-         |  SELECT vec_id, scid FROM (
-         |    SELECT e.vec_id, s.scid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY round(list_distance(e.v, s.scv), 6),
-         |                      s.scid) AS rk
-         |    FROM ${p}_te e CROSS JOIN ${p}_sup s
-         |  ) WHERE rk <= 2
-         |), ${p}_tl AS (
-         |  SELECT vec_id, v, cid AS cluster FROM (
-         |    SELECT e.vec_id, e.v, m.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY round(list_distance(e.v, m.cv), 6),
-         |                      m.cid) AS rk
-         |    FROM ${p}_te e JOIN ${p}_vs x ON e.vec_id = x.vec_id
-         |    JOIN ${p}_cm m ON m.scid = x.scid
-         |  ) WHERE rk = 1
-         |), $out AS MATERIALIZED (
-         |  SELECT * FROM ${p}_fl UNION ALL SELECT * FROM ${p}_tl
-         |)""".stripMargin
+      sqlGatedAssign(embCte, centCte, p, out)
     def update(assignedCte: String) =
       s"""SELECT cluster AS cid, list(m ORDER BY pos) AS cv FROM (
          |    SELECT cluster, i AS pos,

@@ -719,13 +719,7 @@ object TrainPrepQueries {
     * reducers but never splits a key. */
   private def shardWrite(s: SparkSession, dir: String): DataFrame = {
     val base = shardBase(s, dir)
-    tbl(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(TextF.lowerTokens(col("text"))).cast("long").as("n_tokens"),
-        md5(col("doc_id").cast("string").cast("binary")).as("skey"))
-      .withColumn("shard",
-        pmod(HashF.tokenHash(col("doc_id").cast("string")),
-          lit(NShards.toLong)))
+    shardDocs(s, dir)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "skey")
       .write.mode("overwrite").partitionBy("shard").parquet(base)
@@ -738,21 +732,12 @@ object TrainPrepQueries {
       .orderBy("shard_id")
   }
 
-  /** Per-(shard, lang) sequence packing — the composition [[seqPack]]'s
-    * scaladoc promises at 100 TB ("pack per (lang, shard) with the same
-    * expression"): documents shard by [[shardWrite]]'s hash law, then
-    * the [[PackCap]]-token block cumsum runs WITHIN (shard, lang) in
-    * DELIVERY order (the md5 permutation key — the order a trainer
-    * actually reads a shard). Output is the per-(shard, lang) pack
-    * manifest: docs, tokens, blocks (= ceil(tokens/cap) when the group
-    * has tokens; an all-empty group reports 1 by the cumsum edge law —
-    * deterministic, mirrored by the oracle). Scale: the window never
-    * crosses a shard — each (shard, lang) slice packs independently at
-    * cluster width, one shuffle on the window key, and the follow-up
-    * aggregate rides the SAME partitioning (no second exchange). */
-  private def shardPack(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("shard", "lang").orderBy("skey")
-      .rowsBetween(Window.unboundedPreceding, -1)
+  /** The shared delivery derivation both shard queries (and the spec)
+    * depend on: every document with its token count, the md5
+    * permutation key, and the md5-prefix-hash shard — ONE definition so
+    * the shard law cannot fork between the writer and the packer.
+    * SQL twin: [[shardDocsSqlCte]]. */
+  private def shardDocs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(TextF.lowerTokens(col("text"))).cast("long").as("n_tokens"),
@@ -760,6 +745,38 @@ object TrainPrepQueries {
       .withColumn("shard",
         pmod(HashF.tokenHash(col("doc_id").cast("string")),
           lit(NShards.toLong)))
+
+  /** [[shardDocs]] as the shared oracle `t` CTE body. */
+  private val shardDocsSqlCte =
+    s"""SELECT doc_id, lang,
+       |         CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+       |              END AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS skey,
+       |         ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % $NShards
+       |           AS shard
+       |  FROM documents""".stripMargin
+
+  /** Per-(shard, lang) sequence packing — the composition [[seqPack]]'s
+    * scaladoc promises at 100 TB ("pack per (lang, shard) with the same
+    * expression"): documents shard by [[shardWrite]]'s hash law, then
+    * the [[PackCap]]-token block cumsum runs WITHIN (shard, lang) in
+    * DELIVERY order (the md5 permutation key — the order a trainer
+    * actually reads a shard). Output is the per-(shard, lang) pack
+    * manifest: docs, tokens, blocks. `n_blocks` counts the blocks that
+    * actually hold a token — max block index over TOKEN-BEARING docs
+    * plus one — which equals ceil(tokens/cap) exactly (zero-token docs
+    * carry seqPack's next-block convention and could otherwise
+    * overcount by one when they sort right after an exact cap
+    * boundary; an all-empty group reports 0). Scale: the window never
+    * crosses a shard — each (shard, lang) slice packs independently at
+    * cluster width, one shuffle on the window key, and the follow-up
+    * aggregate rides the SAME partitioning (no second exchange —
+    * plan-witnessed in ShardWriteSpec). */
+  private def shardPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard", "lang").orderBy("skey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shardDocs(s, dir)
       .withColumn("cum_before",
         coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("last_block",
@@ -768,20 +785,15 @@ object TrainPrepQueries {
       .groupBy(col("shard").as("shard_id"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
-        (max("last_block") + 1).as("n_blocks"))
+        coalesce(
+          max(when(col("n_tokens") > 0, col("last_block"))) + 1,
+          lit(0L)).as("n_blocks"))
       .orderBy("shard_id", "lang")
   }
 
   private val shardPackSql =
     s"""WITH t AS (
-       |  SELECT doc_id, lang,
-       |         CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
-       |              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
-       |              END AS BIGINT) AS n_tokens,
-       |         md5(CAST(doc_id AS VARCHAR)) AS skey,
-       |         ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % $NShards
-       |           AS shard
-       |  FROM documents
+       |  $shardDocsSqlCte
        |), c AS (
        |  SELECT shard, lang, n_tokens,
        |         CAST(COALESCE(SUM(n_tokens) OVER (
@@ -792,21 +804,14 @@ object TrainPrepQueries {
        |)
        |SELECT shard AS shard_id, lang, count(*) AS n_docs,
        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       |       CAST(MAX(CASE WHEN n_tokens = 0 THEN cum_before // $PackCap
-       |            ELSE (cum_before + n_tokens - 1) // $PackCap END) + 1
-       |            AS BIGINT) AS n_blocks
+       |       CAST(COALESCE(MAX(CASE WHEN n_tokens > 0
+       |              THEN (cum_before + n_tokens - 1) // $PackCap END) + 1,
+       |            0) AS BIGINT) AS n_blocks
        |FROM c GROUP BY shard, lang ORDER BY shard_id, lang""".stripMargin
 
   private val shardWriteSql =
     s"""WITH t AS (
-       |  SELECT doc_id,
-       |         CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
-       |              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
-       |              END AS BIGINT) AS n_tokens,
-       |         md5(CAST(doc_id AS VARCHAR)) AS skey,
-       |         ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % $NShards
-       |           AS shard
-       |  FROM documents
+       |  $shardDocsSqlCte
        |)
        |SELECT shard AS shard_id, count(*) AS n_seqs,
        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,

@@ -137,6 +137,10 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check.py <sfDir> <outDir> [--json <path>]")
         json_path = args[i + 1]
         del args[i:i + 2]
+    if len(args) < 2:
+        sys.exit("usage: check.py <sfDir> <outDir> [--json <path>]")
     main(args[0], args[1], json_path)

@@ -18,7 +18,11 @@ import sys
 
 def load(p):
     d = json.load(open(p))
-    return d["queries"], d["duckdb"]["queries"]
+    duck = d.get("duckdb") or {}
+    if "queries" not in duck:
+        sys.exit(f"{p}: no duckdb pairing block — run Bench with the "
+                 "paired comparator (SPARK_GRAFT_PAIRED unset)")
+    return d["queries"], duck["queries"]
 
 
 def num(qs, n):
@@ -50,6 +54,9 @@ def main(now_p, prev_p):
               f"| {delta(a, num(sp, n))} | {delta(b, num(dp, n))} |")
     full = [n for n in names
             if all(num(q, n) is not None for q in (sn, dn, sp, dp))]
+    if not full:
+        print("| **total** | — | — | — | — | — |")
+        return
     ta, tb = sum(num(sn, n) for n in full), sum(num(dn, n) for n in full)
     tc, td = sum(num(sp, n) for n in full), sum(num(dp, n) for n in full)
     print(f"| **total** | **{ta:.1f}** | **{tb:.1f}** | **{ta / tb:.2f}×** "
