@@ -819,6 +819,99 @@ object TrainPrepQueries {
        |       arg_max(doc_id, skey) AS last_doc
        |FROM t GROUP BY shard ORDER BY shard_id""".stripMargin
 
+  /** End-to-end training-data DELIVERY as one declarative plan
+    * (`c_train_delivery`) — the delivery-family counterpart of
+    * [[corpusPipeline]]: clean (the fused codegen mask+canonicalize) →
+    * exact-dedup on the cleaned fingerprint (keep lowest doc_id) →
+    * delivery keys ([[shardDocs]]'s md5 permutation + shard law, on the
+    * SURVIVORS) → per-shard [[PackCap]]-token packing in delivery order
+    * → per-shard manifest (docs, tokens shipped, blocks, first/last doc
+    * as the order witness). Token counts are taken on the CLEANED text
+    * — what a trainer actually receives — unlike [[shardWrite]]'s
+    * raw-text counts.
+    *
+    * Scale shape: the scan-side projection reduces every document to
+    * (doc_id, fp, n_tokens) before anything shuffles, so the dedup
+    * exchange and everything after move ~50 B/row regardless of
+    * document size; then ONE more exchange on the shard key and the
+    * manifest aggregate rides it. Two metadata-sized shuffles total
+    * for the whole delivery. Duplicates share their fingerprint
+    * group's identical cleaned text, so min(n_tokens) is exact, not a
+    * tie-break. */
+  private def trainDelivery(s: SparkSession, dir: String): DataFrame = {
+    val compact = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.cleanText(col("text")).as("clean"))
+      .select(col("doc_id"), lower(col("clean")).as("lc"))
+      .select(col("doc_id"),
+        md5(col("lc").cast("binary")).as("fp"),
+        size(TextF.tokens(col("lc"))).cast("long").as("n_tokens"))
+    val survivors = compact.groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
+    val keyed = survivors
+      .withColumn("skey", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("shard",
+        pmod(HashF.tokenHash(col("doc_id").cast("string")),
+          lit(NShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy("skey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("last_block",
+        when(col("n_tokens") === 0, expr(s"cum_before div $PackCap"))
+          .otherwise(expr(s"(cum_before + n_tokens - 1) div $PackCap")))
+      .groupBy(col("shard").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        coalesce(
+          max(when(col("n_tokens") > 0, col("last_block"))) + 1,
+          lit(0L)).as("n_blocks"),
+        min_by(col("doc_id"), col("skey")).as("first_doc"),
+        max_by(col("doc_id"), col("skey")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  private val trainDeliverySql =
+    s"""WITH cleaned AS (
+       |  SELECT doc_id,
+       |         regexp_replace(trim(regexp_replace(
+       |           regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |           '$UrlRe', '<URL>', 'g')), '\\s+', ' ', 'g') AS clean
+       |  FROM documents
+       |), fp AS (
+       |  SELECT doc_id,
+       |         md5(regexp_replace(lower(trim(clean)), '\\s+', ' ',
+       |                            'g')) AS fp,
+       |         CAST(CASE WHEN length(trim(lower(clean))) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(lower(clean)),
+       |                                          '\\s+'))
+       |              END AS BIGINT) AS n_tokens
+       |  FROM cleaned
+       |), surv AS (
+       |  SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+       |  FROM fp GROUP BY fp
+       |), keyed AS (
+       |  SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS skey,
+       |         ${OracleSql.hash("CAST(doc_id AS VARCHAR)")} % $NShards
+       |           AS shard
+       |  FROM surv
+       |), c AS (
+       |  SELECT shard, doc_id, skey, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (
+       |           PARTITION BY shard ORDER BY skey
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS cum_before
+       |  FROM keyed
+       |)
+       |SELECT shard AS shard_id, count(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(MAX(CASE WHEN n_tokens > 0
+       |              THEN (cum_before + n_tokens - 1) // $PackCap END) + 1,
+       |            0) AS BIGINT) AS n_blocks,
+       |       arg_min(doc_id, skey) AS first_doc,
+       |       arg_max(doc_id, skey) AS last_doc
+       |FROM c GROUP BY shard ORDER BY shard_id""".stripMargin
+
   // ------------------------ domain-mix sampling ---------------------------
 
   /** Target sampling rate (permille) per source domain — the mixing
@@ -1425,6 +1518,7 @@ object TrainPrepQueries {
     "x_seq_pack" -> QueryDef(seqPack, Some(seqPackSql)),
     "x_shard_write" -> QueryDef(shardWrite, Some(shardWriteSql)),
     "x_shard_pack" -> QueryDef(shardPack, Some(shardPackSql)),
+    "c_train_delivery" -> QueryDef(trainDelivery, Some(trainDeliverySql)),
     "x_domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
     "x_group_sample" -> QueryDef(groupSample, Some(groupSampleSql)),
     "x_chunk_dedup" -> QueryDef(paraDedup, Some(paraDedupSql)),

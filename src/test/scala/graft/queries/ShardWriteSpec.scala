@@ -80,4 +80,26 @@ class ShardWriteSpec extends SparkSpec {
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges")
   }
+
+  test("c_train_delivery: the whole delivery is two metadata-sized " +
+      "shuffles (dedup + shard) and ships no more docs than the " +
+      "raw-corpus writer") {
+    val del = graft.SparkEntry.queries("c_train_delivery")(spark, dir)
+    val rows = del.collect()
+    assert(rows.nonEmpty)
+    // dedup can only shrink each shard's doc count vs the raw writer
+    val write = graft.SparkEntry.queries("x_shard_write")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => r.getLong(1) <= write(r.getLong(0))))
+    // blocks law holds exactly on the shipped token counts
+    assert(rows.forall(r => r.getLong(3) === (r.getLong(2) + 511) / 512))
+    // plan: dedup exchange + shard exchange, nothing else (the window's
+    // partitioning is reused by the manifest aggregate); final AQE
+    // section only
+    val planStr = del.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val exchanges = planStr
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 2, s"expected 2 hash exchanges, got $exchanges")
+  }
 }
