@@ -912,6 +912,142 @@ object TrainPrepQueries {
        |       arg_max(doc_id, skey) AS last_doc
        |FROM c GROUP BY shard ORDER BY shard_id""".stripMargin
 
+  /** Per-language token budget for [[tokenBudgetMix]] — a trainer's
+    * data recipe expressed as a law ("this many tokens of each
+    * language"), fixed so every engine and rerun agrees. A production
+    * run feeds the real recipe table here; every shape below is
+    * independent of the values. */
+  private def tokenBudgetFor(lang: Column): Column =
+    when(lang === "en", lit(2000L)).otherwise(lit(1000L))
+
+  /** `x_token_budget_mix` — token-budget data mixing: take documents
+    * per language, in DELIVERY order (the md5 permutation — the same
+    * unbiased deterministic order the shard writer ships), until the
+    * language's token budget fills; the document that crosses the
+    * boundary is included (greedy-prefix semantics: a doc is kept iff
+    * the tokens BEFORE it are under budget). This is the recipe step
+    * real LLM data pipelines run ("N tokens of each language/domain"),
+    * and the md5 order makes the selected prefix an unbiased sample —
+    * unlike doc_id order, which would bias toward old documents.
+    * Output is the per-language audit: budget, doc/kept counts, kept
+    * vs total tokens, and the LAST kept doc in delivery order as the
+    * boundary witness.
+    *
+    * Scale: the scan projects each document to ~40 B of metadata, one
+    * hash exchange on `lang` for the cumsum window, and the audit
+    * aggregate rides the window's partitioning (no second exchange —
+    * it groups by the window's own partition key; the per-lang budget
+    * is recovered with max() instead of joining the group key, exactly
+    * so the grouping stays on `lang` alone). Selection is a pure
+    * function of the data — reruns, engines, and a 1000-executor
+    * cluster agree on the exact document set. */
+  private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("skey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shardDocs(s, dir) // shard col unused here; Catalyst prunes it
+      .withColumn("budget", tokenBudgetFor(col("lang")))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("kept", (col("cum_before") < col("budget")).cast("long"))
+      .groupBy("lang")
+      .agg(max("budget").as("budget"),
+        count(lit(1)).as("n_docs"),
+        sum("kept").as("n_kept"),
+        coalesce(sum(when(col("kept") === 1L, col("n_tokens"))), lit(0L))
+          .as("tokens_kept"),
+        sum("n_tokens").as("tokens_total"),
+        expr("max_by(doc_id, skey) FILTER (WHERE kept = 1)").as("last_kept"))
+      .orderBy("lang")
+  }
+
+  private val tokenBudgetMixSql =
+    s"""WITH t AS (
+       |  $shardDocsSqlCte
+       |), c AS (
+       |  SELECT lang, doc_id, skey, n_tokens,
+       |         CASE WHEN lang = 'en' THEN 2000 ELSE 1000 END AS budget,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (
+       |           PARTITION BY lang ORDER BY skey
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS cum_before
+       |  FROM t
+       |)
+       |SELECT lang, CAST(MAX(budget) AS BIGINT) AS budget,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN cum_before < budget THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_kept,
+       |       CAST(COALESCE(SUM(CASE WHEN cum_before < budget
+       |                          THEN n_tokens END), 0)
+       |            AS BIGINT) AS tokens_kept,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       |       arg_max(doc_id, skey) FILTER (WHERE cum_before < budget)
+       |         AS last_kept
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** `x_shard_append` — the incremental twin of [[shardWrite]] (the
+    * same 80/20 split convention as `x_dedup_incremental` /
+    * `x_semdedup_incremental`): the first 4/5 of doc_ids are the
+    * EXISTING sharded corpus; the rest are today's batch, which gets
+    * its delivery keys from the SAME law ([[shardDocs]] — one
+    * definition, so the append cannot fork from the original write)
+    * and lands in the existing per-shard layout via an APPEND write —
+    * one new file per shard, the original files untouched (what makes
+    * a daily 100 TB delivery O(batch), not O(corpus): yesterday's
+    * files are never rewritten). The returned frame is the per-shard
+    * manifest computed from the files as a trainer would read them
+    * after the append: index/new/total doc counts, total tokens, and
+    * first/last doc in permutation order — the witness that the
+    * merged delivery order interleaves index and batch docs by skey,
+    * not file arrival order. `ShardWriteSpec` pins the layout (exactly
+    * two files per shard post-append, union == corpus,
+    * rerun-deterministic).
+    *
+    * Scale shape: two delivery shuffles sized to what they ship (the
+    * index's one-time write moves index rows; the daily append moves
+    * ONLY batch rows), and a metadata-sized manifest aggregate. A
+    * shard value lives wholly in one reducer in each write, so the
+    * append adds exactly one file per shard regardless of cluster
+    * width. */
+  private def shardAppend(s: SparkSession, dir: String): DataFrame = {
+    val base = shardBase(s, dir) + "_incr"
+    val docs = shardDocs(s, dir)
+    val split = tbl(s, dir, "documents").count() * 4 / 5
+    docs.filter(col("doc_id") < split)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "skey")
+      .write.mode("overwrite").partitionBy("shard").parquet(base)
+    docs.filter(col("doc_id") >= split)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "skey")
+      .write.mode("append").partitionBy("shard").parquet(base)
+    s.read.parquet(base)
+      .groupBy(col("shard").cast("long").as("shard_id"))
+      .agg(sum(when(col("doc_id") < split, 1L).otherwise(0L)).as("n_index"),
+        sum(when(col("doc_id") >= split, 1L).otherwise(0L)).as("n_new"),
+        count(lit(1)).as("n_seqs"),
+        sum("n_tokens").as("n_tokens"),
+        min_by(col("doc_id"), col("skey")).as("first_doc"),
+        max_by(col("doc_id"), col("skey")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  private val shardAppendSql =
+    s"""WITH t AS (
+       |  $shardDocsSqlCte
+       |), sp AS (
+       |  SELECT count(*) * 4 // 5 AS split FROM documents
+       |)
+       |SELECT shard AS shard_id,
+       |       CAST(SUM(CASE WHEN doc_id < split THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_index,
+       |       CAST(SUM(CASE WHEN doc_id >= split THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_new,
+       |       count(*) AS n_seqs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       arg_min(doc_id, skey) AS first_doc,
+       |       arg_max(doc_id, skey) AS last_doc
+       |FROM t, sp GROUP BY shard ORDER BY shard_id""".stripMargin
+
   // ------------------------ domain-mix sampling ---------------------------
 
   /** Target sampling rate (permille) per source domain — the mixing
@@ -1519,6 +1655,8 @@ object TrainPrepQueries {
     "x_shard_write" -> QueryDef(shardWrite, Some(shardWriteSql)),
     "x_shard_pack" -> QueryDef(shardPack, Some(shardPackSql)),
     "c_train_delivery" -> QueryDef(trainDelivery, Some(trainDeliverySql)),
+    "x_token_budget_mix" -> QueryDef(tokenBudgetMix, Some(tokenBudgetMixSql)),
+    "x_shard_append" -> QueryDef(shardAppend, Some(shardAppendSql)),
     "x_domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
     "x_group_sample" -> QueryDef(groupSample, Some(groupSampleSql)),
     "x_chunk_dedup" -> QueryDef(paraDedup, Some(paraDedupSql)),

@@ -102,4 +102,58 @@ class ShardWriteSpec extends SparkSpec {
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 2, s"expected 2 hash exchanges, got $exchanges")
   }
+
+  test("x_shard_append: exactly two files per shard post-append, " +
+      "union == corpus, and a deterministic rerun") {
+    val run1 = graft.SparkEntry.queries("x_shard_append")(spark, dir)
+      .collect().toSeq
+    assert(run1.length === TrainPrepQueries.NShards)
+    // every shard received index AND batch docs, and the counts add up
+    assert(run1.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    assert(run1.forall(r => r.getLong(1) + r.getLong(2) === r.getLong(3)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(run1.map(_.getLong(3)).sum === nDocs)
+    // layout: the append added ONE new file per shard next to the
+    // index write's one — a daily delivery is O(batch) files, never a
+    // rewrite of the corpus
+    val base = new java.io.File(
+      TrainPrepQueries.shardBase(spark, dir) + "_incr")
+    val shardDirs = base.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length === TrainPrepQueries.NShards)
+    for (d <- shardDirs) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 2, s"${d.getName}: ${files.length} files")
+    }
+    // rerun reproduces the manifest bit-for-bit
+    val run2 = graft.SparkEntry.queries("x_shard_append")(spark, dir)
+      .collect().toSeq
+    assert(run2 === run1)
+  }
+
+  test("x_token_budget_mix: greedy-prefix law on kept tokens and the " +
+      "audit aggregate rides the lang window partitioning (one exchange)") {
+    val mix = graft.SparkEntry.queries("x_token_budget_mix")(spark, dir)
+    val rows = mix.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (budget, nDocs, nKept, tokKept, tokTotal) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      assert(nKept > 0 && nKept <= nDocs)
+      // budget binds at sf0.01 (every lang has >budget tokens), so the
+      // kept prefix reaches the budget and overflows by less than the
+      // straddling doc
+      assert(tokTotal > budget)
+      assert(nKept < nDocs, s"lang ${r.getString(0)}: budget not binding")
+      assert(tokKept >= budget)
+    }
+    // one hash exchange: the lang window; the groupBy(lang) aggregate
+    // reuses its partitioning (final AQE section only)
+    val planStr = mix.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val exchanges = planStr
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges")
+  }
 }
