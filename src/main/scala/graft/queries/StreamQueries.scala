@@ -500,7 +500,77 @@ object StreamQueries {
     drainToMemory(s, enriched, "complete").orderBy("cell")
   }
 
+  /** `st_shard_stream` — the streaming twin of `x_shard_write`:
+    * documents arrive as a file-source stream in ≥2 microbatches
+    * (maxFilesPerTrigger < file count); each microbatch derives its
+    * delivery keys through the SAME law as the batch writer
+    * ([[TrainPrepQueries.shardDocsFrom]] — one definition, the stream
+    * cannot fork from the batch shard law) and lands in the per-shard
+    * layout. The drained manifest must equal the batch writer's
+    * EXACTLY — the streaming/batch unification claim for the delivery
+    * path, stated by sharing `x_shard_write`'s oracle SQL verbatim.
+    *
+    * The append is EXACTLY-ONCE by stage-then-rename: the batch writes
+    * to a staging dir, then each shard's single staged file is renamed
+    * to the DETERMINISTIC name `b<batchId>.parquet` inside the shard
+    * dir (one atomic rename per shard). A replayed batch re-stages the
+    * same rows and renames onto the same target names — idempotent
+    * without a transactional store, unlike a bare `mode("append")`
+    * whose replay double-delivers (`st_foreach_upsert`'s versioned-
+    * directory contract, adapted to a file-per-batch sink).
+    *
+    * Scale: per trigger this is `x_shard_append`'s shape — one delivery
+    * shuffle sized to the BATCH, one new file per shard, yesterday's
+    * files untouched; shard count caps the per-batch file fanout, and
+    * the manifest aggregate is metadata-sized. */
+  private def streamShardDelivery(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir(qtmp("shard_stream"))
+    tbl(s, dir, "documents").repartition(8)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = s.read.parquet(s"$base/src").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "3")
+      .parquet(s"$base/src")
+
+    def deliverBatch(batch: DataFrame, batchId: Long): Unit = {
+      val stage = new java.io.File(s"$base/stage/b$batchId")
+      TrainPrepQueries.shardDocsFrom(batch)
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "skey")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(stage.getPath)
+      for {
+        sd <- stage.listFiles()
+        if sd.isDirectory && sd.getName.startsWith("shard=")
+        f <- sd.listFiles() if f.getName.endsWith(".parquet")
+      } {
+        val destDir = new java.io.File(s"$base/shards/${sd.getName}")
+        destDir.mkdirs()
+        val dest = new java.io.File(destDir, s"b$batchId.parquet")
+        if (dest.exists()) dest.delete() // replay: same name, same rows
+        require(f.renameTo(dest), s"rename failed: $f -> $dest")
+      }
+    }
+
+    val q = stream.writeStream
+      .foreachBatch(deliverBatch _)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(s"$base/shards")
+      .groupBy(col("shard").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("n_tokens").as("n_tokens"),
+        min_by(col("doc_id"), col("skey")).as("first_doc"),
+        max_by(col("doc_id"), col("skey")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "st_shard_stream" -> QueryDef(streamShardDelivery,
+      Some(TrainPrepQueries.shardWriteSql)),
     "st_h3_enrich" -> QueryDef(streamH3Enrich,
       Some(H3OracleSql.streamEnrich)),
     "st_stream_static_join" -> QueryDef(streamStaticJoin,

@@ -735,16 +735,20 @@ object TrainPrepQueries {
   /** The shared delivery derivation both shard queries (and the spec)
     * depend on: every document with its token count, the md5
     * permutation key, and the md5-prefix-hash shard — ONE definition so
-    * the shard law cannot fork between the writer and the packer.
+    * the shard law cannot fork between the writer, the packer, and the
+    * streaming twin (`st_shard_stream` applies it per microbatch).
     * SQL twin: [[shardDocsSqlCte]]. */
-  private def shardDocs(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
+  private[queries] def shardDocsFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         size(TextF.lowerTokens(col("text"))).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string").cast("binary")).as("skey"))
       .withColumn("shard",
         pmod(HashF.tokenHash(col("doc_id").cast("string")),
           lit(NShards.toLong)))
+
+  private def shardDocs(s: SparkSession, dir: String): DataFrame =
+    shardDocsFrom(tbl(s, dir, "documents"))
 
   /** [[shardDocs]] as the shared oracle `t` CTE body. */
   private val shardDocsSqlCte =
@@ -809,7 +813,9 @@ object TrainPrepQueries {
        |            0) AS BIGINT) AS n_blocks
        |FROM c GROUP BY shard, lang ORDER BY shard_id, lang""".stripMargin
 
-  private val shardWriteSql =
+  // shared verbatim by st_shard_stream — the streaming twin's oracle IS
+  // the batch writer's (the unification claim stated as one definition)
+  private[queries] val shardWriteSql =
     s"""WITH t AS (
        |  $shardDocsSqlCte
        |)

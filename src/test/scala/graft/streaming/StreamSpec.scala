@@ -181,4 +181,31 @@ class StreamSpec extends SparkSpec {
     assert(leftover.isEmpty,
       s"memory-sink temp views leaked: ${leftover.mkString(", ")}")
   }
+
+  test("streaming shard delivery equals the batch writer's manifest " +
+      "and lands one deterministic b<batchId> file per shard per " +
+      "microbatch") {
+    val streamed = graft.SparkEntry.queries("st_shard_stream")(spark, sf)
+      .collect().toSeq
+    val batch = graft.SparkEntry.queries("x_shard_write")(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "streamed delivery manifest diverged from the batch writer")
+    // layout: every delivered file carries the deterministic
+    // stage-then-rename name (what makes a replayed batch idempotent),
+    // and the drain genuinely split into >=2 microbatches
+    val base = new java.io.File(
+      sys.props("user.dir") + "/target/qtmp/stream/shard_stream/shards")
+    val shardDirs = base.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    val names = shardDirs.flatMap(_.listFiles()).map(_.getName)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(names.forall(_.matches("b\\d+\\.parquet")),
+      s"non-deterministic delivery file names: ${names.take(3)}")
+    val batchIds = names
+      .map(_.stripPrefix("b").stripSuffix(".parquet").toLong).distinct
+    assert(batchIds.length >= 2,
+      s"expected >=2 microbatches, got ids $batchIds")
+  }
 }
