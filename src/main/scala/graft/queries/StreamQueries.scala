@@ -523,6 +523,12 @@ object StreamQueries {
     * shuffle sized to the BATCH, one new file per shard, yesterday's
     * files untouched; shard count caps the per-batch file fanout, and
     * the manifest aggregate is metadata-sized. */
+  /** Where `st_shard_stream` delivers — exposed for the layout spec
+    * (`StreamSpec`) so the test cannot drift from the query's own
+    * path construction (the `shardBase` precedent). */
+  private[graft] def shardStreamShards: String =
+    qtmp("shard_stream") + "/shards"
+
   private def streamShardDelivery(s: SparkSession, dir: String): DataFrame = {
     val base = freshDir(qtmp("shard_stream"))
     tbl(s, dir, "documents").repartition(8)
@@ -539,16 +545,20 @@ object StreamQueries {
         .sortWithinPartitions("shard", "skey")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(stage.getPath)
-      for {
-        sd <- stage.listFiles()
-        if sd.isDirectory && sd.getName.startsWith("shard=")
-        f <- sd.listFiles() if f.getName.endsWith(".parquet")
-      } {
+      for (sd <- stage.listFiles()
+           if sd.isDirectory && sd.getName.startsWith("shard=")) {
+        val staged = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        // one file per shard is the law the deterministic rename relies
+        // on: two staged files would silently collapse onto one target
+        // name, dropping rows — fail loudly instead (review, r18)
+        require(staged.length == 1,
+          s"${sd.getName}: ${staged.length} staged files (expected 1)")
         val destDir = new java.io.File(s"$base/shards/${sd.getName}")
         destDir.mkdirs()
         val dest = new java.io.File(destDir, s"b$batchId.parquet")
         if (dest.exists()) dest.delete() // replay: same name, same rows
-        require(f.renameTo(dest), s"rename failed: $f -> $dest")
+        require(staged.head.renameTo(dest),
+          s"rename failed: ${staged.head} -> $dest")
       }
     }
 

@@ -560,23 +560,34 @@ object TrainPrepQueries {
     * dropped duplicates too; that per-row cost is scan-local and far
     * cheaper than shuffling text.) Stats stay in exact integer math
     * (counts, token totals) so the composite is hash-comparable. */
+  /** The canonical dedup fingerprint of a CLEANED document — ONE
+    * definition shared by [[corpusPipeline]] and [[trainDelivery]] so
+    * the dedup law cannot fork between the two pipelines. The trim is
+    * LOAD-BEARING, not belt-and-braces: `cleanText`'s collapseTrim
+    * strips only boundary SPACES before collapsing, so a document
+    * whose raw text ends in non-space whitespace ("…world\n") cleans
+    * to "…world " with one boundary space retained — and the oracle's
+    * fingerprint spelling `md5(regexp_replace(lower(trim(clean)), …))`
+    * trims exactly that space. Without the trim here, engine and
+    * oracle would group "Hello world" and "Hello world\n" differently
+    * (caught by review on the r18 diff; `ShardWriteSpec` now pins the
+    * boundary-whitespace twin collapse). The inner whitespace regex on
+    * the oracle side IS an identity (clean is single-spaced inside),
+    * so one trim is the whole difference. */
+  private[queries] def canonFp(lc: Column): Column =
+    md5(trim(lc).cast("binary"))
+
   private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
     // three-step select: `clean` / `lc` are each referenced twice below,
     // and a single collapsed projection would re-run the regex chain per
-    // reference. Lowercasing once is also a semantic shortcut:
-    // `clean` is already trimmed and single-spaced, so
-    // fingerprint(clean) = md5(regexp_replace(lower(trim(clean)), …))
-    // reduces to md5(lower(clean)) — the trim and the whitespace regex
-    // are identity passes there (lowercasing creates no whitespace).
-    // Dropping them removes one full regex pass per document; the oracle
-    // keeps the canonical spelling and the row hashes must stay equal.
+    // reference.
     val compact = tbl(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         // fused single-pass clean (TextF.cleanText) — see textClean
         TextF.cleanText(col("text")).as("clean"))
       .select(col("doc_id"), col("lang"), lower(col("clean")).as("lc"))
       .select(col("doc_id"), col("lang"),
-        md5(col("lc").cast("binary")).as("fp"),
+        canonFp(col("lc")).as("fp"),
         size(TextF.tokens(col("lc"))).as("n_tokens"))
     // representative-per-fingerprint via groupBy + min_by, not a window:
     // a Window.partitionBy(fp) shuffles AND SORTS every row by fp just to
@@ -599,13 +610,20 @@ object TrainPrepQueries {
       .orderBy("lang", "split")
   }
 
-  private val corpusPipelineSql =
-    s"""WITH cleaned AS (
-       |  SELECT doc_id, lang,
+  /** The corpus-clean chain as the shared oracle `cleaned` CTE body —
+    * ONE spelling for [[corpusPipelineSql]] and [[trainDeliverySql]]
+    * (the SQL twin of the [[canonFp]]-before-trim `clean` frame), the
+    * [[shardDocsSqlCte]] pattern applied to the clean chain. */
+  private val cleanedSqlCte =
+    s"""SELECT doc_id, lang,
        |         regexp_replace(trim(regexp_replace(
        |           regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
        |           '$UrlRe', '<URL>', 'g')), '\\s+', ' ', 'g') AS clean
-       |  FROM documents
+       |  FROM documents""".stripMargin
+
+  private val corpusPipelineSql =
+    s"""WITH cleaned AS (
+       |  $cleanedSqlCte
        |), deduped AS (
        |  SELECT doc_id, lang, clean FROM cleaned
        |  QUALIFY doc_id = min(doc_id) OVER (
@@ -632,7 +650,17 @@ object TrainPrepQueries {
   // ------------------------ sequence packing ------------------------------
 
   /** Tokens per packed training block. */
-  private val PackCap = 512L
+  private[queries] val PackCap = 512L
+
+  /** Last block index a doc occupies, from its exclusive running token
+    * count `cum_before` and `n_tokens` — ONE spelling of the pack law
+    * shared by [[seqPack]], [[shardPack]], and [[trainDelivery]]
+    * (zero-token docs carry the next-block convention; the two pack
+    * manifests aggregate over token-bearing docs only, where the
+    * `otherwise` arm is the live one). */
+  private def lastBlockCol: Column =
+    when(col("n_tokens") === 0, expr(s"cum_before div $PackCap"))
+      .otherwise(expr(s"(cum_before + n_tokens - 1) div $PackCap"))
 
   /** Token-block packing: concatenate each language's documents in
     * doc_id order and chunk the token stream into fixed 512-token
@@ -653,9 +681,7 @@ object TrainPrepQueries {
         coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"cum_before div $PackCap").as("first_block"),
-        when(col("n_tokens") === 0, expr(s"cum_before div $PackCap"))
-          .otherwise(expr(s"(cum_before + n_tokens - 1) div $PackCap"))
-          .as("last_block"))
+        lastBlockCol.as("last_block"))
       .orderBy("doc_id")
   }
 
@@ -738,14 +764,21 @@ object TrainPrepQueries {
     * the shard law cannot fork between the writer, the packer, and the
     * streaming twin (`st_shard_stream` applies it per microbatch).
     * SQL twin: [[shardDocsSqlCte]]. */
-  private[queries] def shardDocsFrom(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(TextF.lowerTokens(col("text"))).cast("long").as("n_tokens"),
-        md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+  /** The delivery-key law alone — skey (md5 permutation) + shard
+    * (md5-prefix hash mod [[NShards]]) from `doc_id` — factored out so
+    * [[trainDelivery]] (which keys dedup SURVIVORS, not raw documents)
+    * shares the exact expressions with [[shardDocsFrom]]. */
+  private[queries] def deliveryKeys(df: DataFrame): DataFrame =
+    df.withColumn("skey",
+        md5(col("doc_id").cast("string").cast("binary")))
       .withColumn("shard",
         pmod(HashF.tokenHash(col("doc_id").cast("string")),
           lit(NShards.toLong)))
+
+  private[queries] def shardDocsFrom(docs: DataFrame): DataFrame =
+    deliveryKeys(docs
+      .select(col("doc_id"), col("lang"),
+        size(TextF.lowerTokens(col("text"))).cast("long").as("n_tokens")))
 
   private def shardDocs(s: SparkSession, dir: String): DataFrame =
     shardDocsFrom(tbl(s, dir, "documents"))
@@ -783,9 +816,7 @@ object TrainPrepQueries {
     shardDocs(s, dir)
       .withColumn("cum_before",
         coalesce(sum("n_tokens").over(w), lit(0L)))
-      .withColumn("last_block",
-        when(col("n_tokens") === 0, expr(s"cum_before div $PackCap"))
-          .otherwise(expr(s"(cum_before + n_tokens - 1) div $PackCap")))
+      .withColumn("last_block", lastBlockCol)
       .groupBy(col("shard").as("shard_id"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
@@ -842,30 +873,25 @@ object TrainPrepQueries {
     * document size; then ONE more exchange on the shard key and the
     * manifest aggregate rides it. Two metadata-sized shuffles total
     * for the whole delivery. Duplicates share their fingerprint
-    * group's identical cleaned text, so min(n_tokens) is exact, not a
-    * tie-break. */
+    * group's identical canonical text (the [[canonFp]] preimage, which
+    * is also what the token count trims to), so min(n_tokens) is
+    * exact, not a tie-break. */
   private def trainDelivery(s: SparkSession, dir: String): DataFrame = {
     val compact = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.cleanText(col("text")).as("clean"))
       .select(col("doc_id"), lower(col("clean")).as("lc"))
       .select(col("doc_id"),
-        md5(col("lc").cast("binary")).as("fp"),
+        canonFp(col("lc")).as("fp"),
         size(TextF.tokens(col("lc"))).cast("long").as("n_tokens"))
     val survivors = compact.groupBy("fp")
       .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
-    val keyed = survivors
-      .withColumn("skey", md5(col("doc_id").cast("string").cast("binary")))
-      .withColumn("shard",
-        pmod(HashF.tokenHash(col("doc_id").cast("string")),
-          lit(NShards.toLong)))
+    val keyed = deliveryKeys(survivors)
     val w = Window.partitionBy("shard").orderBy("skey")
       .rowsBetween(Window.unboundedPreceding, -1)
     keyed
       .withColumn("cum_before",
         coalesce(sum("n_tokens").over(w), lit(0L)))
-      .withColumn("last_block",
-        when(col("n_tokens") === 0, expr(s"cum_before div $PackCap"))
-          .otherwise(expr(s"(cum_before + n_tokens - 1) div $PackCap")))
+      .withColumn("last_block", lastBlockCol)
       .groupBy(col("shard").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
@@ -879,11 +905,7 @@ object TrainPrepQueries {
 
   private val trainDeliverySql =
     s"""WITH cleaned AS (
-       |  SELECT doc_id,
-       |         regexp_replace(trim(regexp_replace(
-       |           regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
-       |           '$UrlRe', '<URL>', 'g')), '\\s+', ' ', 'g') AS clean
-       |  FROM documents
+       |  $cleanedSqlCte
        |), fp AS (
        |  SELECT doc_id,
        |         md5(regexp_replace(lower(trim(clean)), '\\s+', ' ',

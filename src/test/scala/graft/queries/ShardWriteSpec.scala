@@ -65,10 +65,11 @@ class ShardWriteSpec extends SparkSpec {
       sid -> (rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum)
     }
     assert(byShard === write)
-    // blocks law: n_blocks == ceil(n_tokens / 512) on token-bearing
+    // blocks law: n_blocks == ceil(n_tokens / PackCap) on token-bearing
     // groups (every (shard, lang) group carries tokens at sf0.01)
+    val cap = TrainPrepQueries.PackCap
     assert(rows.forall(r =>
-      r.getLong(4) === (r.getLong(3) + 511) / 512))
+      r.getLong(4) === (r.getLong(3) + cap - 1) / cap))
     // the aggregate reuses the window's (shard, lang) hash
     // partitioning: exactly ONE hash shuffle in the whole plan (the
     // only other exchange is the 40-row manifest's presentational
@@ -92,7 +93,8 @@ class ShardWriteSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.forall(r => r.getLong(1) <= write(r.getLong(0))))
     // blocks law holds exactly on the shipped token counts
-    assert(rows.forall(r => r.getLong(3) === (r.getLong(2) + 511) / 512))
+    val cap = TrainPrepQueries.PackCap
+    assert(rows.forall(r => r.getLong(3) === (r.getLong(2) + cap - 1) / cap))
     // plan: dedup exchange + shard exchange, nothing else (the window's
     // partitioning is reused by the manifest aggregate); final AQE
     // section only
@@ -129,6 +131,26 @@ class ShardWriteSpec extends SparkSpec {
     val run2 = graft.SparkEntry.queries("x_shard_append")(spark, dir)
       .collect().toSeq
     assert(run2 === run1)
+  }
+
+  test("canonFp collapses boundary-whitespace twins the way the oracle " +
+      "does (the trim is load-bearing)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // cleanText's collapseTrim strips only boundary SPACES, so a raw
+    // trailing "\n" survives as one boundary space in `clean`; the
+    // oracle's fingerprint spelling trims it. canonFp must agree —
+    // these two docs MUST land in one dedup group on both engines.
+    val lc = lower(graft.functions.TextF.cleanText(col("text")))
+    val fps = Seq("Hello world", "Hello world\n").toDF("text")
+      .select(TrainPrepQueries.canonFp(lc).as("fp"),
+        md5(lc.cast("binary")).as("untrimmed"))
+      .collect()
+    assert(fps(0).getString(0) === fps(1).getString(0),
+      "boundary-whitespace twin got a different canonical fingerprint")
+    assert(fps(0).getString(1) !== fps(1).getString(1),
+      "expected the UNtrimmed fingerprints to differ (else this pin " +
+        "tests nothing)")
   }
 
   test("x_token_budget_mix: greedy-prefix law on kept tokens and the " +

@@ -194,8 +194,7 @@ class StreamSpec extends SparkSpec {
     // layout: every delivered file carries the deterministic
     // stage-then-rename name (what makes a replayed batch idempotent),
     // and the drain genuinely split into >=2 microbatches
-    val base = new java.io.File(
-      sys.props("user.dir") + "/target/qtmp/stream/shard_stream/shards")
+    val base = new java.io.File(graft.queries.StreamQueries.shardStreamShards)
     val shardDirs = base.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("shard="))
     assert(shardDirs.nonEmpty)
