@@ -560,6 +560,13 @@ object StreamQueries {
         require(staged.head.renameTo(dest),
           s"rename failed: ${staged.head} -> $dest")
       }
+      // the staged tree is spent (its parquet files were renamed out);
+      // drop it so the delivery dir's on-disk layout IS the delivery
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(stage)
     }
 
     val q = stream.writeStream

@@ -16,8 +16,20 @@ import json
 import sys
 
 
+USAGE = ("usage: python3 tools/drifttable.py "
+         "<bench_full_now.json> <bench_full_prev.json>")
+
+
 def load(p):
-    d = json.load(open(p))
+    try:
+        d = json.load(open(p))
+    except OSError as e:
+        sys.exit(f"{p}: cannot read ({e.strerror}) — {USAGE}")
+    except json.JSONDecodeError as e:
+        sys.exit(f"{p}: not valid JSON ({e}) — {USAGE}")
+    if not isinstance(d, dict) or "queries" not in d:
+        sys.exit(f"{p}: not a Bench artifact (no \"queries\" block) — "
+                 f"{USAGE}")
     duck = d.get("duckdb") or {}
     if "queries" not in duck:
         sys.exit(f"{p}: no duckdb pairing block — run Bench with the "
@@ -64,4 +76,6 @@ def main(now_p, prev_p):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        sys.exit(USAGE)
     main(sys.argv[1], sys.argv[2])
