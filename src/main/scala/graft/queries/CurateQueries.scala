@@ -553,13 +553,34 @@ object CurateQueries {
     langIdScore(d).orderBy("doc_id")
   }
 
+  /** Driver-side row cap on the collected NB model for the in-row
+    * scoring arm (langs × observed char bigrams — alphabet²-bounded,
+    * KBs on any real corpus). Past the cap the chain arm below runs
+    * unchanged — the same bounded-collect-with-loud-degradation
+    * pattern as [[graft.ops.HotKeys]]/Components.MaxHotKeys. */
+  private val NbModelRowCap = 1L << 20
+
   /** The NB train+score chain over any (doc_id, lang, s) frame —
     * factored out (r16 verdict item 5) so the planted-accuracy gate
     * [[langIdPlanted]] runs the IDENTICAL model code on a corpus whose
-    * labels actually correlate with the text. `d` is consumed three
-    * times (model, seen, score) and deliberately NOT checkpointed —
-    * see the ledger note above. */
-  private def langIdScore(d: DataFrame): DataFrame = {
+    * labels actually correlate with the text. `d` is consumed twice
+    * (model + in-row score) in the primary arm; three times in the
+    * over-cap chain arm — see the ledger note above.
+    *
+    * OPTIMIZATION r18 (guide §2.3/§2.4): the model is corpus-bounded,
+    * so scoring does not need to shuffle the corpus at all. The primary
+    * arm collects the model (row-capped, loud fallback) and scores
+    * every language IN-ROW through the baked
+    * [[graft.plans.NbLangScore]] expression — deleting the per-(doc,
+    * lang) `seen` exchange, the n·L scored join, and the per-doc
+    * argmax window sort that the chain pays (3 corpus-keyed exchanges
+    * + 1 corpus scan). The µ-nat integer law is restated through the
+    * exact Long identity Σc·lp + (n_bg−n_seen)·lpu = n_bg·lpu +
+    * Σc·(lp−lpu) — no new rounding sites — and `LangIdSpec` pins the
+    * two arms row-for-row equal; the DuckDB oracle gates the primary
+    * arm every round (the SQL restates the chain). */
+  private[graft] def langIdScore(d: DataFrame,
+      modelRowCap: Long = NbModelRowCap): DataFrame = {
     // in-row CODEGEN bigram histogram -> the exchanged stream is
     // distinct-bigrams-per-doc weighted by c, not the raw n_chars
     // instance stream, and the scan never pays the interpreted
@@ -577,6 +598,79 @@ object CurateQueries {
         col("hh.tf").as("c"))
     val model = h.groupBy(col("lang").as("mlang"), col("bg"))
       .agg(sum("c").as("c"))
+    // bounded model collect (bg as binary: exact bytes, no UTF-16
+    // round-trip); cap+1 so an over-cap model is detected, not truncated
+    val collected =
+      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else model
+        .select(col("mlang"), col("bg").cast("binary").as("bgb"), col("c"))
+        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+    if (collected.nonEmpty && collected.length <= modelRowCap)
+      langIdScoreInRow(d, collected)
+    else langIdScoreChain(d, model)
+  }
+
+  /** Primary arm: driver-built model, one scoring scan, zero corpus
+    * shuffle. Arithmetic is the chain's, restated exactly (see
+    * [[graft.plans.NbLangModel]]). */
+  private def langIdScoreInRow(d: DataFrame,
+      collected: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    // langs ascending by UTF-8 binary order — the chain's `mlang` asc
+    // tie-break (Spark/DuckDB both compare strings as binary)
+    val langs = collected.map(_.getString(0)).distinct
+      .sortWith((a, b) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+    val li = langs.zipWithIndex.toMap
+    val L = langs.length
+    val nl = new Array[Long](L)
+    collected.foreach(r => nl(li(r.getString(0))) += r.getLong(2))
+    // v = countDistinct(bg) over the model — dedup on exact bytes
+    val bgIdx = new java.util.LinkedHashMap[UTF8String, Int]()
+    collected.foreach { r =>
+      val key = UTF8String.fromBytes(r.getAs[Array[Byte]](1))
+      if (!bgIdx.containsKey(key)) bgIdx.put(key, bgIdx.size())
+    }
+    val v = bgIdx.size().toLong
+    // lpu_q(l) = floor(ln(1.0/(nl+V))·10⁶); lp_q = floor(ln((c+1)/(nl+V))
+    // ·10⁶) — the chain's exact double expression trees (Math.log/floor,
+    // Long→Double casts), evaluated once per model row on the driver
+    val lpu = Array.tabulate(L)(l =>
+      math.floor(math.log(1.0 / (nl(l) + v).toDouble) * 1000000.0).toLong)
+    val bgBytes = new Array[Array[Byte]](bgIdx.size())
+    val delta = Array.fill(bgIdx.size())(new Array[Long](L))
+    collected.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      val i = bgIdx.get(UTF8String.fromBytes(bytes))
+      if (bgBytes(i) == null) bgBytes(i) = bytes
+      val l = li(r.getString(0))
+      val lp = math.floor(math.log((r.getLong(2) + 1).toDouble /
+        (nl(l) + v).toDouble) * 1000000.0).toLong
+      delta(i)(l) = lp - lpu(l)
+    }
+    val nbModel = new graft.plans.NbLangModel(langs, lpu, bgBytes, delta)
+    import org.apache.spark.sql.GraftBridge
+    val scored = GraftBridge.column(
+      graft.plans.NbLangScore(GraftBridge.expression(col("s")), nbModel))
+    // two stacked selects: CollapseProject keeps the non-cheap scorer
+    // single-evaluated (one nb_lang_score per row in the final plan)
+    d.select(col("doc_id"), col("lang"), scored.as("r"))
+      .select(col("doc_id"), col("lang"),
+        col("r.pred_lang").as("pred_lang"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.score_q").as("score_q"))
+  }
+
+  /** Over-cap arm: the pre-r18-optimization exploded-join chain,
+    * byte-identical output (LangIdSpec pins equality with the in-row
+    * arm on the fixture). */
+  private def langIdScoreChain(d: DataFrame, modelRaw: DataFrame)
+      : DataFrame = {
+    def h = d.select(col("doc_id"), col("lang"),
+      explode(TextF.charBigramHistogram(col("s"))).as("hh"))
+      .select(col("doc_id"), col("lang"), col("hh.term").as("bg"),
+        col("hh.tf").as("c"))
+    val model = modelRaw
       .localCheckpoint() // model-sized; feeds totals + both lp tables
     val nl = model.groupBy("mlang").agg(sum("c").as("nl"))
     val v = model.agg(countDistinct("bg").as("v"))

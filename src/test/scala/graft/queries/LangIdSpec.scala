@@ -77,6 +77,23 @@ class LangIdSpec extends SparkSpec {
     assert(tiny.getString(2) === "de")      // first lang alphabetically
   }
 
+  test("r18 optimization: the in-row scoring arm (collected model, " +
+      "nb_lang_score expression) equals the exploded-join chain arm " +
+      "row-for-row, degenerate docs included") {
+    val dir = corpus(docs ++ Seq((16L, "en", "x"), (17L, "fr", ""),
+      (18L, "zh", "好")))
+    val d = graft.tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        trim(lower(col("text"))).as("s"))
+    val inRow = CurateQueries.langIdScore(d)
+      .orderBy("doc_id").collect().toSeq
+    // modelRowCap = 0 forces the over-cap chain arm
+    val chain = CurateQueries.langIdScore(d, modelRowCap = 0)
+      .orderBy("doc_id").collect().toSeq
+    assert(inRow === chain)
+    assert(inRow.length === docs.length + 3)
+  }
+
   test("scores are exact integer mu-nat sums: recomputing one doc's " +
       "winning score from the model by hand matches") {
     val dir = corpus(docs)
