@@ -90,6 +90,15 @@ object TextF {
       graft.plans.CharBigramHistogram(GraftBridge.expression(text)))
   }
 
+  /** Raw code-point bigram instances of a string (no histogram) — the
+    * native codegen [[graft.plans.CharBigrams]] expression; feed it to
+    * an aggregating consumer whose partial aggregate does the collapse. */
+  def charBigrams(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.CharBigrams(GraftBridge.expression(text)))
+  }
+
   /** Count of tokens belonging to a small constant word set, as the
     * native single-pass expression ([[graft.plans.TokenSetCount]]). */
   def tokenSetCount(lt: Column, words: Seq[String]): Column = {

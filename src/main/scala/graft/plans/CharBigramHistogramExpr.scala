@@ -112,3 +112,74 @@ object CharBigramHistogram {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
   }
 }
+
+/** `char_bigrams(string) → array<string>` — the RAW code-point bigram
+  * instance list, in document order, no histogram.
+  *
+  * OPTIMIZATION r18 (guide §1.2 "per-task work"): x_lang_id's MODEL
+  * aggregate `groupBy(lang, bg)` counts instances either way, so the
+  * per-doc `Arrays.sort` the histogram pays to pre-collapse them buys
+  * nothing the hash aggregate's map-side combine doesn't already do —
+  * and that sort was the scan's hottest loop (the histogram's collapse
+  * pays off only when the EXCHANGED stream shrinks, which a partial
+  * aggregate on (lang, bg) already guarantees). Same forgiving UTF-8
+  * walk as [[CharBigramHistogram]], so instance sets are identical;
+  * `CharBigramHistogramSpec` pins sorted+run-length(char_bigrams) ==
+  * char_bigram_histogram. */
+case class CharBigrams(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_bigrams needs string, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    CharBigrams.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.CharBigrams.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharBigrams =
+    copy(child = c)
+  override def prettyName: String = "char_bigrams"
+}
+
+object CharBigrams {
+  @inline private def seqLen(b: Byte): Int =
+    if (b >= 0) 1
+    else if ((b & 0xE0) == 0xC0) 2
+    else if ((b & 0xF0) == 0xE0) 3
+    else if ((b & 0xF8) == 0xF0) 4
+    else 1
+
+  /** Static helper the generated code calls once per row. */
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes // may alias the row buffer: clone at emit
+    val n = bytes.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    var chars = 0
+    var o = 0
+    while (o < n) { chars += 1; o += seqLen(bytes(o)) }
+    if (chars < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](chars - 1)
+    var p0 = 0
+    var p1 = seqLen(bytes(0))
+    var i = 0
+    while (p1 < n) {
+      val p2 = p1 + seqLen(bytes(p1))
+      // copy: the slice must own its bytes once it leaves this row
+      out(i) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, p0, p2))
+      i += 1
+      p0 = p1
+      p1 = p2
+    }
+    new GenericArrayData(out)
+  }
+}

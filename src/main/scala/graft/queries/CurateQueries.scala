@@ -581,23 +581,15 @@ object CurateQueries {
     * arm every round (the SQL restates the chain). */
   private[graft] def langIdScore(d: DataFrame,
       modelRowCap: Long = NbModelRowCap): DataFrame = {
-    // in-row CODEGEN bigram histogram -> the exchanged stream is
-    // distinct-bigrams-per-doc weighted by c, not the raw n_chars
-    // instance stream, and the scan never pays the interpreted
-    // transform+substring lambda per character (measured 1.6 s of the
-    // sf0.1 scan; CharBigramHistogramSpec pins equality with it).
-    // Deliberately NOT checkpointed for its two consumers: this stream
-    // is corpus-sized (~600M rows at sf10's 2M docs), and localCheckpoint
-    // blocks are the only copy so they PIN unified memory instead of
-    // spilling gracefully — the first cut OOM'd the sf10 window at
-    // exactly this point. Re-running the histogram scan per consumer is
-    // the documented two-scan (train + score) shape at every scale.
-    def h = d.select(col("doc_id"), col("lang"),
-      explode(TextF.charBigramHistogram(col("s"))).as("hh"))
-      .select(col("doc_id"), col("lang"), col("hh.term").as("bg"),
-        col("hh.tf").as("c"))
-    val model = h.groupBy(col("lang").as("mlang"), col("bg"))
-      .agg(sum("c").as("c"))
+    // model aggregate over RAW bigram instances (r18: char_bigrams, no
+    // per-doc histogram sort — the hash aggregate's map-side combine
+    // already collapses instances, so the sort bought nothing; see
+    // graft.plans.CharBigrams). groupBy counts instances, identical to
+    // the old sum-of-histogram-tf by construction.
+    val model = d
+      .select(col("lang"), explode(TextF.charBigrams(col("s"))).as("bg"))
+      .groupBy(col("lang").as("mlang"), col("bg"))
+      .agg(count(lit(1)).as("c"))
     // bounded model collect (bg as binary: exact bytes, no UTF-16
     // round-trip); cap+1 so an over-cap model is detected, not truncated
     val collected =

@@ -54,6 +54,28 @@ class CharBigramHistogramSpec extends SparkSpec {
     assert(nativeRows(docs) === composedRows(docs))
   }
 
+  test("r18: raw char_bigrams counted == char_bigram_histogram on the " +
+      "same random text (the model-aggregate equivalence)") {
+    val piece = Gen.oneOf("a", "b", "ab", " ", "", "1", "é", "日本", "語",
+      "xy z", ".")
+    val doc = Gen.chooseNum(0, 25)
+      .flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+    val docs = Gen.listOfN(40, doc).sample.get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val counted = docs.toDF("doc_id", "s")
+      .select(col("doc_id"), explode(TextF.charBigrams(col("s"))).as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(counted === nativeRows(docs))
+    // null → null array; <2 chars → empty
+    val edge = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("doc_id", "s")
+      .select(TextF.charBigrams(col("s")).isNull,
+        coalesce(size(TextF.charBigrams(col("s"))), lit(-1)))
+      .as[(Boolean, Int)].collect().toSeq
+    assert(edge === Seq((true, -1), (false, 0)))
+  }
+
   test("NULL string → NULL histogram; eval path matches the reference " +
       "counter") {
     val r = Seq((1L, Option.empty[String])).toDF("doc_id", "s")
