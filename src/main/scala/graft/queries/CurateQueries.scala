@@ -431,16 +431,116 @@ object CurateQueries {
     * model is GBs — there the score pass becomes one shuffle join keyed
     * on the bigram, or the model is pruned to top-k continuations per
     * context (the standard KenLM trim) to stay broadcastable. */
-  private def bigramLmScoreRaw(s: SparkSession, dir: String): DataFrame = {
+  private def bigramLmScoreRaw(s: SparkSession, dir: String): DataFrame =
+    bigramLmScoreImpl(s, dir, BigramLmModelRowCap)
+
+  /** Driver-side row cap on the collected bigram model for the in-row
+    * scoring arm (observed word bigrams — Zipf-bounded like the BPE
+    * word-type arm). Past the cap the chain arm below runs unchanged —
+    * the same bounded-collect-with-loud-degradation pattern as
+    * [[NbModelRowCap]]. */
+  private val BigramLmModelRowCap = 1L << 20
+
+  /** OPTIMIZATION r18 (guide §2.3/§2.4 — the x_lang_id pattern applied
+    * to the bigram LM): the model is vocabulary-bounded, so scoring
+    * does not need to shuffle the corpus at all. The primary arm
+    * collects the bigram counts (row-capped, loud fallback), folds the
+    * left-context totals and the µ-nat law on the driver with the
+    * chain's exact double expression trees, and scores each document
+    * IN-ROW through [[graft.plans.BigramLmSum]] — deleting the chain's
+    * corpus-sized exploded-bigram localCheckpoint, the n-row scoring
+    * join, the per-doc groupBy exchange and the final doc-keyed left
+    * join. `LmBigramSpec` pins the two arms row-for-row equal; the
+    * DuckDB oracle gates the primary arm every round (the SQL restates
+    * the chain). */
+  private[queries] def bigramLmScoreImpl(s: SparkSession, dir: String,
+      modelRowCap: Long): DataFrame = {
     val docs = graft.parallelScan(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
-    // bigrams are ~96% unique WITHIN a doc (measured at sf1), so a
-    // per-doc histogram would pay an in-row sort for no compression —
-    // the bigram stream keeps the exploded shape. The VOCABULARY size
-    // does use the unigram histogram: words repeat in-doc ~1.6×, so the
-    // distinct-count shuffle sees distinct-terms-per-doc instead of the
-    // raw token stream.
+    // model aggregate over RAW bigram instances: bigrams are ~96% unique
+    // WITHIN a doc (measured at sf1), so a per-doc histogram would pay
+    // an in-row sort for no compression — the exploded stream feeds the
+    // map-side-combined groupBy directly. bg as binary: exact bytes, no
+    // UTF-16 round-trip; cap+1 so an over-cap model is detected, not
+    // truncated.
+    val collected =
+      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else docs
+        .select(explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cab"))
+        .select(col("bg").cast("binary").as("bgb"), col("cab"))
+        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+    if (collected.nonEmpty && collected.length <= modelRowCap)
+      bigramLmScoreInRow(docs, collected)
+    else bigramLmScoreChain(s, dir, docs)
+  }
+
+  /** Primary arm: driver-built model, one scoring scan, zero corpus
+    * shuffle. Arithmetic is the chain's, restated exactly (see
+    * [[graft.plans.BigramLmModel]]). */
+  private def bigramLmScoreInRow(docs: DataFrame,
+      collected: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    // V = countDistinct over unigram tokens — the chain's `v` frame
+    // verbatim (the in-doc histogram collapse keeps the distinct-count
+    // exchange at distinct-terms-per-doc), reduced to a scalar
+    val v = docs
+      .select(explode(TextF.termHistogram(col("toks"))).as("h"))
+      .agg(countDistinct("h.term")).head().getLong(0)
+    // left-context totals: the chain's groupBy(w1).sum(cab), folded on
+    // the driver. w1 = bytes before the first 0x20 — tokens are
+    // whitespace-free and ' ' is one byte in UTF-8 (never part of a
+    // multibyte sequence), so the byte scan IS split(bg, ' ')[0]
+    def w1Of(b: Array[Byte]): UTF8String = {
+      var i = 0
+      while (i < b.length && b(i) != 0x20) i += 1
+      UTF8String.fromBytes(b, 0, i)
+    }
+    val cw1 = new java.util.HashMap[UTF8String, java.lang.Long]()
+    collected.foreach { r =>
+      cw1.merge(w1Of(r.getAs[Array[Byte]](0)), r.getLong(1),
+        (a: java.lang.Long, b: java.lang.Long) =>
+          java.lang.Long.valueOf(a + b))
+    }
+    // lp_q = floor(ln((cab+1)/(cw1+V))·10⁶) — the chain's exact double
+    // expression tree (Math.log/floor, Long→Double casts), evaluated
+    // once per model row on the driver
+    val bgBytes = new Array[Array[Byte]](collected.length)
+    val lpq = new Array[Long](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      val b = collected(i).getAs[Array[Byte]](0)
+      val cab = collected(i).getLong(1)
+      bgBytes(i) = b
+      lpq(i) = math.floor(math.log((cab + 1).toDouble /
+        (cw1.get(w1Of(b)) + v).toDouble) * 1000000.0).toLong
+      i += 1
+    }
+    val m = new graft.plans.BigramLmModel(bgBytes, lpq)
+    import org.apache.spark.sql.GraftBridge
+    val summed = GraftBridge.column(graft.plans.BigramLmSum(
+      GraftBridge.expression(col("toks")), m))
+    // two stacked selects: CollapseProject keeps the non-cheap scorer
+    // single-evaluated. n_bigrams = 0 → NULL avg_nll, exactly the
+    // chain's missing-perDoc-row left-join case.
+    docs.select(col("doc_id"), summed.as("r"))
+      .select(col("doc_id"),
+        col("r.n_bigrams").as("n_bigrams"),
+        when(col("r.n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise((-col("r.sq")).cast("double") /
+            (col("r.n_bigrams").cast("double") * lit(1000000.0)))
+          .as("avg_nll"))
+  }
+
+  /** Over-cap arm: the pre-r18-optimization exploded-join chain,
+    * byte-identical output (`LmBigramSpec` pins equality with the
+    * in-row arm on the fixture). */
+  private def bigramLmScoreChain(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    // bigram stream keeps the exploded shape (96% unique in-doc — a
+    // histogram pays an in-row sort for no compression); the VOCABULARY
+    // count does use the unigram histogram (words repeat in-doc ~1.6×).
     val docBg = docs.select(col("doc_id"),
       explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bg"))
       .localCheckpoint(false) // two DIFFERENT-shaped consumers (model count +

@@ -73,7 +73,81 @@ object TrainPrepQueries {
     * map-side-combined shuffles on high-cardinality keys; the tf⋈df
     * join broadcasts the vocabulary-sized df (rationale on the join
     * below). The top-k window partitions by doc_id (no global sort). */
-  private def tfidfTopTermsRaw(s: SparkSession, dir: String): DataFrame = {
+  private def tfidfTopTermsRaw(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsImpl(s, dir, TfidfModelRowCap)
+
+  /** Driver-side row cap on the collected IDF table for the in-row
+    * scoring arm (vocabulary-sized — Zipf keeps word types to MBs at
+    * 100 TB, the same bound the broadcast-df A/B rested on). Past the
+    * cap the chain arm below runs unchanged — the bounded-collect-with-
+    * loud-degradation pattern shared with the lang-id / bigram-LM
+    * models. */
+  private val TfidfModelRowCap = 1L << 20
+
+  /** OPTIMIZATION r18 (guide §2.3/§2.4 — the x_lang_id collected-model
+    * pattern applied to TF-IDF): the IDF table is vocabulary-bounded,
+    * so per-doc scoring and top-k selection are document-local. The
+    * primary arm aggregates (df, N) in ONE pass — N = countDistinct
+    * (doc_id) over the tf stream rides the same term-keyed aggregate as
+    * `count(pos = 0)` per term, summed on the driver (each doc with ≥ 1
+    * term contributes exactly one pos-0 histogram row) — then scores
+    * each document IN-ROW through [[graft.plans.TfidfTopTerms]],
+    * deleting the chain's eager per-(doc, term) tf checkpoint (write +
+    * three reads), the scoring join and the per-doc row_number window
+    * exchange + sort. `TfidfTopKSpec` pins the two arms row-for-row
+    * equal; the DuckDB oracle gates the primary arm every round (the
+    * SQL restates the chain). */
+  private[queries] def tfidfTopTermsImpl(s: SparkSession, dir: String,
+      modelRowCap: Long): DataFrame = {
+    val docs = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+    val collected =
+      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else docs
+        .select(posexplode(TextF.termHistogram(col("toks")))
+          .as(Seq("pos", "h")))
+        .groupBy(col("h.term").as("term"))
+        .agg(count(lit(1)).as("df"),
+          count(when(col("pos") === 0, 1)).as("n0"))
+        .select(col("term").cast("binary").as("tb"), col("df"), col("n0"))
+        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+    if (collected.nonEmpty && collected.length <= modelRowCap)
+      tfidfTopTermsInRow(docs, collected)
+    else tfidfTopTermsChain(s, dir)
+  }
+
+  /** Primary arm: driver-built IDF table, one scoring scan, zero
+    * corpus shuffle. Arithmetic is the chain's integer law restated
+    * exactly (see [[graft.plans.TfidfModel]]). */
+  private def tfidfTopTermsInRow(docs: DataFrame,
+      collected: Array[org.apache.spark.sql.Row]): DataFrame = {
+    var n = 0L // countDistinct(doc_id) over tf = Σ per-term pos-0 rows
+    collected.foreach(r => n += r.getLong(2))
+    val termBytes = new Array[Array[Byte]](collected.length)
+    val idfq = new Array[Long](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      termBytes(i) = collected(i).getAs[Array[Byte]](0)
+      // the chain's exact integral law: (10⁶·(N+1)) div (df+1) — both
+      // operands positive, so Long division IS Catalyst's `div`
+      idfq(i) = (IdfScale * (n + 1)) / (collected(i).getLong(1) + 1)
+      i += 1
+    }
+    val m = new graft.plans.TfidfModel(termBytes, idfq)
+    import org.apache.spark.sql.GraftBridge
+    val topk = GraftBridge.column(graft.plans.TfidfTopTerms(
+      GraftBridge.expression(col("toks")), m, 3))
+    docs.select(col("doc_id"), posexplode(topk))
+      .select(col("doc_id"), col("col.term").as("term"),
+        col("col.tf").as("tf"), col("col.score").as("score"),
+        (col("pos") + 1).as("rn"))
+  }
+
+  /** Over-cap arm: the pre-r18-optimization checkpoint + join + window
+    * chain, byte-identical output (`TfidfTopKSpec` pins equality with
+    * the in-row arm on the fixture). */
+  private def tfidfTopTermsChain(s: SparkSession, dir: String): DataFrame = {
     // tf is computed IN-ROW by the codegen term-histogram expression —
     // per-document counts are document-local, so the token stream never
     // reaches a hash aggregate (measured 3.7 s → 1.9 s for the tf pass
