@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Corpus IDF table (term → quantized idf), baked into the scan as a
-  * plan reference object (the [[NbLangModel]]/[[BigramLmModel]] pattern)
+  * plan reference object (the [[NbLangModel]]/[[NgramLmModel]] pattern)
   * so each document's TF-IDF top-k is computed IN-ROW.
   *
   * Optimization-round rationale (guide §2.3/§2.4): the IDF table is

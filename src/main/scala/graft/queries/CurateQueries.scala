@@ -53,23 +53,65 @@ object CurateQueries {
     * aggregates only the MATCHED rows (contaminated docs × overlapping
     * shingles), and the final left join back to the corpus id list is
     * again broadcast-sized (hit rows ≪ corpus). */
-  private def decontaminateRaw(s: SparkSession, dir: String): DataFrame = {
+  private def decontaminateRaw(s: SparkSession, dir: String): DataFrame =
+    decontaminateImpl(s, dir, BenchSetRowCap)
+
+  /** Driver-side row cap on the collected benchmark shingle set for the
+    * in-row probe arm. A real eval suite (the production analogue) is
+    * KBs–MBs; the FIXTURE's 2%-of-corpus stand-in grows with SF and
+    * crosses the cap around sf10, where the chain arm runs unchanged —
+    * the bounded-collect-with-loud-degradation pattern shared with the
+    * lang-id / bigram-LM / IDF models. */
+  private val BenchSetRowCap = 1L << 20
+
+  /** OPTIMIZATION r18 (guide §2.3/§2.4): with the benchmark shingle set
+    * collected, contamination counting is document-local — the primary
+    * arm probes each doc's distinct shingles IN-ROW through
+    * [[graft.plans.CountInSet]], deleting the corpus-side explode →
+    * broadcast join → per-doc hit aggregation → doc-keyed rejoin.
+    * `DecontaminateSpec` pins the two arms row-for-row equal; the DuckDB
+    * oracle gates the primary arm every round. */
+  private[queries] def decontaminateImpl(s: SparkSession, dir: String,
+      setRowCap: Long): DataFrame = {
     val isBench = (col("doc_id") % BenchMod) === BenchRem
-    val sh = graft.parallelScan(s,
+    val docs = graft.parallelScan(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
-      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(array_distinct(
-        TextF.shinglesFromTokens(col("toks"), DK))).as("shingle"))
-    val benchSet = sh.filter(isBench).select("shingle").distinct()
-    val hits = sh.filter(!isBench)
-      .join(broadcast(benchSet), "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
-    tbl(s, dir, "documents").filter(!isBench).select("doc_id")
-      .join(broadcast(hits), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
+    val distinctSh = array_distinct(
+      TextF.shinglesFromTokens(TextF.lowerTokens(col("text")), DK))
+    val collected =
+      if (setRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else docs.filter(isBench)
+        .select(explode(distinctSh).as("shingle"))
+        .distinct()
+        .select(col("shingle").cast("binary").as("sb"))
+        .limit(math.min(setRowCap + 1, Int.MaxValue).toInt).collect()
+    if (collected.nonEmpty && collected.length <= setRowCap) {
+      val set = new graft.plans.Utf8Set(
+        collected.map(_.getAs[Array[Byte]](0)))
+      import org.apache.spark.sql.GraftBridge
+      val nHits = GraftBridge.column(graft.plans.CountInSet(
+        GraftBridge.expression(distinctSh), set))
+      docs.filter(!isBench)
+        .select(col("doc_id"), nHits.as("n_hits"))
+        .select(col("doc_id"), col("n_hits"),
+          (col("n_hits") === 0).as("keep"))
+    } else {
+      // over-cap (or empty-set) arm: the pre-r18-optimization chain
+      val sh = docs
+        .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(
+          TextF.shinglesFromTokens(col("toks"), DK))).as("shingle"))
+      val benchSet = sh.filter(isBench).select("shingle").distinct()
+      val hits = sh.filter(!isBench)
+        .join(broadcast(benchSet), "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+      tbl(s, dir, "documents").filter(!isBench).select("doc_id")
+        .join(broadcast(hits), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
+    }
   }
 
   private def decontaminate(s: SparkSession, dir: String): DataFrame =
@@ -357,10 +399,72 @@ object CurateQueries {
     * cross join; scoring re-joins tokens to the broadcast vocabulary —
     * at 100 TB that's two corpus scans total (count pass + score pass),
     * each a scan-side broadcast join / map-side-combined aggregation. */
-  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+  private def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreImpl(s, dir, UnigramModelRowCap).orderBy("doc_id")
+
+  /** Driver-side row cap on the collected unigram model for the in-row
+    * scoring arm (the corpus vocabulary — Zipf-bounded). Past the cap
+    * the chain arm runs unchanged. */
+  private val UnigramModelRowCap = 1L << 20
+
+  /** OPTIMIZATION r18 (guide §2.3/§2.4 — the x_lm_bigram rewrite at
+    * width 1): collect the vocabulary counts (row-capped, loud
+    * fallback), fold n_total and the µ-nat law on the driver with the
+    * chain's exact double expression trees, and score each document
+    * IN-ROW through [[graft.plans.NgramLmSum]] — deleting the scoring
+    * join, the per-doc groupBy exchange and the final doc-keyed left
+    * join. `LmScoreSpec` pins the two arms row-for-row equal; the
+    * DuckDB oracle gates the primary arm every round. */
+  private[queries] def lmScoreImpl(s: SparkSession, dir: String,
+      modelRowCap: Long): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
     // per-doc token histogram (codegen expression): the vocabulary
-    // aggregate and the scoring join both consume distinct-terms-per-doc
-    // weighted by in-doc count `c`, not the raw token stream
+    // aggregate consumes distinct-terms-per-doc weighted by in-doc
+    // count `c`, not the raw token stream
+    val collected =
+      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else docs
+        .select(explode(TextF.termHistogram(col("toks"))).as("h"))
+        .groupBy(col("h.term").as("token")).agg(sum("h.tf").as("cnt"))
+        .select(col("token").cast("binary").as("tb"), col("cnt"))
+        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+    if (collected.nonEmpty && collected.length <= modelRowCap) {
+      // n_total = Σ vocab counts — the chain's vocab-sized fold, now a
+      // driver Long sum (exact either way)
+      var nTotal = 0L
+      collected.foreach(r => nTotal += r.getLong(1))
+      val tokBytes = new Array[Array[Byte]](collected.length)
+      val lpq = new Array[Long](collected.length)
+      var i = 0
+      while (i < collected.length) {
+        tokBytes(i) = collected(i).getAs[Array[Byte]](0)
+        // the chain's exact tree: floor(ln(cnt/n_total)·10⁶) — floor
+        // (not round): Spark's HALF_UP and DuckDB's nearbyint disagree
+        // when lp·10⁶ lands on a .5 boundary; floor of the same IEEE
+        // double is identical everywhere
+        lpq(i) = math.floor(math.log(collected(i).getLong(1).toDouble /
+          nTotal.toDouble) * 1000000.0).toLong
+        i += 1
+      }
+      val m = new graft.plans.NgramLmModel(tokBytes, lpq)
+      import org.apache.spark.sql.GraftBridge
+      val summed = GraftBridge.column(graft.plans.NgramLmSum(
+        GraftBridge.expression(col("toks")), m, 1))
+      docs.select(col("doc_id"), summed.as("r"))
+        .select(col("doc_id"),
+          col("r.n_grams").as("n_tok"),
+          when(col("r.n_grams") === 0, lit(null).cast("double"))
+            .otherwise((-col("r.sq")).cast("double") /
+              (col("r.n_grams").cast("double") * lit(1000000.0)))
+            .as("avg_nll"))
+    } else lmScoreChain(s, dir)
+  }
+
+  /** Over-cap arm: the pre-r18-optimization exploded-join chain,
+    * byte-identical output (`LmScoreSpec` pins equality with the in-row
+    * arm on the fixture). */
+  private def lmScoreChain(s: SparkSession, dir: String): DataFrame = {
     val tok = tbl(s, dir, "documents")
       .select(col("doc_id"),
         explode(TextF.termHistogram(TextF.lowerTokens(col("text"))))
@@ -390,7 +494,6 @@ object CurateQueries {
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         ((-col("sq")).cast("double") /
           (col("n_tok").cast("double") * lit(1000000.0))).as("avg_nll"))
-      .orderBy("doc_id")
   }
 
   private val lmScoreSql =
@@ -447,7 +550,7 @@ object CurateQueries {
     * collects the bigram counts (row-capped, loud fallback), folds the
     * left-context totals and the µ-nat law on the driver with the
     * chain's exact double expression trees, and scores each document
-    * IN-ROW through [[graft.plans.BigramLmSum]] — deleting the chain's
+    * IN-ROW through [[graft.plans.NgramLmSum]] — deleting the chain's
     * corpus-sized exploded-bigram localCheckpoint, the n-row scoring
     * join, the per-doc groupBy exchange and the final doc-keyed left
     * join. `LmBigramSpec` pins the two arms row-for-row equal; the
@@ -478,7 +581,7 @@ object CurateQueries {
 
   /** Primary arm: driver-built model, one scoring scan, zero corpus
     * shuffle. Arithmetic is the chain's, restated exactly (see
-    * [[graft.plans.BigramLmModel]]). */
+    * [[graft.plans.NgramLmModel]]). */
   private def bigramLmScoreInRow(docs: DataFrame,
       collected: Array[org.apache.spark.sql.Row]): DataFrame = {
     import org.apache.spark.unsafe.types.UTF8String
@@ -517,19 +620,19 @@ object CurateQueries {
         (cw1.get(w1Of(b)) + v).toDouble) * 1000000.0).toLong
       i += 1
     }
-    val m = new graft.plans.BigramLmModel(bgBytes, lpq)
+    val m = new graft.plans.NgramLmModel(bgBytes, lpq)
     import org.apache.spark.sql.GraftBridge
-    val summed = GraftBridge.column(graft.plans.BigramLmSum(
-      GraftBridge.expression(col("toks")), m))
+    val summed = GraftBridge.column(graft.plans.NgramLmSum(
+      GraftBridge.expression(col("toks")), m, 2))
     // two stacked selects: CollapseProject keeps the non-cheap scorer
     // single-evaluated. n_bigrams = 0 → NULL avg_nll, exactly the
     // chain's missing-perDoc-row left-join case.
     docs.select(col("doc_id"), summed.as("r"))
       .select(col("doc_id"),
-        col("r.n_bigrams").as("n_bigrams"),
-        when(col("r.n_bigrams") === 0, lit(null).cast("double"))
+        col("r.n_grams").as("n_bigrams"),
+        when(col("r.n_grams") === 0, lit(null).cast("double"))
           .otherwise((-col("r.sq")).cast("double") /
-            (col("r.n_bigrams").cast("double") * lit(1000000.0)))
+            (col("r.n_grams").cast("double") * lit(1000000.0)))
           .as("avg_nll"))
   }
 
@@ -971,6 +1074,15 @@ object CurateQueries {
     * is TakeOrderedAndProject, never a global sort. BIGINT headroom:
     * c_ab·N·10⁶ < 2⁶³ up to ~10¹² total tokens; past that the ratio
     * computes in decimal(38). */
+  // OPTIMIZATION r18, examined and REJECTED: an in-row collected-model
+  // ratio arm (driver-built unigram table + a pmi_ratio expression
+  // replacing both word-keyed joins and the crossJoin) measured WORSE in
+  // alternating A/Bs — sf0.1 0.563 vs 0.547 chain min, sf1 2.855 vs
+  // 2.614 — because the chain's uni and bi scans overlap inside one job
+  // while the collect serializes them, and the joins it deletes are
+  // vocabulary-sized (bounded at any SF, unlike the corpus-keyed
+  // exchanges the lm_bigram/tfidf/decontaminate rewrites delete). The
+  // join chain stays; see OPTIMIZATION_r18.md.
   private def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
     val toks = graft.parallelScan(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))

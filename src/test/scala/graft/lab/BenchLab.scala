@@ -50,7 +50,10 @@ object BenchLab {
         }
       })
 
-    val name = args.headOption.getOrElse("q_taxi_full")
+    // r18 optimization round: accept several names in one session so a
+    // floor-decomposition sweep pays sbt/session startup once
+    val names = if (args.nonEmpty) args.toSeq else Seq("q_taxi_full")
+    for (name <- names) {
     def time(runs: Int): Unit = (1 to runs).foreach { i =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -79,6 +82,7 @@ object BenchLab {
       }
     }
     time(3)
+    }
     spark.stop()
   }
 }

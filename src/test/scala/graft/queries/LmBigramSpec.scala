@@ -50,6 +50,21 @@ class LmBigramSpec extends SparkSpec {
     assert(oneTok.isNullAt(2)) // avg_nll NULL, the chain's left-join miss
   }
 
+  test("x_lm_score width-1 in-row arm equals its chain arm row-for-row " +
+      "(same docs, unigram law)") {
+    val dir = corpus(docs)
+    val inRow = CurateQueries.lmScoreImpl(spark, dir, 1L << 20)
+      .orderBy("doc_id").collect().toSeq
+    val chain = CurateQueries.lmScoreImpl(spark, dir, 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(inRow === chain)
+    assert(inRow.length === docs.length)
+    // the empty doc has no tokens: n_tok = 0, NULL avg_nll
+    val empty = inRow.find(_.getLong(0) == 6L).get
+    assert(empty.getLong(1) === 0L)
+    assert(empty.isNullAt(2))
+  }
+
   test("in-row mu-nat sums match a plain-Scala restatement of the " +
       "add-one bigram law") {
     val dir = corpus(docs)
