@@ -221,7 +221,69 @@ object TrainPrepQueries {
     * (every input an exact integer, one division), rounded 6 dp — so the
     * scores, and hence the top-k selection with term tie-breaks, are
     * engine-stable. */
-  private def bm25TopTerms(s: SparkSession, dir: String): DataFrame = {
+  private def bm25TopTerms(s: SparkSession, dir: String): DataFrame =
+    bm25TopTermsImpl(s, dir, TfidfModelRowCap)
+
+  /** OPTIMIZATION r18 (guide §2.3/§2.4 — the tfidf in-row rewrite
+    * applied to BM25): df is vocabulary-bounded and every other score
+    * input (tf, dl) is document-local. The primary arm aggregates
+    * (df, N, total_len) in ONE pass — N rides as `count(pos = 0)` per
+    * term and total_len as `sum(tf)` per term, both summed on the
+    * driver (exact Long arithmetic, order-free) — and scores each
+    * document IN-ROW through [[graft.plans.Bm25TopTerms]], deleting the
+    * scoring join, the doc-keyed dl join, the corpus crossJoin and the
+    * per-doc row_number window. `Bm25Spec` pins the two arms
+    * row-for-row equal; the DuckDB oracle gates the primary arm every
+    * round. */
+  private[queries] def bm25TopTermsImpl(s: SparkSession, dir: String,
+      modelRowCap: Long): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("lt"))
+    val collected =
+      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else docs
+        .select(posexplode(TextF.termHistogram(col("lt")))
+          .as(Seq("pos", "h")))
+        .groupBy(col("h.term").as("term"))
+        .agg(count(lit(1)).as("df"),
+          count(when(col("pos") === 0, 1)).as("n0"),
+          sum("h.tf").as("stf"))
+        .select(col("term").cast("binary").as("tb"), col("df"),
+          col("n0"), col("stf"))
+        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+    if (collected.nonEmpty && collected.length <= modelRowCap) {
+      // N = docs with ≥1 term (one pos-0 row each); total_len = Σ dl —
+      // both exactly the chain's corpus aggregate over dl > 0 docs
+      var n = 0L
+      var totalLen = 0L
+      collected.foreach { r => n += r.getLong(2); totalLen += r.getLong(3) }
+      val termBytes = new Array[Array[Byte]](collected.length)
+      val idfq = new Array[Long](collected.length)
+      var i = 0
+      while (i < collected.length) {
+        termBytes(i) = collected(i).getAs[Array[Byte]](0)
+        idfq(i) = (IdfScale * (n + 1)) / (collected(i).getLong(1) + 1)
+        i += 1
+      }
+      val m = new graft.plans.Bm25Model(termBytes, idfq, n, totalLen,
+        Bm25K1, Bm25B)
+      import org.apache.spark.sql.GraftBridge
+      val topk = GraftBridge.column(graft.plans.Bm25TopTerms(
+        GraftBridge.expression(col("lt")), m, 3))
+      docs
+        .select(col("doc_id"), size(col("lt")).cast("long").as("dl"),
+          posexplode(topk))
+        .select(col("doc_id"), col("col.term").as("term"),
+          col("col.tf").as("tf"), col("dl"),
+          col("col.score").as("score"), (col("pos") + 1).as("rn"))
+        .orderBy("doc_id", "rn")
+    } else bm25TopTermsChain(s, dir)
+  }
+
+  /** Over-cap arm: the pre-r18-optimization join + window chain,
+    * byte-identical output (`Bm25Spec` pins equality with the in-row
+    * arm on the fixture). */
+  private def bm25TopTermsChain(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("lt"))
     // tf in-row via the codegen term histogram (see tfidfTopTermsRaw);

@@ -33,11 +33,15 @@ object InRowAbLab {
       "x_decontaminate" ->
         ((cap: Long) => CurateQueries.decontaminateImpl(spark, dir, cap)),
       "x_lm_score" ->
-        ((cap: Long) => CurateQueries.lmScoreImpl(spark, dir, cap)))
+        ((cap: Long) => CurateQueries.lmScoreImpl(spark, dir, cap)),
+      "x_bm25_topterms" ->
+        ((cap: Long) => TrainPrepQueries.bm25TopTermsImpl(spark, dir, cap)))
     for ((name, mk) <- surfaces) {
       // warm both arms at the smallest SF
       def small(cap: Long) = name match {
         case "x_lm_score" => CurateQueries.lmScoreImpl(
+          spark, "/root/testdata/sf0.001", cap)
+        case "x_bm25_topterms" => TrainPrepQueries.bm25TopTermsImpl(
           spark, "/root/testdata/sf0.001", cap)
         case _ => CurateQueries.decontaminateImpl(
           spark, "/root/testdata/sf0.001", cap)

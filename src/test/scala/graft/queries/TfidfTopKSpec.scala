@@ -52,6 +52,24 @@ class TfidfTopKSpec extends SparkSpec {
     assert(inRow.count(_.getLong(0) == 6L) === 0)
   }
 
+  test("x_bm25_topterms width-varied in-row arm equals its chain arm " +
+      "row-for-row (saturation doubles included)") {
+    val dir = corpus(docs)
+    val inRow = TrainPrepQueries
+      .bm25TopTermsImpl(spark, dir, modelRowCap = 1L << 20)
+      .collect().toSeq
+    // modelRowCap = 0 forces the over-cap chain arm
+    val chain = TrainPrepQueries.bm25TopTermsImpl(spark, dir, modelRowCap = 0)
+      .collect().toSeq
+    assert(inRow === chain)
+    assert(inRow.nonEmpty)
+    // bm25 scores differ from tf·idf (saturation): spot-check one doc's
+    // scores are rank-ordered and the dl column equals the token count
+    val d7 = inRow.filter(_.getLong(0) == 7L)
+    assert(d7.map(_.getInt(5)) === (1 to d7.length))
+    assert(d7.forall(_.getLong(3) === 6L)) // "the the the quick quick fox"
+  }
+
   test("scores match a plain-Scala restatement of the integer idf law " +
       "and rank by (score desc, term asc)") {
     val dir = corpus(docs)
