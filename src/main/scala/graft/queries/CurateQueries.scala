@@ -417,7 +417,10 @@ object CurateQueries {
     * DuckDB oracle gates the primary arm every round. */
   private[queries] def lmScoreImpl(s: SparkSession, dir: String,
       modelRowCap: Long): DataFrame = {
-    val docs = tbl(s, dir, "documents")
+    // DENSE scan gate (the x_lang_id lesson, same as bm25TopTermsImpl):
+    // the model pass's per-doc histogram sort runs in the scan
+    val docs = graft.parallelScanDense(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
     // per-doc token histogram (codegen expression): the vocabulary
     // aggregate consumes distinct-terms-per-doc weighted by in-doc
@@ -558,7 +561,10 @@ object CurateQueries {
     * the chain). */
   private[queries] def bigramLmScoreImpl(s: SparkSession, dir: String,
       modelRowCap: Long): DataFrame = {
-    val docs = graft.parallelScan(s,
+    // DENSE scan gate (the x_lang_id lesson, same as bm25TopTermsImpl):
+    // the in-row passes do per-pair concatWs + hash probes in the scan;
+    // the chain arm below keeps its original (32 MB-floor) frames
+    val docs = graft.parallelScanDense(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
     // model aggregate over RAW bigram instances: bigrams are ~96% unique
@@ -576,7 +582,7 @@ object CurateQueries {
         .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
     if (collected.nonEmpty && collected.length <= modelRowCap)
       bigramLmScoreInRow(docs, collected)
-    else bigramLmScoreChain(s, dir, docs)
+    else bigramLmScoreChain(s, dir)
   }
 
   /** Primary arm: driver-built model, one scoring scan, zero corpus
@@ -639,8 +645,11 @@ object CurateQueries {
   /** Over-cap arm: the pre-r18-optimization exploded-join chain,
     * byte-identical output (`LmBigramSpec` pins equality with the
     * in-row arm on the fixture). */
-  private def bigramLmScoreChain(s: SparkSession, dir: String,
-      docs: DataFrame): DataFrame = {
+  private def bigramLmScoreChain(s: SparkSession, dir: String): DataFrame = {
+    // original (pre-r18) frames, including the 32 MB-floor parallelScan
+    val docs = graft.parallelScan(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
     // bigram stream keeps the exploded shape (96% unique in-doc — a
     // histogram pays an in-row sort for no compression); the VOCABULARY
     // count does use the unigram histogram (words repeat in-doc ~1.6×).

@@ -99,7 +99,9 @@ object TrainPrepQueries {
     * SQL restates the chain). */
   private[queries] def tfidfTopTermsImpl(s: SparkSession, dir: String,
       modelRowCap: Long): DataFrame = {
-    val docs = graft.parallelScan(s,
+    // DENSE scan gate (the x_lang_id lesson, same as bm25TopTermsImpl):
+    // both in-row passes run the per-doc histogram sort in the scan
+    val docs = graft.parallelScanDense(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
     val collected =
@@ -237,7 +239,14 @@ object TrainPrepQueries {
     * round. */
   private[queries] def bm25TopTermsImpl(s: SparkSession, dir: String,
       modelRowCap: Long): DataFrame = {
-    val docs = tbl(s, dir, "documents")
+    // DENSE scan gate (the x_lang_id lesson): both in-row passes do the
+    // per-doc histogram SORT in the scan, so a narrow input must still
+    // split wide — without it the sf10 in-row arm ran on the few tasks
+    // the input planned and measured 49.1 s vs the chain's 30.4; with
+    // it, 7.6 s (A/Bs in OPTIMIZATION_r18.md). The chain arm keeps its
+    // original frames.
+    val docs = graft.parallelScanDense(s,
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("lt"))
     val collected =
       if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
