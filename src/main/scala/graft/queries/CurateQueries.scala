@@ -1159,9 +1159,10 @@ object CurateQueries {
     // round 16 (r15 verdict item 3): the LID pre-filter stage
     "x_lang_id" -> QueryDef(langId, Some(langIdSql), bench = true,
       benchNote = Some("char-bigram Naive-Bayes LID, corpus-trained: " +
-        "bounded model broadcast to both scoring joins, mu-nat " +
-        "integer scores; three corpus scans (train + seen + score), " +
-        "same machinery as x_lm_score")),
+        "since the r18 optimization the bounded model is COLLECTED " +
+        "(row-capped, loud chain fallback) and every language scores " +
+        "in-row on one scan - the corpus never shuffles; mu-nat " +
+        "integer scores, same machinery as x_lm_score/x_lm_bigram")),
     // round 17 (r16 verdict item 5): discrimination itself oracle-gated
     "x_lang_id_planted" -> QueryDef(langIdPlanted, Some(langIdPlantedSql)),
     "x_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),
