@@ -74,7 +74,9 @@ object CurateQueries {
   private[queries] def decontaminateImpl(s: SparkSession, dir: String,
       setRowCap: Long): DataFrame = {
     val isBench = (col("doc_id") % BenchMod) === BenchRem
-    val docs = graft.parallelScan(s,
+    // DENSE scan gate (the x_lang_id lesson, same as the other in-row
+    // arms): tokenize + shingles + set probes all run in the scan
+    val docs = graft.parallelScanDense(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
     val distinctSh = array_distinct(
       TextF.shinglesFromTokens(TextF.lowerTokens(col("text")), DK))
@@ -84,7 +86,7 @@ object CurateQueries {
         .select(explode(distinctSh).as("shingle"))
         .distinct()
         .select(col("shingle").cast("binary").as("sb"))
-        .limit(math.min(setRowCap + 1, Int.MaxValue).toInt).collect()
+        .limit((math.min(setRowCap, Int.MaxValue - 1L) + 1).toInt).collect() // saturating: cap = Long.MaxValue must not wrap to limit(0)
     if (collected.nonEmpty && collected.length <= setRowCap) {
       val set = new graft.plans.Utf8Set(
         collected.map(_.getAs[Array[Byte]](0)))
@@ -96,8 +98,10 @@ object CurateQueries {
         .select(col("doc_id"), col("n_hits"),
           (col("n_hits") === 0).as("keep"))
     } else {
-      // over-cap (or empty-set) arm: the pre-r18-optimization chain
-      val sh = docs
+      // over-cap (or empty-set) arm: the pre-r18-optimization chain,
+      // original (32 MB-floor) scan included
+      val sh = graft.parallelScan(s,
+          tbl(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(array_distinct(
           TextF.shinglesFromTokens(col("toks"), DK))).as("shingle"))
@@ -431,7 +435,7 @@ object CurateQueries {
         .select(explode(TextF.termHistogram(col("toks"))).as("h"))
         .groupBy(col("h.term").as("token")).agg(sum("h.tf").as("cnt"))
         .select(col("token").cast("binary").as("tb"), col("cnt"))
-        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
     if (collected.nonEmpty && collected.length <= modelRowCap) {
       // n_total = Σ vocab counts — the chain's vocab-sized fold, now a
       // driver Long sum (exact either way)
@@ -446,7 +450,7 @@ object CurateQueries {
         // (not round): Spark's HALF_UP and DuckDB's nearbyint disagree
         // when lp·10⁶ lands on a .5 boundary; floor of the same IEEE
         // double is identical everywhere
-        lpq(i) = math.floor(math.log(collected(i).getLong(1).toDouble /
+        lpq(i) = math.floor(java.lang.StrictMath.log(collected(i).getLong(1).toDouble /
           nTotal.toDouble) * 1000000.0).toLong
         i += 1
       }
@@ -579,7 +583,7 @@ object CurateQueries {
         .select(explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("cab"))
         .select(col("bg").cast("binary").as("bgb"), col("cab"))
-        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
     if (collected.nonEmpty && collected.length <= modelRowCap)
       bigramLmScoreInRow(docs, collected)
     else bigramLmScoreChain(s, dir)
@@ -622,7 +626,7 @@ object CurateQueries {
       val b = collected(i).getAs[Array[Byte]](0)
       val cab = collected(i).getLong(1)
       bgBytes(i) = b
-      lpq(i) = math.floor(math.log((cab + 1).toDouble /
+      lpq(i) = math.floor(java.lang.StrictMath.log((cab + 1).toDouble /
         (cw1.get(w1Of(b)) + v).toDouble) * 1000000.0).toLong
       i += 1
     }
@@ -808,7 +812,7 @@ object CurateQueries {
       if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
       else model
         .select(col("mlang"), col("bg").cast("binary").as("bgb"), col("c"))
-        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
     if (collected.nonEmpty && collected.length <= modelRowCap)
       langIdScoreInRow(d, collected)
     else langIdScoreChain(d, model)
@@ -840,7 +844,7 @@ object CurateQueries {
     // ·10⁶) — the chain's exact double expression trees (Math.log/floor,
     // Long→Double casts), evaluated once per model row on the driver
     val lpu = Array.tabulate(L)(l =>
-      math.floor(math.log(1.0 / (nl(l) + v).toDouble) * 1000000.0).toLong)
+      math.floor(java.lang.StrictMath.log(1.0 / (nl(l) + v).toDouble) * 1000000.0).toLong)
     val bgBytes = new Array[Array[Byte]](bgIdx.size())
     val delta = Array.fill(bgIdx.size())(new Array[Long](L))
     collected.foreach { r =>
@@ -848,7 +852,7 @@ object CurateQueries {
       val i = bgIdx.get(UTF8String.fromBytes(bytes))
       if (bgBytes(i) == null) bgBytes(i) = bytes
       val l = li(r.getString(0))
-      val lp = math.floor(math.log((r.getLong(2) + 1).toDouble /
+      val lp = math.floor(java.lang.StrictMath.log((r.getLong(2) + 1).toDouble /
         (nl(l) + v).toDouble) * 1000000.0).toLong
       delta(i)(l) = lp - lpu(l)
     }

@@ -113,7 +113,7 @@ object TrainPrepQueries {
         .agg(count(lit(1)).as("df"),
           count(when(col("pos") === 0, 1)).as("n0"))
         .select(col("term").cast("binary").as("tb"), col("df"), col("n0"))
-        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
     if (collected.nonEmpty && collected.length <= modelRowCap)
       tfidfTopTermsInRow(docs, collected)
     else tfidfTopTermsChain(s, dir)
@@ -259,7 +259,7 @@ object TrainPrepQueries {
           sum("h.tf").as("stf"))
         .select(col("term").cast("binary").as("tb"), col("df"),
           col("n0"), col("stf"))
-        .limit(math.min(modelRowCap + 1, Int.MaxValue).toInt).collect()
+        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
     if (collected.nonEmpty && collected.length <= modelRowCap) {
       // N = docs with ≥1 term (one pos-0 row each); total_len = Σ dl —
       // both exactly the chain's corpus aggregate over dl > 0 docs

@@ -3,9 +3,13 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Dev probe (r18 OPTIMIZATION round): same-window A/Bs of the
-  * collected-model arms of x_pmi_bigrams and x_decontaminate vs their
-  * join-chain arms (forced via cap = 0). Alternating min-of-N so host
-  * drift hits both arms equally; times the benched frames. */
+  * collected-model arms of x_decontaminate, x_lm_score and
+  * x_bm25_topterms vs their join-chain arms (forced via cap = 0); also
+  * writes each one's chain/in-row plan pair to target/plans. (The
+  * x_pmi_bigrams arm this lab originally measured was REJECTED on its
+  * numbers and removed — see OPTIMIZATION_r18.md.) Alternating
+  * min-of-N so host drift hits both arms equally; times the benched
+  * frames. */
 object InRowAbLab {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

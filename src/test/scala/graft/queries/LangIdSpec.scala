@@ -109,7 +109,7 @@ class LangIdSpec extends SparkSpec {
       .groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
     val nLang = cnt.values.sum
     def lpQ(c: Long): Long =
-      math.floor(math.log((c + 1).toDouble / (nLang + v)) * 1e6).toLong
+      math.floor(java.lang.StrictMath.log((c + 1).toDouble / (nLang + v)) * 1e6).toLong
     val s1 = raw.find(_._1 == 1L).get._3
     val expected = (0 until s1.length - 1)
       .map(i => lpQ(cnt.getOrElse(s1.substring(i, i + 2), 0L))).sum

@@ -50,21 +50,6 @@ class LmBigramSpec extends SparkSpec {
     assert(oneTok.isNullAt(2)) // avg_nll NULL, the chain's left-join miss
   }
 
-  test("x_lm_score width-1 in-row arm equals its chain arm row-for-row " +
-      "(same docs, unigram law)") {
-    val dir = corpus(docs)
-    val inRow = CurateQueries.lmScoreImpl(spark, dir, 1L << 20)
-      .orderBy("doc_id").collect().toSeq
-    val chain = CurateQueries.lmScoreImpl(spark, dir, 0L)
-      .orderBy("doc_id").collect().toSeq
-    assert(inRow === chain)
-    assert(inRow.length === docs.length)
-    // the empty doc has no tokens: n_tok = 0, NULL avg_nll
-    val empty = inRow.find(_.getLong(0) == 6L).get
-    assert(empty.getLong(1) === 0L)
-    assert(empty.isNullAt(2))
-  }
-
   test("in-row mu-nat sums match a plain-Scala restatement of the " +
       "add-one bigram law") {
     val dir = corpus(docs)
@@ -82,7 +67,7 @@ class LmBigramSpec extends SparkSpec {
       .map { case (w, xs) => w -> xs.values.sum }
     val v = toks.flatMap(_._2).distinct.size.toLong
     def lpQ(bg: String): Long =
-      math.floor(math.log((cab(bg) + 1).toDouble /
+      math.floor(java.lang.StrictMath.log((cab(bg) + 1).toDouble /
         (cw1(bg.split(" ")(0)) + v).toDouble) * 1e6).toLong
     toks.foreach { case (id, ts) =>
       val pairs = ts.sliding(2).filter(_.length == 2)
@@ -96,5 +81,44 @@ class LmBigramSpec extends SparkSpec {
           s"doc $id avg_nll")
       }
     }
+  }
+}
+
+/** Arm-equality pin for the r18-optimized `x_lm_score` — the width-1
+  * twin of the bigram rewrite, same fixture and degenerate docs. */
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lmscore").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("width-1 in-row arm equals its chain arm row-for-row " +
+      "(degenerate docs included, unigram law)") {
+    val dir = corpus(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox naps under the old tree"),
+      (3L, "she sells sea shells by the sea shore all day"),
+      (5L, "one"),
+      (6L, ""), // empty → 0 tokens
+      (7L, "  the   quick  ")))
+    val inRow = CurateQueries.lmScoreImpl(spark, dir, 1L << 20)
+      .orderBy("doc_id").collect().toSeq
+    // modelRowCap = 0 forces the over-cap chain arm
+    val chain = CurateQueries.lmScoreImpl(spark, dir, 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(inRow === chain)
+    assert(inRow.length === 6)
+    // the empty doc has no tokens: n_tok = 0, NULL avg_nll
+    val empty = inRow.find(_.getLong(0) == 6L).get
+    assert(empty.getLong(1) === 0L)
+    assert(empty.isNullAt(2))
   }
 }

@@ -52,24 +52,6 @@ class TfidfTopKSpec extends SparkSpec {
     assert(inRow.count(_.getLong(0) == 6L) === 0)
   }
 
-  test("x_bm25_topterms width-varied in-row arm equals its chain arm " +
-      "row-for-row (saturation doubles included)") {
-    val dir = corpus(docs)
-    val inRow = TrainPrepQueries
-      .bm25TopTermsImpl(spark, dir, modelRowCap = 1L << 20)
-      .collect().toSeq
-    // modelRowCap = 0 forces the over-cap chain arm
-    val chain = TrainPrepQueries.bm25TopTermsImpl(spark, dir, modelRowCap = 0)
-      .collect().toSeq
-    assert(inRow === chain)
-    assert(inRow.nonEmpty)
-    // bm25 scores differ from tf·idf (saturation): spot-check one doc's
-    // scores are rank-ordered and the dl column equals the token count
-    val d7 = inRow.filter(_.getLong(0) == 7L)
-    assert(d7.map(_.getInt(5)) === (1 to d7.length))
-    assert(d7.forall(_.getLong(3) === 6L)) // "the the the quick quick fox"
-  }
-
   test("scores match a plain-Scala restatement of the integer idf law " +
       "and rank by (score desc, term asc)") {
     val dir = corpus(docs)
@@ -91,5 +73,47 @@ class TfidfTopKSpec extends SparkSpec {
       scored
     }.sortBy(r => (r._1, r._5))
     assert(out.sortBy(r => (r._1, r._5)).toSeq === expected)
+  }
+}
+
+/** Arm-equality pin for the r18-optimized `x_bm25_topterms` — the tfidf
+  * rewrite with the BM25 saturation law (double scores, the
+  * floor→Long→double truncation). */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("in-row arm equals the chain arm row-for-row (saturation " +
+      "doubles, tie-breaks and short docs included)") {
+    val dir = corpus(Seq(
+      (1L, "apple banana cherry apple banana apple"),
+      (2L, "banana cherry date cherry date date"),
+      (3L, "zebra yak xerus walrus"), // equal-score tie at the k boundary
+      (4L, "apple apple apple"),
+      (5L, "one two"),
+      (6L, ""),
+      (7L, "the the the quick quick fox")))
+    val inRow = TrainPrepQueries
+      .bm25TopTermsImpl(spark, dir, modelRowCap = 1L << 20)
+      .collect().toSeq
+    // modelRowCap = 0 forces the over-cap chain arm
+    val chain = TrainPrepQueries.bm25TopTermsImpl(spark, dir, modelRowCap = 0)
+      .collect().toSeq
+    assert(inRow === chain)
+    assert(inRow.nonEmpty)
+    // spot-check rank ordering and the dl column (= token count)
+    val d7 = inRow.filter(_.getLong(0) == 7L)
+    assert(d7.map(_.getInt(5)) === (1 to d7.length))
+    assert(d7.forall(_.getLong(3) === 6L)) // "the the the quick quick fox"
   }
 }
