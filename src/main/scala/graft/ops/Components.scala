@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components via the alternating large-star /
@@ -86,12 +87,11 @@ object Components {
     // checksum is the materializing action, so each round runs ONE
     // action instead of checkpoint + checksum — 4 fewer driver-side
     // jobs per query at the bench floor (39 → 35 jobs at sf0.001),
-    // identical lineage truncation. (An explicit repartition-sharing
-    // restructure of the two half-rounds was A/B'd at sf0.001/sf0.1/
-    // sf10 and measured byte- and time-neutral — the min-join's
-    // broadcast-vs-SMJ choice shifts with scale and the exchanges
-    // the restructure saves are the map-combined metadata-sized ones;
-    // rejected, naive authoring kept.)
+    // identical lineage truncation. (The r10 repartition-sharing A/B —
+    // sharing ONLY the aggregate/join exchange, every distinct kept —
+    // measured neutral; the r19 form below additionally deletes the
+    // mid-round distinct's own exchange by riding the small-star key,
+    // which is what moved the job count.)
     var e = edges
       .select(greatest(col("src"), col("dst")).as("hi"),
         least(col("src"), col("dst")).as("lo"))
@@ -114,23 +114,67 @@ object Components {
       // large-star over the bidirectional view: m(u) includes u itself
       val b = e.select(col("hi").as("u"), col("lo").as("v"))
         .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
-      val withMin = joinGroupMin(spark, b, key = "u", v = "v",
-        keyInMin = true, hotKeyThreshold, detect, observer, rounds,
-        "large-star")
-      val ls = withMin
-        .filter(col("v") > col("u")) // v > u ≥ m, so never a self-loop
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
-      // small-star over the down-edges produced by large-star
-      val withM = joinGroupMin(spark, ls, key = "hi", v = "lo",
-        keyInMin = false, hotKeyThreshold, detect, observer, rounds,
-        "small-star")
-      val next = withM
-        .select(col("lo").as("hi"), col("m").as("lo"))
-        .filter(col("hi") =!= col("lo"))
-        .unionAll(withM.select(col("hi"), col("m").as("lo")))
-        .distinct()
-        .localCheckpoint(false)
+      val next = if (detect) {
+        // hot-key round (giant-cluster graphs only): the r14 two-phase
+        // broadcast split, structure unchanged
+        val withMin = joinGroupMin(spark, b, key = "u", v = "v",
+          keyInMin = true, hotKeyThreshold, observer, rounds,
+          "large-star")
+        val ls = withMin
+          .filter(col("v") > col("u")) // v > u ≥ m, so never a self-loop
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .distinct()
+        // small-star over the down-edges produced by large-star
+        val withM = joinGroupMin(spark, ls, key = "hi", v = "lo",
+          keyInMin = false, hotKeyThreshold, observer, rounds,
+          "small-star")
+        withM
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .filter(col("hi") =!= col("lo"))
+          .unionAll(withM.select(col("hi"), col("m").as("lo")))
+          .distinct()
+          .localCheckpoint(false)
+      } else {
+        // Windowed round (r19, guide §2.4 "aggregation + join on the
+        // same key is a window"): the stock arm paid ~7 exchanges
+        // (= ~11 AQE stage-jobs at the measured ~55 ms/job driver
+        // floor) per round — each half-round planned a groupBy.min
+        // exchange, a join-probe exchange (the downstream v > u filter
+        // pushes into the probe copy of `b`, so the two exchanges are
+        // never canonical-equal and AQE cannot stage-reuse them), and
+        // the mid-round distinct its own (hi, lo) exchange. Attaching
+        // the per-key min AS A WINDOW deletes the join outright: each
+        // half-round is ONE exchange on its key, and the dedup rides
+        // the small-star window's hi-partitioning (a complete
+        // in-partition aggregate, no (hi, lo) exchange). 3 exchanges +
+        // the convergence checksum per round; jobs/query 47 → 29 at
+        // sf0.1 (CcLab), bench 2.73 → ~1.9 s. At scale the bidirectional
+        // view is shuffled ONCE per round instead of once for the
+        // aggregate and once for the probe. Per-group buffering in the
+        // window is bounded by this arm's precondition (the detect gate
+        // proves every key's multiplicity ≤ hotKeyThreshold, and the
+        // window buffer spills gracefully besides); giant-cluster
+        // graphs take the detect arm above, whose broadcast split
+        // never funnels a hot key through one task. Results are
+        // row-identical: same min per key, same edge set entering the
+        // next half-round (dedup placement only changes WHERE
+        // duplicates collapse).
+        val withMin = b.withColumn("m",
+          least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+        val ls = withMin
+          .filter(col("v") > col("u")) // v > u ≥ m, so never a self-loop
+          .select(col("v").as("hi"), col("m").as("lo"))
+        // small-star over the down-edges produced by large-star
+        val withM = ls
+          .withColumn("m", min(col("lo")).over(Window.partitionBy(col("hi"))))
+          .dropDuplicates("hi", "lo")
+        withM
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .filter(col("hi") =!= col("lo"))
+          .unionAll(withM.select(col("hi"), col("m").as("lo")))
+          .distinct()
+          .localCheckpoint(false)
+      }
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
@@ -142,23 +186,18 @@ object Components {
   }
 
   /** `df ⋈ groupBy(key).min(v)` with the two-phase hot-key treatment
-    * described in the object scaladoc. Returns `df`'s columns plus `m`
-    * (= min(v) over the key's group, including `key` itself when
-    * `keyInMin`). The mins frame is lazily checkpointed so the hot-key
-    * detection action and the join consume ONE aggregate computation. */
+    * described in the object scaladoc — the DETECT arm only (graphs big
+    * enough that a key could exceed the threshold; small graphs take the
+    * shared-exchange round in [[connected]]). Returns `df`'s columns
+    * plus `m` (= min(v) over the key's group, including `key` itself
+    * when `keyInMin`). The mins frame is lazily checkpointed so the
+    * hot-key detection action and the join consume ONE aggregate
+    * computation. */
   private def joinGroupMin(spark: SparkSession, df: DataFrame, key: String,
-      v: String, keyInMin: Boolean, threshold: Long, detect: Boolean,
+      v: String, keyInMin: Boolean, threshold: Long,
       observer: Option[RoundStats => Unit], round: Int,
       phase: String): DataFrame = {
     val mCol = if (keyInMin) least(col("mn"), col(key)) else col("mn")
-    if (!detect) {
-      // stock plan: no deg column, no checkpoint, no detection action —
-      // taken whenever 2·|E| ≤ threshold proves no key can be hot
-      val minsS = df.groupBy(key).agg(min(col(v)).as("mn"))
-        .select(col(key), mCol.as("m"))
-      return df.join(minsS, key)
-        .select((df.columns :+ "m").map(col).toSeq: _*)
-    }
     val mins = df.groupBy(key)
       .agg(min(col(v)).as("mn"), count(lit(1)).as("deg"))
       .select(col(key), mCol.as("m"), col("deg"))
