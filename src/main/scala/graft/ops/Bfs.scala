@@ -65,11 +65,33 @@ object Bfs {
     *               frontiers broadcast REGRESSED sf1 9.2 → 11.6 s — a
     *               multi-MB broadcast build+ship per level costs more
     *               than the shuffle it replaces)
+    * @param undirected r19: the caller GUARANTEES `edges` holds both
+    *               orientations of every edge. Then a neighbor of a
+    *               distance-(k−1) node is at distance ≥ k−2 (the
+    *               undirected-BFS triangle bound), so the per-level
+    *               anti-join only needs the LAST TWO frontiers, not the
+    *               whole labeled set — at scale the anti build stops
+    *               growing with the reach (O(frontier) instead of O(V)),
+    *               and it stays under `broadcastRowCap` far longer. The
+    *               bound is FALSE for directed graphs (an edge into a
+    *               near-seed node from a far frontier re-labels it), so
+    *               this is opt-in. Results identical either way.
+    * @param edgesAtHop r19: optional per-hop edge subset — hop k's
+    *               expansion join scans `edgesAtHop(k)` instead of the
+    *               full relation. The caller must guarantee it is a
+    *               SUPERSET of the edges whose source can be in frontier
+    *               k−1 (e.g. type-parity in a bipartite entity graph):
+    *               rows whose source is never in the frontier cannot
+    *               match the join, so pruning them changes only the scan
+    *               volume, never the result. Hot-degree detection keeps
+    *               the full relation (a superset bound on every hop).
     */
   def distances(seeds: DataFrame, edges: DataFrame, maxHops: Int,
       broadcastRowCap: Long = 1L << 20,
       hotKeyThreshold: Long = Components.DefaultHotKeyThreshold,
-      observer: Option[HotKeys.Stats => Unit] = None): Result = {
+      observer: Option[HotKeys.Stats => Unit] = None,
+      undirected: Boolean = false,
+      edgesAtHop: Option[Int => DataFrame] = None): Result = {
     // lazy checkpoints (round 10): the level-count action is the
     // materializer, so each level costs one driver job, not two
     var dist = seeds.select(col("node"), lit(0).as("dist"))
@@ -97,32 +119,43 @@ object Bfs {
       HotKeys.detect(edges.sparkSession, deg, "a", "deg",
         hotKeyThreshold, "BFS frontier join", observer)
     }
+    var prevFrontier: Option[DataFrame] = None
+    var prevFrontierRows = 0L
     while (hop <= maxHops && frontierRows > 0) {
-      val labeled = if (distRows <= broadcastRowCap) broadcast(dist) else dist
+      // `undirected`: anti against the last two frontiers only (scaladoc
+      // bound); otherwise the full labeled set
+      val (seenDf, seenRows) =
+        if (undirected)
+          (prevFrontier.map(frontier.unionAll).getOrElse(frontier),
+            frontierRows + prevFrontierRows)
+        else (dist.select("node"), distRows)
+      val labeled =
+        if (seenRows <= broadcastRowCap) broadcast(seenDf) else seenDf
+      val ed = edgesAtHop.map(_(hop)).getOrElse(edges)
       // anti-join BEFORE distinct: with `labeled` broadcast the anti is
       // map-side, so the distinct's shuffle carries only genuinely-new
       // nodes — in late levels most candidates are already labeled, and
       // shuffling them just to drop them after was the bigger stream
       val candidates =
         if (frontierRows <= broadcastRowCap)
-          broadcast(frontier).join(edges, frontier("node") === edges("a"))
-            .select(edges("b").as("node"))
+          broadcast(frontier).join(ed, frontier("node") === ed("a"))
+            .select(ed("b").as("node"))
         else hotDegreeNodes match {
           case None =>
-            frontier.join(edges, frontier("node") === edges("a"))
-              .select(edges("b").as("node"))
+            frontier.join(ed, frontier("node") === ed("a"))
+              .select(ed("b").as("node"))
           case Some(hk) =>
             val hotKeyed = hk.select(col("a").as("node"))
             val hotFrontier = frontier.join(broadcast(hotKeyed), "node")
             val coldFrontier =
               frontier.join(broadcast(hotKeyed), Seq("node"), "left_anti")
             broadcast(hotFrontier)
-              .join(edges, hotFrontier("node") === edges("a"))
-              .select(edges("b").as("node"))
+              .join(ed, hotFrontier("node") === ed("a"))
+              .select(ed("b").as("node"))
               .unionAll(
                 coldFrontier
-                  .join(edges, coldFrontier("node") === edges("a"))
-                  .select(edges("b").as("node")))
+                  .join(ed, coldFrontier("node") === ed("a"))
+                  .select(ed("b").as("node")))
         }
       val next = candidates
         .join(labeled, Seq("node"), "left_anti")
@@ -130,17 +163,20 @@ object Bfs {
         .withColumn("dist", lit(hop))
         .localCheckpoint(false) // level; cut lineage (count materializes)
       rounds += 1
-      frontierRows = next.count()
-      if (frontierRows > 0) {
+      val nextRows = next.count()
+      if (nextRows > 0) {
         // each LEVEL is checkpointed, so their union has flat lineage —
         // checkpointing the union too would be a second eager
         // materialization of every level per round (job-count A/B at
         // sf1: 33 → 30 jobs, 47 → 44 stages for the 3-hop query;
         // wall-clock parity within this host's window noise)
         dist = dist.union(next)
-        distRows += frontierRows
+        distRows += nextRows
+        prevFrontier = Some(frontier)
+        prevFrontierRows = frontierRows
         frontier = next.select("node")
       }
+      frontierRows = nextRows
       hop += 1
     }
     Result(dist, rounds)

@@ -133,7 +133,27 @@ object GraphQueries {
     val seeds = tbl(s, dir, "customer")
       .filter(col("c_custkey") % 500 === 0)
       .select(tagged(TagC, col("c_custkey")).as("node"))
-    val dist = Bfs.distances(seeds, und, MaxHops).dist
+    // Per-hop edge pruning (r19, guide §8 "use what you know that the
+    // optimizer does not"): the entity graph is bipartite c–o and o–s,
+    // and seeds are customers, so frontier k−1's node TYPE is known by
+    // parity — hop 1 expands customers (c→o rows only: the level-1 join
+    // never scans lineitem at all), even hops expand orders (o→c ∪ o→s),
+    // odd hops ≥ 3 expand customers∪suppliers (c→o ∪ s→o). Each level
+    // scans half (hop 1: a quarter) of the undirected relation; rows
+    // whose source type cannot be in the frontier could never match the
+    // expansion join, so results are identical (BfsPropSpec pins the
+    // pruned == full equality). `undirected` additionally bounds the
+    // anti-join to the last two frontiers (the undirected-BFS distance
+    // bound) — at 100 TB the anti build is O(frontier), not O(reach).
+    val oc = co.select(col("b").as("a"), col("a").as("b"))
+    val so = os.select(col("b").as("a"), col("a").as("b"))
+    val edgesAtHop: Int => org.apache.spark.sql.DataFrame = {
+      case 1 => co
+      case h if h % 2 == 0 => oc.unionAll(os)
+      case _ => co.unionAll(so)
+    }
+    val dist = Bfs.distances(seeds, und, MaxHops,
+      undirected = true, edgesAtHop = Some(edgesAtHop)).dist
     dist.select(
       concat(
         element_at(array(lit("c"), lit("o"), lit("s")),

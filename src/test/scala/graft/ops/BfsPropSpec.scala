@@ -62,9 +62,21 @@ class BfsPropSpec extends SparkSpec {
       // arm switching mid-run, which neither pure arm reaches
       val mixed = Bfs.distances(seedDf, und, maxHops, broadcastRowCap = 3)
         .dist.as[(String, Int)].collect().toMap
+      // r19 two-frontier anti (`undirected = true`, valid here because
+      // `und` carries both orientations): must equal the full-labeled
+      // anti on ANY such graph — cycles, dups, multi-seed included —
+      // in both the broadcast and the tight-cap mixed regime
+      val undTwo = Bfs.distances(seedDf, und, maxHops, undirected = true)
+        .dist.as[(String, Int)].collect().toMap
+      val undTwoMixed = Bfs.distances(seedDf, und, maxHops,
+        broadcastRowCap = 3, undirected = true)
+        .dist.as[(String, Int)].collect().toMap
       Prop(bcast == expect) :| s"broadcast arm: got $bcast want $expect" &&
         Prop(shuffle == expect) :| s"shuffle arm: got $shuffle want $expect" &&
-        Prop(mixed == expect) :| s"mixed arm (cap=3): got $mixed want $expect"
+        Prop(mixed == expect) :| s"mixed arm (cap=3): got $mixed want $expect" &&
+        Prop(undTwo == expect) :| s"undirected arm: got $undTwo want $expect" &&
+        Prop(undTwoMixed == expect) :|
+          s"undirected mixed arm: got $undTwoMixed want $expect"
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)

@@ -52,6 +52,24 @@ class GraphIterSpec extends SparkSpec {
       Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3))
   }
 
+  test("BFS per-hop edge subsets label identically to the full relation") {
+    // bipartite L={a,c,e} / R={b,d}: hop parity determines which side the
+    // frontier is on, so per-hop pruning to that side's out-edges is a
+    // valid superset of the matchable rows — the r19 x_shortest_path move
+    val lr = Seq("a" -> "b", "c" -> "b", "c" -> "d", "e" -> "d")
+    val fwd = lr.toDF("a", "b")
+    val rev = fwd.select(col("b").as("a"), col("a").as("b"))
+    val full = fwd.union(rev)
+    val seeds = Seq("a").toDF("node")
+    val pruned = Bfs.distances(seeds, full, maxHops = 4, undirected = true,
+      edgesAtHop = Some(h => if (h % 2 == 1) fwd else rev))
+    val stock = Bfs.distances(seeds, full, maxHops = 4)
+    assert(pruned.dist.as[(String, Int)].collect().toMap ===
+      stock.dist.as[(String, Int)].collect().toMap)
+    assert(stock.dist.as[(String, Int)].collect().toMap ===
+      Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 4))
+  }
+
   test("PageRank stops at the exact integer fixpoint with identical ranks") {
     val nodes = Seq(0L, 1L, 2L).toDF("node")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
