@@ -88,11 +88,34 @@ object Bm25TopTerms {
       StructField("score", DoubleType, nullable = false))),
     containsNull = false)
 
-  /** Static helper the generated code calls once per row. The k-slot
-    * insertion board with a STRICT `score >` displacement rule (the
-    * [[TfidfTopTerms]] scheme) reproduces the window's (score DESC,
-    * term ASC) order exactly; the double arithmetic mirrors the
-    * chain's expression tree operation-for-operation. */
+  /** Double-score concrete [[TopKBoard]] — the insertion LAW lives
+    * there (one spelling with tfidf's Long board); only the payload
+    * arrays and the native-type comparison live here. */
+  private final class Board(k: Int) extends TopKBoard(k) {
+    val terms = new Array[UTF8String](k)
+    val tfs = new Array[Long](k)
+    val scores = new Array[Double](k)
+    var candTerm: UTF8String = _
+    var candTf = 0L
+    var candScore = 0.0
+    protected def candBeats(i: Int): Boolean = candScore > scores(i)
+    protected def moveSlot(from: Int, to: Int): Unit = {
+      terms(to) = terms(from)
+      tfs(to) = tfs(from)
+      scores(to) = scores(from)
+    }
+    protected def writeSlot(i: Int): Unit = {
+      terms(i) = candTerm
+      tfs(i) = candTf
+      scores(i) = candScore
+    }
+  }
+
+  /** Static helper the generated code calls once per row: iterate the
+    * histogram in term-ASC order, offer each modeled term to the
+    * [[TopKBoard]] (strict `score >` displacement = the window's
+    * (score DESC, term ASC) order exactly); the double arithmetic
+    * mirrors the chain's expression tree operation-for-operation. */
   def compute(arr: ArrayData, m: Bm25Model, k: Int): ArrayData = {
     val h = TermHistogram.compute(arr) // the tf law, one definition
     val nTerms = h.numElements()
@@ -105,10 +128,7 @@ object Bm25TopTerms {
     val denomC = m.k1 * ((1.0 - m.b) +
       m.b * dl * m.n.toDouble / m.totalLen.toDouble)
     val k1p1 = m.k1 + 1.0
-    val terms = new Array[UTF8String](k)
-    val tfs = new Array[Long](k)
-    val scores = new Array[Double](k)
-    var cnt = 0
+    val b = new Board(k)
     var i = 0
     while (i < nTerms) {
       val row = h.getStruct(i, 2)
@@ -118,34 +138,20 @@ object Bm25TopTerms {
         val sat = tfD * k1p1 / (tfD + denomC)
         // µ-precision truncation: floor(idf·sat·10⁶) is a LONG in the
         // chain (Floor: double → long), cast back to double, ÷ 10⁶
-        val sc = math.floor(
+        b.candTerm = row.getUTF8String(0)
+        b.candTf = row.getLong(1)
+        b.candScore = math.floor(
           m.idfq(idx.intValue()).toDouble * sat * 1000000.0)
           .toLong.toDouble / 1000000.0
-        if (cnt < k || sc > scores(k - 1)) {
-          var ins = math.min(cnt, k)
-          while (ins > 0 && sc > scores(ins - 1)) ins -= 1
-          if (ins < k) {
-            var q = math.min(cnt, k - 1)
-            while (q > ins) {
-              terms(q) = terms(q - 1)
-              tfs(q) = tfs(q - 1)
-              scores(q) = scores(q - 1)
-              q -= 1
-            }
-            terms(ins) = row.getUTF8String(0)
-            tfs(ins) = row.getLong(1)
-            scores(ins) = sc
-            if (cnt < k) cnt += 1
-          }
-        }
+        b.offer()
       }
       i += 1
     }
-    val out = new Array[Any](cnt)
+    val out = new Array[Any](b.cnt)
     i = 0
-    while (i < cnt) {
+    while (i < b.cnt) {
       out(i) = new GenericInternalRow(
-        Array[Any](terms(i), tfs(i), scores(i)))
+        Array[Any](b.terms(i), b.tfs(i), b.scores(i)))
       i += 1
     }
     new GenericArrayData(out)

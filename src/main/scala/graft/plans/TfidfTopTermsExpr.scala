@@ -89,50 +89,55 @@ object TfidfTopTerms {
       StructField("score", LongType, nullable = false))),
     containsNull = false)
 
-  /** Static helper the generated code calls once per row. Insertion
-    * into a k-slot board, iterating the histogram in term-ASC order
-    * with a STRICT `score >` displacement rule — an equal-score later
-    * term never passes an earlier one, so the board order is exactly
-    * (score DESC, term ASC): the window's row_number ordering. */
-  def compute(arr: ArrayData, m: TfidfModel, k: Int): ArrayData = {
-    val h = TermHistogram.compute(arr) // the tf law, one definition
-    val n = h.numElements()
+  /** Long-score concrete [[TopKBoard]] — the insertion LAW lives there
+    * (one spelling with bm25's Double board); only the payload arrays
+    * and the native-type comparison live here. */
+  private final class Board(k: Int) extends TopKBoard(k) {
     val terms = new Array[UTF8String](k)
     val tfs = new Array[Long](k)
     val scores = new Array[Long](k)
-    var cnt = 0
+    var candTerm: UTF8String = _
+    var candTf = 0L
+    var candScore = 0L
+    protected def candBeats(i: Int): Boolean = candScore > scores(i)
+    protected def moveSlot(from: Int, to: Int): Unit = {
+      terms(to) = terms(from)
+      tfs(to) = tfs(from)
+      scores(to) = scores(from)
+    }
+    protected def writeSlot(i: Int): Unit = {
+      terms(i) = candTerm
+      tfs(i) = candTf
+      scores(i) = candScore
+    }
+  }
+
+  /** Static helper the generated code calls once per row: iterate the
+    * histogram in term-ASC order, offer each modeled term to the
+    * [[TopKBoard]] (strict `score >` displacement = the window's
+    * (score DESC, term ASC) row_number ordering exactly). */
+  def compute(arr: ArrayData, m: TfidfModel, k: Int): ArrayData = {
+    val h = TermHistogram.compute(arr) // the tf law, one definition
+    val n = h.numElements()
+    val b = new Board(k)
     var i = 0
     while (i < n) {
       val row = h.getStruct(i, 2)
       val term = row.getUTF8String(0)
       val idx = m.index.get(term)
       if (idx != null) {
-        val sc = row.getLong(1) * m.idfq(idx.intValue())
-        if (cnt < k || sc > scores(k - 1)) {
-          var ins = math.min(cnt, k)
-          while (ins > 0 && sc > scores(ins - 1)) ins -= 1
-          if (ins < k) {
-            var q = math.min(cnt, k - 1)
-            while (q > ins) {
-              terms(q) = terms(q - 1)
-              tfs(q) = tfs(q - 1)
-              scores(q) = scores(q - 1)
-              q -= 1
-            }
-            terms(ins) = term
-            tfs(ins) = row.getLong(1)
-            scores(ins) = sc
-            if (cnt < k) cnt += 1
-          }
-        }
+        b.candTerm = term
+        b.candTf = row.getLong(1)
+        b.candScore = row.getLong(1) * m.idfq(idx.intValue())
+        b.offer()
       }
       i += 1
     }
-    val out = new Array[Any](cnt)
+    val out = new Array[Any](b.cnt)
     i = 0
-    while (i < cnt) {
+    while (i < b.cnt) {
       out(i) = new GenericInternalRow(
-        Array[Any](terms(i), tfs(i), scores(i)))
+        Array[Any](b.terms(i), b.tfs(i), b.scores(i)))
       i += 1
     }
     new GenericArrayData(out)

@@ -80,16 +80,15 @@ object CurateQueries {
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
     val distinctSh = array_distinct(
       TextF.shinglesFromTokens(TextF.lowerTokens(col("text")), DK))
-    val collected =
-      if (setRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
-      else docs.filter(isBench)
+    val collected = InRowModel.boundedCollect(
+      docs.filter(isBench)
         .select(explode(distinctSh).as("shingle"))
         .distinct()
-        .select(col("shingle").cast("binary").as("sb"))
-        .limit((math.min(setRowCap, Int.MaxValue - 1L) + 1).toInt).collect() // saturating: cap = Long.MaxValue must not wrap to limit(0)
-    if (collected.nonEmpty && collected.length <= setRowCap) {
+        .select(col("shingle").cast("binary").as("sb")),
+      setRowCap, "x_decontaminate")
+    if (collected.isDefined) {
       val set = new graft.plans.Utf8Set(
-        collected.map(_.getAs[Array[Byte]](0)))
+        collected.get.map(_.getAs[Array[Byte]](0)))
       import org.apache.spark.sql.GraftBridge
       val nHits = GraftBridge.column(graft.plans.CountInSet(
         GraftBridge.expression(distinctSh), set))
@@ -429,14 +428,14 @@ object CurateQueries {
     // per-doc token histogram (codegen expression): the vocabulary
     // aggregate consumes distinct-terms-per-doc weighted by in-doc
     // count `c`, not the raw token stream
-    val collected =
-      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
-      else docs
+    val collectedOpt = InRowModel.boundedCollect(
+      docs
         .select(explode(TextF.termHistogram(col("toks"))).as("h"))
         .groupBy(col("h.term").as("token")).agg(sum("h.tf").as("cnt"))
-        .select(col("token").cast("binary").as("tb"), col("cnt"))
-        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
-    if (collected.nonEmpty && collected.length <= modelRowCap) {
+        .select(col("token").cast("binary").as("tb"), col("cnt")),
+      modelRowCap, "x_lm_score")
+    if (collectedOpt.isDefined) {
+      val collected = collectedOpt.get
       // n_total = Σ vocab counts — the chain's vocab-sized fold, now a
       // driver Long sum (exact either way)
       var nTotal = 0L
@@ -446,12 +445,10 @@ object CurateQueries {
       var i = 0
       while (i < collected.length) {
         tokBytes(i) = collected(i).getAs[Array[Byte]](0)
-        // the chain's exact tree: floor(ln(cnt/n_total)·10⁶) — floor
-        // (not round): Spark's HALF_UP and DuckDB's nearbyint disagree
-        // when lp·10⁶ lands on a .5 boundary; floor of the same IEEE
-        // double is identical everywhere
-        lpq(i) = math.floor(java.lang.StrictMath.log(collected(i).getLong(1).toDouble /
-          nTotal.toDouble) * 1000000.0).toLong
+        // the chain's exact tree: floor(ln(cnt/n_total)·10⁶) — the
+        // floor/StrictMath rationale lives on InRowModel.muNatLog
+        lpq(i) = InRowModel.muNatLog(collected(i).getLong(1).toDouble,
+          nTotal.toDouble)
         i += 1
       }
       val m = new graft.plans.NgramLmModel(tokBytes, lpq)
@@ -575,18 +572,17 @@ object CurateQueries {
     // WITHIN a doc (measured at sf1), so a per-doc histogram would pay
     // an in-row sort for no compression — the exploded stream feeds the
     // map-side-combined groupBy directly. bg as binary: exact bytes, no
-    // UTF-16 round-trip; cap+1 so an over-cap model is detected, not
-    // truncated.
-    val collected =
-      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
-      else docs
+    // UTF-16 round-trip; InRowModel.boundedCollect fetches cap+1 so an
+    // over-cap model is detected, not truncated.
+    InRowModel.boundedCollect(
+      docs
         .select(explode(TextF.shinglesFromTokens(col("toks"), 2)).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("cab"))
-        .select(col("bg").cast("binary").as("bgb"), col("cab"))
-        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
-    if (collected.nonEmpty && collected.length <= modelRowCap)
-      bigramLmScoreInRow(docs, collected)
-    else bigramLmScoreChain(s, dir)
+        .select(col("bg").cast("binary").as("bgb"), col("cab")),
+      modelRowCap, "x_lm_bigram") match {
+      case Some(collected) => bigramLmScoreInRow(docs, collected)
+      case None => bigramLmScoreChain(s, dir)
+    }
   }
 
   /** Primary arm: driver-built model, one scoring scan, zero corpus
@@ -626,8 +622,8 @@ object CurateQueries {
       val b = collected(i).getAs[Array[Byte]](0)
       val cab = collected(i).getLong(1)
       bgBytes(i) = b
-      lpq(i) = math.floor(java.lang.StrictMath.log((cab + 1).toDouble /
-        (cw1.get(w1Of(b)) + v).toDouble) * 1000000.0).toLong
+      lpq(i) = InRowModel.muNatLog((cab + 1).toDouble,
+        (cw1.get(w1Of(b)) + v).toDouble)
       i += 1
     }
     val m = new graft.plans.NgramLmModel(bgBytes, lpq)
@@ -807,15 +803,15 @@ object CurateQueries {
       .groupBy(col("lang").as("mlang"), col("bg"))
       .agg(count(lit(1)).as("c"))
     // bounded model collect (bg as binary: exact bytes, no UTF-16
-    // round-trip); cap+1 so an over-cap model is detected, not truncated
-    val collected =
-      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
-      else model
-        .select(col("mlang"), col("bg").cast("binary").as("bgb"), col("c"))
-        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
-    if (collected.nonEmpty && collected.length <= modelRowCap)
-      langIdScoreInRow(d, collected)
-    else langIdScoreChain(d, model)
+    // round-trip); InRowModel.boundedCollect fetches cap+1 so an
+    // over-cap model is detected, not truncated
+    InRowModel.boundedCollect(
+      model
+        .select(col("mlang"), col("bg").cast("binary").as("bgb"), col("c")),
+      modelRowCap, "x_lang_id") match {
+      case Some(collected) => langIdScoreInRow(d, collected)
+      case None => langIdScoreChain(d, model)
+    }
   }
 
   /** Primary arm: driver-built model, one scoring scan, zero corpus
@@ -844,7 +840,7 @@ object CurateQueries {
     // ·10⁶) — the chain's exact double expression trees (Math.log/floor,
     // Long→Double casts), evaluated once per model row on the driver
     val lpu = Array.tabulate(L)(l =>
-      math.floor(java.lang.StrictMath.log(1.0 / (nl(l) + v).toDouble) * 1000000.0).toLong)
+      InRowModel.muNatLog(1.0, (nl(l) + v).toDouble))
     val bgBytes = new Array[Array[Byte]](bgIdx.size())
     val delta = Array.fill(bgIdx.size())(new Array[Long](L))
     collected.foreach { r =>
@@ -852,8 +848,8 @@ object CurateQueries {
       val i = bgIdx.get(UTF8String.fromBytes(bytes))
       if (bgBytes(i) == null) bgBytes(i) = bytes
       val l = li(r.getString(0))
-      val lp = math.floor(java.lang.StrictMath.log((r.getLong(2) + 1).toDouble /
-        (nl(l) + v).toDouble) * 1000000.0).toLong
+      val lp = InRowModel.muNatLog((r.getLong(2) + 1).toDouble,
+        (nl(l) + v).toDouble)
       delta(i)(l) = lp - lpu(l)
     }
     val nbModel = new graft.plans.NbLangModel(langs, lpu, bgBytes, delta)

@@ -104,19 +104,18 @@ object TrainPrepQueries {
     val docs = graft.parallelScanDense(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("toks"))
-    val collected =
-      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
-      else docs
+    InRowModel.boundedCollect(
+      docs
         .select(posexplode(TextF.termHistogram(col("toks")))
           .as(Seq("pos", "h")))
         .groupBy(col("h.term").as("term"))
         .agg(count(lit(1)).as("df"),
           count(when(col("pos") === 0, 1)).as("n0"))
-        .select(col("term").cast("binary").as("tb"), col("df"), col("n0"))
-        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
-    if (collected.nonEmpty && collected.length <= modelRowCap)
-      tfidfTopTermsInRow(docs, collected)
-    else tfidfTopTermsChain(s, dir)
+        .select(col("term").cast("binary").as("tb"), col("df"), col("n0")),
+      modelRowCap, "x_tfidf_topterms") match {
+      case Some(collected) => tfidfTopTermsInRow(docs, collected)
+      case None => tfidfTopTermsChain(s, dir)
+    }
   }
 
   /** Primary arm: driver-built IDF table, one scoring scan, zero
@@ -248,9 +247,8 @@ object TrainPrepQueries {
     val docs = graft.parallelScanDense(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("lt"))
-    val collected =
-      if (modelRowCap <= 0) Array.empty[org.apache.spark.sql.Row]
-      else docs
+    val collectedOpt = InRowModel.boundedCollect(
+      docs
         .select(posexplode(TextF.termHistogram(col("lt")))
           .as(Seq("pos", "h")))
         .groupBy(col("h.term").as("term"))
@@ -258,9 +256,10 @@ object TrainPrepQueries {
           count(when(col("pos") === 0, 1)).as("n0"),
           sum("h.tf").as("stf"))
         .select(col("term").cast("binary").as("tb"), col("df"),
-          col("n0"), col("stf"))
-        .limit((math.min(modelRowCap, Int.MaxValue - 1L) + 1).toInt).collect()
-    if (collected.nonEmpty && collected.length <= modelRowCap) {
+          col("n0"), col("stf")),
+      modelRowCap, "x_bm25_topterms")
+    if (collectedOpt.isDefined) {
+      val collected = collectedOpt.get
       // N = docs with ≥1 term (one pos-0 row each); total_len = Σ dl —
       // both exactly the chain's corpus aggregate over dl > 0 docs
       var n = 0L

@@ -50,3 +50,66 @@ class DecontaminateSpec extends SparkSpec {
     assert(inRow.forall(r => r.getBoolean(2) === (r.getLong(1) == 0L)))
   }
 }
+
+/** The shared bounded-collect skeleton (r19 — one spelling of the six
+  * in-row operators' cap/fallback law): cap+1 detection, Long.MaxValue
+  * saturation, and the LOUD stderr line naming the operator and the
+  * chain arm on every fallback path. */
+class InRowModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def capturingErr[A](body: => A): (A, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    try {
+      val r = body
+      (r, buf.toString("UTF-8"))
+    } finally System.setErr(old)
+  }
+
+  private def model = Seq(1L, 2L, 3L).toDF("v")
+
+  test("under-cap collect returns the rows, silently") {
+    val (r, err) = capturingErr(
+      InRowModel.boundedCollect(model, 3L, "x_test_op"))
+    assert(r.map(_.length) === Some(3))
+    assert(err.isEmpty)
+  }
+
+  test("Long.MaxValue cap saturates instead of wrapping limit() to 0") {
+    val (r, err) = capturingErr(
+      InRowModel.boundedCollect(model, Long.MaxValue, "x_test_op"))
+    assert(r.map(_.length) === Some(3))
+    assert(err.isEmpty)
+  }
+
+  test("over-cap model falls back LOUDLY, naming operator and arm") {
+    val (r, err) = capturingErr(
+      InRowModel.boundedCollect(model, 2L, "x_test_op"))
+    assert(r.isEmpty)
+    assert(err.contains("x_test_op"))
+    assert(err.contains("exceeds the row cap"))
+    assert(err.contains("join-chain arm"))
+  }
+
+  test("empty model falls back LOUDLY") {
+    val (r, err) = capturingErr(InRowModel.boundedCollect(
+      model.filter(col("v") < 0), 2L, "x_test_op"))
+    assert(r.isEmpty)
+    assert(err.contains("x_test_op") && err.contains("empty"))
+  }
+
+  test("non-positive cap disables the in-row arm LOUDLY, without a job") {
+    val (r, err) = capturingErr(
+      InRowModel.boundedCollect(model, 0L, "x_test_op"))
+    assert(r.isEmpty)
+    assert(err.contains("disabled") && err.contains("join-chain arm"))
+  }
+
+  test("muNatLog is the chain's exact law: floor(StrictMath.log(n/d)*1e6)") {
+    for ((n, d) <- Seq((1.0, 7.0), (3.0, 2.0), (1.0, 1.0), (5.0, 1e9)))
+      assert(InRowModel.muNatLog(n, d) ===
+        math.floor(java.lang.StrictMath.log(n / d) * 1000000.0).toLong)
+  }
+}
