@@ -1446,6 +1446,12 @@ object TrainPrepQueries {
       .select(col("doc_id"),
         explode(TextF.shinglesFromTokens(col("t"), SubW)).as("sh"))
       .select(col("doc_id"), md5(col("sh")).as("fp"))
+    // (r19 examined, kept: sharing one fp repartition across the
+    // pre-agg and the window — the Components §2.4 move — halved the
+    // shuffled bytes (13.2 → 6.5 MB) and cut a job, but measured SLOWER
+    // at sf0.1 (lab warm 1.2 → 1.9 s; bench 0.87 → 0.96): the complete-
+    // mode aggregate after the explicit exchange loses the map-side
+    // partial that overlapped with the tokenize scan. Stock shape kept.)
     val perDocFp = w.groupBy("doc_id", "fp").agg(count(lit(1)).as("k"))
     perDocFp
       .withColumn("g", sum(col("k")).over(Window.partitionBy("fp")))
@@ -1500,26 +1506,27 @@ object TrainPrepQueries {
     *
     * Scale (nothing n², every shuffle key-partitioned and linear):
     * window marking reuses `x_dedup_substring`'s exact plan — codegen
-    * shingle scan → per-(doc, fp) pre-agg (positions collected in-group;
-    * boilerplate collapses BEFORE the shuffle) → ONE fp-keyed window sum
-    * for corpus-wide occurrence counts; then the excise half: duplicated
-    * window starts explode ×[[SubW]] into covered positions feeding a
-    * LEFT ANTI join against the (doc, pos) token stream — hash anti-join
-    * dedups coverage for free, so no pre-`distinct` shuffle — and one
-    * doc-keyed rollup reassembles survivors in position order. The
-    * reassembly's collect_list is per-document (bounded by doc length,
-    * the same in-row bound every tokenize step already carries). */
+    * shingle scan → per-(doc, fp) pre-agg (positions collected
+    * in-group; boilerplate collapses BEFORE the shuffle) → ONE fp-keyed
+    * window sum for corpus-wide occurrence counts; then
+    * the excise half (r19, in-row): duplicated window STARTS — narrow
+    * longs, never the token payload — aggregate per doc, and coverage,
+    * excision and reassembly run as codegen array ops in the final
+    * scan (every array doc-length-bounded, the same in-row bound every
+    * tokenize step already carries). The pre-r19 shape exploded covered
+    * positions ×[[SubW]] into a corpus-scale (doc, idx) anti-join
+    * against the full per-position token stream and rolled survivors
+    * back up with a doc-keyed collect_list — two exchanges of the heavy
+    * payload for doc-local position arithmetic. */
   private def dedupSubstringExcise(s: SparkSession, dir: String): DataFrame = {
     // NOT checkpointed (r16 verdict item 2): this frame is corpus-sized
     // (every token of every document), and localCheckpoint blocks are
     // the only copy, so they PIN unified memory instead of spilling
     // gracefully — the exact failure mode that OOM'd x_lang_id's first
-    // sf10 cut on its bigram stream (PLANS r16 §9). The three consumers
-    // (window stream, per-position token stream, final per-doc frame)
-    // each re-run the tokenize scan instead — scan-side codegen work,
-    // the same documented train+score two-scan shape x_lang_id uses.
-    // Nothing else in the chain needs pinning: pdf→dup is a linear
-    // chain with no reuse.
+    // sf10 cut on its bigram stream (PLANS r16 §9). The two consumers
+    // (window-marking stream, final per-doc frame) each re-run the
+    // tokenize scan instead — scan-side codegen work, the same
+    // documented train+score two-scan shape x_lang_id uses.
     val toks = graft.parallelScan(s,
         tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextF.lowerTokens(col("text")).as("t"))
@@ -1530,32 +1537,55 @@ object TrainPrepQueries {
           .as(Seq("pos0", "sh")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         md5(col("sh")).as("fp"))
-    val pdf = w.groupBy("doc_id", "fp")
+    // Marking half on ONE fp-keyed exchange (r19, guide §2.4 — the
+    // Components window lesson): the per-(doc, fp) pre-aggregation and
+    // the corpus-occurrence window share an explicit fp repartition
+    // (the aggregate's keys are a superset of the partitioning, the
+    // window's partition IS it — no second exchange). Unlike
+    // x_dedup_substring (count-only pre-agg, where this variant LOST
+    // the cheap map-side combine and measured slower — note there),
+    // the excise pre-agg builds collect_list partials, whose
+    // partial/final array merging costs more than the combine saves:
+    // A/B at sf0.1 — repartition-shared 7 jobs / 7.9 MB / 1.30 s solo
+    // vs stock 8 jobs / 16.3 MB / warm 2.1–2.7 s.
+    val pdf = w.repartition(col("fp"))
+      .groupBy("doc_id", "fp")
       .agg(collect_list("pos").as("ps"), count(lit(1)).as("k"))
-    val dup = pdf
+    val dupStarts = pdf
       .withColumn("g", sum(col("k")).over(Window.partitionBy("fp")))
       .filter(col("g") > 1)
       .select(col("doc_id"), explode(col("ps")).as("pos"))
-    val covered = dup.select(col("doc_id"),
-      explode(sequence(col("pos"), col("pos") + lit(SubW - 1))).as("idx"))
-    val allPos = toks.select(col("doc_id"),
-      posexplode(col("t")).as(Seq("idx0", "tok")))
-      .select(col("doc_id"), (col("idx0") + 1).cast("long").as("idx"),
-        col("tok"))
-    val cleaned = allPos
-      .join(covered, Seq("doc_id", "idx"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("idx"), col("tok")))),
-          e => e.getField("tok"))).as("clean_text"))
+    // Excise half IN-ROW (r19): the stock shape exploded covered
+    // positions ×SubW into a corpus-scale (doc, idx) anti-join against
+    // the full per-position TOKEN stream, then rolled the survivors
+    // back up with a doc-keyed collect_list — the heavy token payload
+    // crossed two exchanges to apply doc-LOCAL position arithmetic.
+    // Now only the duplicated window STARTS (narrow longs) leave their
+    // doc: one doc-keyed aggregate packs them per document, and
+    // coverage, excision and reassembly run as codegen array ops in the
+    // final scan (all arrays doc-length-bounded — the same in-row bound
+    // every tokenize step already carries). Plan: 6 scans / 7 Exchange
+    // / anti-join → 3 scans / 4 Exchange / no join but the final
+    // starts-attach (plans/r19/x_dedup_substring_excise_*). Results
+    // identical: same covered set (array_distinct = the anti-join's
+    // dedup), same survivor order (sequence ascending = the idx sort).
+    val perDoc = dupStarts.groupBy("doc_id")
+      .agg(collect_list("pos").as("starts"))
+    val emptyL = array().cast("array<bigint>")
+    val nTok = size(col("t")).cast("long")
+    val covered = when(col("starts").isNull, emptyL)
+      .otherwise(array_distinct(flatten(transform(col("starts"),
+        p => sequence(p, p + lit(SubW - 1).cast("long"))))))
+    val kept = when(nTok <= 0, emptyL)
+      .otherwise(array_except(sequence(lit(1L), nTok), covered))
     toks
-      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-      .join(cleaned, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        kept.as("kept"), col("t"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
+        concat_ws(" ", transform(col("kept"),
+          i => element_at(col("t"), i.cast("int")))).as("clean_text"))
       .orderBy("doc_id")
   }
 
