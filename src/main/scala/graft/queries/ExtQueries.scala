@@ -543,12 +543,20 @@ object ExtQueries {
     // 0 ≤ doc_id < 2^31 the (doc_a, doc_b) pair packs into one long —
     // a third less width on the query's dominant shuffle. Unpacked
     // fallback when stats are absent or out of range.
+    // Unordered-pair halving (r19, guide §2.3 "shuffle fewer bytes"):
+    // |A∩B| is SYMMETRIC, so the aggregate only needs each pair once —
+    // a < b halves the candidate stream through the dominant exchange
+    // and hash (sf0.1: 12.9 → 6.9 MB shuffled, solo 1.70 → 1.50 s).
+    // Both ordered orientations are re-emitted AFTER the aggregate from
+    // the one inter row, each against its own denominator (na for
+    // (a,b), nb for (b,a)) — same IEEE divide per orientation, so the
+    // emitted score set is bit-identical to scoring ordered pairs.
     val pairs0 = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
     val packable = graft.core.TableStats.columnRange(
         tbl(s, dir, "documents"), "doc_id")
       .exists { case (lo, hi) => lo >= 0 && hi < (1L << 31) }
-    val inter =
+    val interU =
       if (packable)
         graft.ops.DirectAgg.countByKeys(
           // cast("long") before the shift: an IntegerType doc_id would
@@ -562,11 +570,18 @@ object ExtQueries {
       else
         graft.ops.DirectAgg.countByKeys(
           pairs0.select("doc_a", "doc_b"), "inter")
-    inter
+    val nb = na.select(col("doc_a").as("doc_b"), col("na").as("nb"))
+    interU
       .join(na, "doc_a")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / col("na").cast("double"))
-          .as("containment"))
+      .join(nb, "doc_b")
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / col("na").cast("double"))
+            .as("containment")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          (col("inter").cast("double") / col("nb").cast("double"))
+            .as("containment")))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.containment"))
       .filter(col("containment") >= ContainmentMin)
   }
 
